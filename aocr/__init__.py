@@ -1,0 +1,18 @@
+"""tpu-attention-ocr: a TPU-native JAX framework for attention-based OCR.
+
+Built from scratch with the capabilities of the Lua/Torch7 reference
+da03/torch-Attention-OCR (see SURVEY.md): a CNN feature extractor over
+32-px-tall word crops, a bidirectional LSTM encoder over width-wise feature
+columns, and an input-feeding attention LSTM decoder, trained with SGD +
+validation-driven LR decay and evaluated with batched (optionally
+trie-constrained) beam search.
+
+TPU-first design: XLA convolutions in NHWC, `lax.scan` recurrences with
+hoisted input projections (one big MXU matmul instead of per-step small ones),
+fully on-device greedy/beam decoding, `jax.sharding` data parallelism over an
+ICI mesh, and optional Pallas-fused recurrent cells.
+"""
+
+__version__ = "0.1.0"
+
+from aocr.config import Config  # noqa: F401

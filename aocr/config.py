@@ -1,0 +1,151 @@
+"""Configuration for the tpu-attention-ocr framework.
+
+Mirrors the reference CLI surface (flag-for-flag) declared in
+`/root/reference/src/train.lua:15-65`, plus TPU-specific extensions
+(dtype policy, mesh shape, Pallas toggles).  The reference parses flags with
+`torch.CmdLine`; here a frozen dataclass is the single source of truth and
+`build_arg_parser` derives an argparse CLI from it.  Single-dash long options
+(`-phase train`) are accepted for drop-in compatibility as well as
+conventional `--phase train`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- Input and Output (reference src/train.lua:21-26) ---
+    data_base_dir: str = "data"
+    data_path: str = "train.txt"
+    val_data_path: str = "val.txt"
+    model_dir: str = "train"
+    log_path: str = "log.txt"
+    output_dir: str = "results"
+
+    # --- Display / decoding (reference src/train.lua:29-34) ---
+    steps_per_checkpoint: int = 1000
+    num_batches_val: float = math.inf
+    beam_size: int = 1
+    use_dictionary: bool = False
+    allow_digit_prefix: bool = False
+    dictionary_path: str = "dictionary.txt"
+
+    # --- Optimization (reference src/train.lua:40-44) ---
+    num_epochs: int = 1000
+    batch_size: int = 400
+    learning_rate: float = 0.1
+    learning_rate_min: float = 0.001
+    lr_decay: float = 0.5
+
+    # --- Network (reference src/train.lua:47-53) ---
+    dropout: float = 0.0
+    target_embedding_size: int = 20
+    input_feed: bool = False
+    encoder_num_hidden: int = 512
+    encoder_num_layers: int = 1
+    decoder_num_layers: int = 2
+    target_vocab_size: int = 39  # 1 PAD + 1 GO + 1 EOS + 10 digits + 26 letters
+
+    # --- Other (reference src/train.lua:56-63) ---
+    phase: str = "test"
+    gpu_id: int = 1  # kept for CLI parity; device selection is JAX's job
+    load_model: bool = False
+    visualize: bool = False
+    seed: int = 910820
+    max_decoder_l: int = 50
+    max_encoder_l: int = 80
+    # `-prealloc` in the reference enables buffer preallocation/sharing between
+    # timestep clones (src/utils/memory.lua).  XLA owns buffers under jit; the
+    # equivalent lever is input buffer donation on the train step, so the flag
+    # maps to donate_argnums.
+    prealloc: bool = False
+
+    # --- TPU-native extensions (no reference equivalent) ---
+    # Compute dtype for convs/matmuls; params always float32.
+    compute_dtype: str = "float32"  # or "bfloat16"
+    # Use Pallas-fused recurrent cells where available.
+    use_pallas: bool = False
+    # Number of data-parallel shards (devices along the "data" mesh axis).
+    num_shards: int = 1
+    # Image geometry (reference hard-codes 32-tall, width 100:
+    # src/data/data_gen.lua:16,78). keep_aspect_ratio=False reproduces the
+    # hard-coded width-100 behavior; True uses the clamped aspect-ratio width.
+    image_height: int = 32
+    image_width: int = 100
+    keep_aspect_ratio: bool = False
+    max_aspect_ratio: float = 10.0
+    min_aspect_ratio: float = 0.5
+
+    # --- Derived (reference src/model/model.lua:84,88) ---
+    cnn_feature_size: int = field(default=512)
+
+    @property
+    def decoder_num_hidden(self) -> int:
+        return 2 * self.encoder_num_hidden
+
+    def validate(self) -> "Config":
+        assert self.phase in ("train", "test"), "phase must be train or test"
+        assert self.encoder_num_layers >= 1
+        assert self.decoder_num_layers >= 1
+        assert self.target_vocab_size >= 4
+        assert self.compute_dtype in ("float32", "bfloat16")
+        return self
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_BOOL_FLAGS = {
+    "use_dictionary",
+    "allow_digit_prefix",
+    "input_feed",
+    "load_model",
+    "visualize",
+    "prealloc",
+    "use_pallas",
+    "keep_aspect_ratio",
+}
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """Derive an argparse CLI from the Config dataclass fields.
+
+    argparse treats `-phase` (single dash, multi-char) as a regular long
+    option, so both the reference's Lua-style flags and GNU-style `--phase`
+    work.
+    """
+    p = argparse.ArgumentParser(
+        prog="aocr",
+        description="TPU-native attention OCR (reference-compatible CLI)",
+    )
+    for f in dataclasses.fields(Config):
+        name = f.name
+        if name == "cnn_feature_size":
+            continue
+        opts = [f"-{name}", f"--{name}"]
+        if name in _BOOL_FLAGS:
+            p.add_argument(*opts, action="store_true", default=f.default)
+        elif f.type in ("float", float) or isinstance(f.default, float):
+            p.add_argument(*opts, type=float, default=f.default)
+        elif f.type in ("int", int) or isinstance(f.default, int):
+            p.add_argument(*opts, type=int, default=f.default)
+        else:
+            p.add_argument(*opts, type=str, default=f.default)
+    return p
+
+
+def parse_args(argv: Optional[list] = None) -> Config:
+    ns = build_arg_parser().parse_args(argv)
+    kw = {k: v for k, v in vars(ns).items()}
+    return Config(**kw).validate()
+
+
+def config_from_dict(d: dict) -> Config:
+    names = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in d.items() if k in names})

@@ -1,0 +1,242 @@
+"""On-device greedy / beam-search decoding with optional trie constraints.
+
+Behavioral parity with the reference beam loop
+(`/root/reference/src/model/model.lua:226-536,573-585`):
+
+- beam_size is clamped to the vocab size (model.lua:228-229)
+- t=1 decodes the batch (B rows) with GO input and top-k over V expands to
+  B*K beams (model.lua:388-404); for t>1 top-k runs over K*V totals
+- finished-beam freeze: once a beam's previous token is PAD or EOS, the PAD
+  column's log-prob is forced to 0 so the beam continues as PAD with an
+  unchanged score (model.lua:448-449)
+- beam parents are raw_index // V and the transcript is recovered by parent
+  backtracking from the best final beam (model.lua:516,573-585)
+- trie-constrained decoding keeps a per-beam trie node; invalid continuations
+  are masked out, and when fewer than K valid candidates exist the remaining
+  beams are refilled with the best valid candidate (model.lua:406-445,460-514)
+
+TPU-native design: the whole decode is one jitted program — a single decoder
+step for t=1, then a `lax.scan` over the remaining T-1 steps whose body
+early-exits (via `lax.cond` on an all-beams-frozen scalar) once every beam is
+finished, followed by an on-device reverse-scan backtrack.  No host sync
+anywhere in the loop.
+
+The trie is a precomputed dense transition table (num_nodes, V) int32 with
+-1 for invalid edges (built host-side by `aocr.utils.trie`), replacing the
+reference's dynamic Lua hash-trie with an XLA gather.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from aocr import vocab
+from aocr.config import Config
+from aocr.models import decoder, head, model
+
+
+class BeamCarry(NamedTuple):
+    state: decoder.DecoderState  # (B*K, ...) decoder state
+    scores: jax.Array  # (B, K) cumulative log-probs
+    prev_tokens: jax.Array  # (B, K)
+    nodes: jax.Array  # (B, K) trie nodes (all zeros when no trie)
+
+
+def _gather_beams(x: jax.Array, parents: jax.Array, K: int) -> jax.Array:
+    """x (B*K, ...) gathered by per-batch parent beam ids (B, K)."""
+    B = parents.shape[0]
+    rows = (jnp.arange(B)[:, None] * K + parents).reshape(-1)
+    return x[rows]
+
+
+def _expand_beams(x: jax.Array, K: int) -> jax.Array:
+    """(B, ...) -> (B*K, ...) by repeating each row K times (beam_replicate,
+    reference model.lua:322-359)."""
+    return jnp.repeat(x, K, axis=0)
+
+
+def _apply_trie_and_topk(
+    total: jax.Array,  # (B, C) candidate scores (C = V at t=1, K*V later)
+    valid: Optional[jax.Array],  # (B, C) bool or None
+    K: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-K with trie masking and reference 'refill' semantics: if fewer
+    than K candidates are valid, duplicate the best valid candidate."""
+    if valid is not None:
+        NEG = jnp.float32(-1e30)
+        total = jnp.where(valid, total, NEG)
+        scores, idx = lax.top_k(total, K)
+        bad = scores <= NEG * 0.5
+        scores = jnp.where(bad, scores[:, :1], scores)
+        idx = jnp.where(bad, idx[:, :1], idx)
+        return scores, idx
+    return lax.top_k(total, K)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "beam_size", "max_len", "use_trie"),
+)
+def beam_decode(
+    params: dict,
+    batch_stats: dict,
+    images: jax.Array,
+    cfg: Config,
+    beam_size: int,
+    max_len: int,
+    trie_table: Optional[jax.Array] = None,
+    use_trie: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode a batch of images.
+
+    Returns (labels (B, max_len) int32, scores (B,) float32 — the best
+    beam's cumulative log-prob).  Greedy decoding is beam_size=1.
+    """
+    K = min(beam_size, cfg.target_vocab_size)
+    V = cfg.target_vocab_size
+    T = max_len
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    context, dec_init, _ = model.encode(params, batch_stats, images, cfg, train=False)
+    B = context.shape[0]
+    dec_params = params["decoder"]
+    proj = params["projector"]
+
+    # ---- t = 1: batch-sized step with GO input ----
+    state = decoder.init_state(dec_init, cfg.decoder_num_layers)
+    go = jnp.full((B,), vocab.GO, jnp.int32)
+    state, h_tilde = decoder.step(
+        dec_params, state, go, context, input_feed=cfg.input_feed,
+        compute_dtype=cd,
+    )
+    logp = head.apply(proj, h_tilde, compute_dtype=cd)  # (B, V)
+
+    if use_trie:
+        root_valid = trie_table[0] >= 0  # children of root (GO node)
+        valid0 = jnp.broadcast_to(root_valid[None, :], (B, V))
+    else:
+        valid0 = None
+    scores, tokens0 = _apply_trie_and_topk(logp, valid0, K)  # (B, K)
+
+    if use_trie:
+        nodes = trie_table[0][tokens0]  # (B, K); valid by construction
+        nodes = jnp.maximum(nodes, 0)
+    else:
+        nodes = jnp.zeros((B, K), jnp.int32)
+
+    # Expand decoder state and context to B*K rows.
+    state = jax.tree.map(lambda x: _expand_beams(x, K), state)
+    beam_context = _expand_beams(context, K)
+
+    carry0 = BeamCarry(
+        state=state, scores=scores, prev_tokens=tokens0, nodes=nodes
+    )
+
+    def scan_body(carry: BeamCarry, _):
+        frozen = (carry.prev_tokens == vocab.PAD) | (carry.prev_tokens == vocab.EOS)
+        all_done = jnp.all(frozen)
+
+        def run(carry: BeamCarry):
+            st, h_t = decoder.step(
+                dec_params,
+                carry.state,
+                carry.prev_tokens.reshape(-1),
+                beam_context,
+                input_feed=cfg.input_feed,
+                compute_dtype=cd,
+            )
+            lp = head.apply(proj, h_t, compute_dtype=cd)  # (B*K, V)
+            lp = lp.reshape(B, K, V)
+            # Freeze finished beams: PAD column log-prob := 0.
+            froz = (carry.prev_tokens == vocab.PAD) | (carry.prev_tokens == vocab.EOS)
+            lp = lp.at[:, :, vocab.PAD].set(
+                jnp.where(froz, 0.0, lp[:, :, vocab.PAD])
+            )
+            total = (carry.scores[:, :, None] + lp).reshape(B, K * V)
+            if use_trie:
+                child_ok = trie_table[carry.nodes] >= 0  # (B, K, V)
+                ok = child_ok.at[:, :, vocab.PAD].set(True)  # PAD always allowed
+                valid = ok.reshape(B, K * V)
+            else:
+                valid = None
+            new_scores, raw = _apply_trie_and_topk(total, valid, K)
+            parents = raw // V  # (B, K)
+            toks = raw % V
+            new_state = jax.tree.map(
+                lambda x: _gather_beams(x, parents, K), st
+            )
+            if use_trie:
+                parent_nodes = jnp.take_along_axis(carry.nodes, parents, axis=1)
+                stepped = trie_table[parent_nodes.reshape(-1), toks.reshape(-1)]
+                stepped = stepped.reshape(B, K)
+                # PAD keeps the parent's node (reference model.lua:505-509).
+                new_nodes = jnp.where(toks == vocab.PAD, parent_nodes,
+                                      jnp.maximum(stepped, 0))
+            else:
+                new_nodes = carry.nodes
+            return (
+                BeamCarry(new_state, new_scores, toks, new_nodes),
+                (toks, parents),
+            )
+
+        def skip(carry: BeamCarry):
+            # All beams frozen: each continues as PAD with itself as parent.
+            toks = jnp.full((B, K), vocab.PAD, jnp.int32)
+            parents = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
+            return carry, (toks, parents)
+
+        return lax.cond(all_done, skip, run, carry)
+
+    carry, (tok_hist, par_hist) = lax.scan(
+        scan_body, carry0, None, length=T - 1
+    )
+    # Full histories including t=1 (parents at t=1 are unused by backtracking,
+    # matching the reference where the final parent lookup is discarded).
+    tok_hist = jnp.concatenate([tokens0[None], tok_hist], axis=0)  # (T, B, K)
+    par_hist = jnp.concatenate(
+        [jnp.zeros((1, B, K), par_hist.dtype), par_hist], axis=0
+    )
+
+    # ---- backtrack best beam (reference model.lua:573-585) ----
+    best = jnp.argmax(carry.scores, axis=1)  # (B,)
+    best_scores = jnp.max(carry.scores, axis=1)
+    rows = jnp.arange(B)
+
+    def back(idx, inp):
+        tok_t, par_t = inp
+        lab = tok_t[rows, idx]
+        return par_t[rows, idx], lab
+
+    _, labels_rev = lax.scan(back, best, (tok_hist, par_hist), reverse=True)
+    labels = jnp.swapaxes(labels_rev, 0, 1)  # (B, T)
+    return labels, best_scores
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def gold_forward(
+    params: dict,
+    batch_stats: dict,
+    images: jax.Array,
+    targets: jax.Array,
+    targets_eval: jax.Array,
+    cfg: Config,
+) -> Tuple[jax.Array, jax.Array]:
+    """Teacher-forced eval pass: (token-sum NLL, per-sample gold log-prob).
+
+    Mirrors the reference gold-score pass (model.lua:589-627): loss over
+    non-PAD tokens plus each sample's summed gold-token log-prob.
+    """
+    nll, _, log_probs = model.forward_loss(
+        params, batch_stats, images, targets, targets_eval, cfg, train=False
+    )
+    picked = jnp.take_along_axis(
+        log_probs, targets_eval[..., None], axis=-1
+    ).squeeze(-1)
+    mask = (targets_eval != vocab.PAD).astype(log_probs.dtype)
+    gold_scores = jnp.sum(picked * mask, axis=1)
+    return nll, gold_scores

@@ -1,0 +1,161 @@
+"""CNN feature extractor over 32-px-tall grayscale word crops.
+
+Architecture parity with the reference stack (`/root/reference/src/model/cnn.lua:9-45`):
+normalize (x-128)/128, then 7 convolutions (64,128,256,256,512,512,512) with
+ReLU, three BatchNorms (after convs 3,5,7) and four max-pools
+(2x2/2, 2x2/2, 1x2 height-only, 1x2 height-only), ending with a 2x2 VALID conv
+that collapses the remaining height of 2 to 1.  Output is a width-wise column
+sequence (B, L, 512) with the shape law L = floor(W/4) - 1.
+
+TPU-native design: NHWC layout (XLA's preferred conv layout on TPU), all convs
+lowered to `lax.conv_general_dilated` on the MXU, pooling via
+`lax.reduce_window`, optional bfloat16 compute with float32 params and
+float32 batch-norm statistics.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# (out_channels, kernel_hw, stride, padding, batch_norm?) per conv layer.
+# Heights through the stack: 32 ->16 ->8 ->4 ->2 ->1 (pools + final VALID 2x2).
+_CONV_DEFS = (
+    # name, in_c, out_c, kh, kw, padding, bn
+    ("conv1", 1, 64, 3, 3, "SAME", False),
+    ("conv2", 64, 128, 3, 3, "SAME", False),
+    ("conv3", 128, 256, 3, 3, "SAME", True),
+    ("conv4", 256, 256, 3, 3, "SAME", False),
+    ("conv5", 256, 512, 3, 3, "SAME", True),
+    ("conv6", 512, 512, 3, 3, "SAME", False),
+    ("conv7", 512, 512, 2, 2, "VALID", True),
+)
+
+# Max-pool (window_h, window_w) applied *after* the conv at the keyed index.
+# Reference order: pool after conv1, conv2, conv4, conv6
+# (src/model/cnn.lua:15,20,29,38).
+_POOL_AFTER = {0: (2, 2), 1: (2, 2), 3: (2, 1), 5: (2, 1)}  # (h, w) windows
+
+BN_MOMENTUM = 0.9  # running stat update: new = m*old + (1-m)*batch
+BN_EPS = 1e-5
+
+
+def output_length(width: int) -> int:
+    """Column-sequence length for an input width (reference shape law)."""
+    return width // 4 - 1
+
+
+def init_params(rng: jax.Array) -> dict:
+    """Torch-style init: uniform(+-1/sqrt(fan_in)) for conv weight and bias
+    (Torch SpatialConvolution:reset), BN scale=1 shift=0."""
+    params = {}
+    for name, in_c, out_c, kh, kw, _pad, bn in _CONV_DEFS:
+        rng, k1, k2 = jax.random.split(rng, 3)
+        bound = 1.0 / math.sqrt(in_c * kh * kw)
+        params[name] = {
+            "w": jax.random.uniform(
+                k1, (kh, kw, in_c, out_c), jnp.float32, -bound, bound
+            ),
+            "b": jax.random.uniform(k2, (out_c,), jnp.float32, -bound, bound),
+        }
+        if bn:
+            params[name + "_bn"] = {
+                "scale": jnp.ones((out_c,), jnp.float32),
+                "bias": jnp.zeros((out_c,), jnp.float32),
+            }
+    return params
+
+
+def init_batch_stats() -> dict:
+    stats = {}
+    for name, _in_c, out_c, _kh, _kw, _pad, bn in _CONV_DEFS:
+        if bn:
+            stats[name + "_bn"] = {
+                "mean": jnp.zeros((out_c,), jnp.float32),
+                "var": jnp.ones((out_c,), jnp.float32),
+            }
+    return stats
+
+
+def _max_pool(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
+    wh, ww = window
+    return lax.reduce_window(
+        x,
+        -jnp.inf if x.dtype in (jnp.float32, jnp.bfloat16) else x.dtype.type(0),
+        lax.max,
+        (1, wh, ww, 1),
+        (1, wh, ww, 1),
+        "VALID",
+    )
+
+
+def _batch_norm(
+    x: jax.Array, p: dict, s: dict, train: bool
+) -> Tuple[jax.Array, dict]:
+    if train:
+        # Statistics over batch and spatial dims, in float32.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        new_s = {
+            "mean": BN_MOMENTUM * s["mean"] + (1.0 - BN_MOMENTUM) * mean,
+            "var": BN_MOMENTUM * s["var"] + (1.0 - BN_MOMENTUM) * var,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    inv = lax.rsqrt(var + BN_EPS) * p["scale"]
+    y = (x.astype(jnp.float32) - mean) * inv + p["bias"]
+    return y.astype(x.dtype), new_s
+
+
+def apply(
+    params: dict,
+    batch_stats: dict,
+    images: jax.Array,
+    train: bool = False,
+    compute_dtype=jnp.float32,
+) -> Tuple[jax.Array, dict]:
+    """images (B, H=32, W, 1) float32 in [0, 255] -> ((B, L, 512), new_stats)."""
+    x = ((images - 128.0) / 128.0).astype(compute_dtype)
+    new_stats = dict(batch_stats)
+    for idx, (name, _in_c, _out_c, _kh, _kw, pad, bn) in enumerate(_CONV_DEFS):
+        w = params[name]["w"].astype(compute_dtype)
+        x = lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(1, 1),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=(
+                lax.Precision.HIGHEST
+                if compute_dtype == jnp.float32
+                else lax.Precision.DEFAULT
+            ),
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)
+        x = x + params[name]["b"].astype(compute_dtype)
+        if bn:
+            x, new_stats[name + "_bn"] = _batch_norm(
+                x, params[name + "_bn"], batch_stats[name + "_bn"], train
+            )
+        x = jnp.maximum(x, 0)
+        if idx in _POOL_AFTER:
+            x = _max_pool(x, _POOL_AFTER[idx])
+    # x: (B, 1, L, 512) -> (B, L, 512)
+    features = jnp.squeeze(x, axis=1)
+    return features, new_stats
+
+
+def num_params() -> int:
+    n = 0
+    for _name, in_c, out_c, kh, kw, _pad, bn in _CONV_DEFS:
+        n += kh * kw * in_c * out_c + out_c
+        if bn:
+            n += 2 * out_c
+    return n

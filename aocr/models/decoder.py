@@ -1,0 +1,216 @@
+"""Input-feeding attention LSTM decoder.
+
+Parity with the reference decoder cell (`/root/reference/src/model/LSTM.lua:18-162`):
+- token embedding (LookupTable) of size E
+- optional input feeding: layer-1 input is [emb ; h_tilde_prev]
+  (src/model/LSTM.lua:61-65)
+- stacked LSTM layers with fused 4H gates, dropout on inputs of layers > 1
+- Luong "general" attention on the top hidden state:
+  score_l = context_l . (W_a h_top), alpha = softmax(score),
+  ctx = sum_l alpha_l context_l, h_tilde = tanh(W_c [ctx ; h_top])
+  with bias-free projections (src/model/LSTM.lua:124-162, nn.LinearNoBias)
+- dropout on h_tilde after attention (src/model/LSTM.lua:117)
+
+Decoder state init (src/model/model.lua:539-552): layer 1 (c, h) from the
+concatenated encoder final states, layers >= 2 zero, input-feed vector zero.
+
+TPU-native: teacher-forced decoding is one `lax.scan` whose embedding input
+projection is hoisted into a single MXU matmul over all timesteps; the scan
+body contains only hidden-size matmuls and fused elementwise math.  Single-step
+`step()` is shared by the on-device greedy/beam decode loops.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from aocr.ops import lstm
+from aocr.ops.mm import einsum, matmul
+
+
+class DecoderState(NamedTuple):
+    attn: jax.Array  # (B, H) h_tilde from previous step (input feeding)
+    cs: Tuple[jax.Array, ...]  # per-layer cell states (B, H)
+    hs: Tuple[jax.Array, ...]  # per-layer hidden states (B, H)
+
+
+def init_params(
+    rng: jax.Array,
+    vocab_size: int,
+    embedding_size: int,
+    num_hidden: int,
+    num_layers: int,
+    input_feed: bool,
+) -> dict:
+    ks = jax.random.split(rng, num_layers + 3)
+    # Torch LookupTable default init: normal(0, 1).
+    embedding = jax.random.normal(ks[0], (vocab_size, embedding_size), jnp.float32)
+    layers = []
+    for i in range(num_layers):
+        in_sz = (embedding_size + (num_hidden if input_feed else 0)) if i == 0 else num_hidden
+        layers.append(lstm.init_lstm_layer(ks[i + 1], in_sz, num_hidden))
+    ba = 1.0 / math.sqrt(num_hidden)
+    bc = 1.0 / math.sqrt(2 * num_hidden)
+    return {
+        "embedding": embedding,
+        "layers": layers,
+        # Bias-free attention projections (reference nn.LinearNoBias,
+        # src/utils/model_utils.lua:57-117: uniform(+-1/sqrt(fan_in))).
+        "w_a": jax.random.uniform(ks[-2], (num_hidden, num_hidden), jnp.float32, -ba, ba),
+        "w_c": jax.random.uniform(ks[-1], (2 * num_hidden, num_hidden), jnp.float32, -bc, bc),
+    }
+
+
+def init_state(
+    dec_init: Tuple[jax.Array, jax.Array], num_layers: int
+) -> DecoderState:
+    """Layer-1 state from encoder finals; other layers and input feed zero."""
+    c0, h0 = dec_init
+    B, H = c0.shape
+    zeros = jnp.zeros((B, H), c0.dtype)
+    cs = (c0,) + tuple(zeros for _ in range(num_layers - 1))
+    hs = (h0,) + tuple(zeros for _ in range(num_layers - 1))
+    return DecoderState(attn=zeros, cs=cs, hs=hs)
+
+
+def attention(
+    params: dict,
+    h_top: jax.Array,
+    context: jax.Array,
+    ctx_mask: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Luong-general attention.  Returns (h_tilde (B,H), alpha (B,L))."""
+    cd = compute_dtype
+    query = matmul(h_top.astype(cd), params["w_a"].astype(cd))  # (B, H)
+    scores = einsum("blh,bh->bl", context.astype(cd), query.astype(cd))
+    if ctx_mask is not None:
+        scores = jnp.where(ctx_mask, scores, -1e30)
+    alpha = jax.nn.softmax(scores, axis=-1)
+    ctx = einsum("bl,blh->bh", alpha.astype(cd), context.astype(cd))
+    cat = jnp.concatenate([ctx, h_top], axis=-1)
+    h_tilde = jnp.tanh(matmul(cat.astype(cd), params["w_c"].astype(cd)))
+    return h_tilde, alpha
+
+
+def _dropout(x, rate, rng, train):
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def step(
+    params: dict,
+    state: DecoderState,
+    tokens: jax.Array,
+    context: jax.Array,
+    *,
+    input_feed: bool,
+    ctx_mask: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[DecoderState, jax.Array]:
+    """One decode step from token ids.  Returns (new_state, h_tilde (B,H))."""
+    emb = params["embedding"][tokens]  # (B, E)
+    x = jnp.concatenate([emb, state.attn], axis=-1) if input_feed else emb
+    cs, hs = [], []
+    for i, layer in enumerate(params["layers"]):
+        if i > 0:
+            if dropout > 0.0 and train:
+                dropout_rng, k = jax.random.split(dropout_rng)
+                x = _dropout(x, dropout, k, train)
+        c, h = lstm.lstm_step(layer, x, state.cs[i], state.hs[i],
+                              compute_dtype=compute_dtype)
+        cs.append(c)
+        hs.append(h)
+        x = h
+    h_tilde, _alpha = attention(params, hs[-1], context, ctx_mask, compute_dtype)
+    if dropout > 0.0 and train:
+        dropout_rng, k = jax.random.split(dropout_rng)
+        h_tilde = _dropout(h_tilde, dropout, k, train)
+    new_state = DecoderState(attn=h_tilde, cs=tuple(cs), hs=tuple(hs))
+    return new_state, h_tilde
+
+
+def teacher_forced(
+    params: dict,
+    dec_init: Tuple[jax.Array, jax.Array],
+    targets: jax.Array,
+    context: jax.Array,
+    *,
+    input_feed: bool,
+    ctx_mask: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Teacher-forced decode over targets (B, T) -> h_tildes (B, T, H).
+
+    Replaces the reference's per-timestep clone loop
+    (src/model/model.lua:553-568) with one `lax.scan`; the embedding part of
+    the layer-1 input projection is precomputed for all T steps in a single
+    matmul (the input-feed part stays in the recurrence since h_tilde_{t-1}
+    feeds step t).
+    """
+    B, T = targets.shape
+    num_layers = len(params["layers"])
+    state0 = init_state(dec_init, num_layers)
+    cd = compute_dtype
+    emb = params["embedding"][targets]  # (B, T, E)
+    E = emb.shape[-1]
+    layer0 = params["layers"][0]
+    # Hoist emb @ Wi[:E] for all timesteps.
+    wi_emb = layer0["wi"][:E]
+    emb_proj = (
+        matmul(emb.astype(cd), wi_emb.astype(cd))
+        + layer0["bi"] + layer0["bh"]
+    )  # (B, T, 4H)
+    emb_proj = jnp.swapaxes(emb_proj, 0, 1)  # (T, B, 4H)
+    wi_feed = layer0["wi"][E:].astype(cd) if input_feed else None
+
+    if dropout > 0.0 and train and dropout_rng is None:
+        raise ValueError("dropout>0 in train mode requires dropout_rng")
+
+    def body(carry, inputs):
+        state, rng = carry
+        xp = inputs
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+        else:
+            sub = None
+        gates = xp
+        if input_feed:
+            gates = gates + matmul(state.attn.astype(cd), wi_feed)
+        gates = gates + matmul(state.hs[0].astype(cd), layer0["wh"].astype(cd))
+        c0n, h0n = lstm.gate_math(gates, state.cs[0])
+        cs, hs = [c0n], [h0n]
+        x = h0n
+        for i in range(1, num_layers):
+            if dropout > 0.0 and train:
+                sub, k = jax.random.split(sub)
+                x = _dropout(x, dropout, k, train)
+            c, h = lstm.lstm_step(params["layers"][i], x, state.cs[i],
+                                  state.hs[i], compute_dtype=cd)
+            cs.append(c)
+            hs.append(h)
+            x = h
+        h_tilde, _ = attention(params, hs[-1], context, ctx_mask, cd)
+        if dropout > 0.0 and train:
+            sub, k = jax.random.split(sub)
+            h_tilde = _dropout(h_tilde, dropout, k, train)
+        new_state = DecoderState(attn=h_tilde, cs=tuple(cs), hs=tuple(hs))
+        return (new_state, rng), h_tilde
+
+    rng0 = dropout_rng if (dropout > 0.0 and train) else None
+    (_, _), h_tildes = lax.scan(body, (state0, rng0), emb_proj)
+    return jnp.swapaxes(h_tildes, 0, 1)  # (B, T, H)
