@@ -1,0 +1,190 @@
+"""Data pipeline: manifest reader, image decode/resize, width-bucketed batching.
+
+Behavioral parity with the reference DataGen
+(`/root/reference/src/data/data_gen.lua:15-154`):
+
+- manifest: one `image_path label` pair per whitespace-split line; paths are
+  relative to `data_base_dir` (absolute paths work with base dir "/")
+- lazy per-image decode with skip-on-error (pcall guard, data_gen.lua:67,84)
+- RGB -> luminance * 255 (data_gen.lua:71), aspect ratio clamped to
+  [min_aspect_ratio, max_aspect_ratio] (:74-76), then — reproducing the
+  reference's hard-coded override (:77-78) — width forced to `image_width`
+  (default 100) unless cfg.keep_aspect_ratio, and bilinear-resized to
+  (32, W)
+- decoded images and encoded labels are cached on first touch (:80-81)
+- width-bucketed batching: a batch is emitted when a width bucket reaches
+  batch_size (:92-121); after the cursor sweeps the manifest, remaining
+  partial buckets are flushed one per call (:125-153); when everything is
+  flushed the cursor resets and `next_batch` returns None (epoch end)
+- batch payload {images, targets, targets_eval, num_nonzeros, img_paths}
+  with targets=[GO, c1..cn] / targets_eval=[c1..cn, EOS], PAD-filled,
+  num_nonzeros = sum(len+1) (:106-117)
+
+TPU-native notes: bucketing by exact width keeps every batch a static shape
+(one jit cache entry per width) — the reference relies on the same property
+for its per-width clone reuse.  Decode runs host-side (PIL); resize +
+grayscale conversion are vectorized numpy (bilinear, matching
+torch.image.scale's default).  `.npy` arrays (H, W) or (H, W, C) uint8/float
+are accepted alongside standard image formats for synthetic datasets.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, Iterator, List, NamedTuple, Optional
+
+import numpy as np
+
+from aocr import vocab
+from aocr.config import Config
+
+
+class Batch(NamedTuple):
+    images: np.ndarray  # (B, 32, W, 1) float32 in [0, 255]
+    targets: np.ndarray  # (B, T) int32 [GO, c1..cn] PAD-filled
+    targets_eval: np.ndarray  # (B, T) int32 [c1..cn, EOS] PAD-filled
+    num_nonzeros: int
+    img_paths: List[str]
+
+
+def _rgb_to_luminance(img: np.ndarray) -> np.ndarray:
+    """ITU-R 601 luma — the same weights torch's image.rgb2y uses."""
+    if img.ndim == 2:
+        return img
+    if img.shape[-1] == 1:
+        return img[..., 0]
+    return (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    )
+
+
+def _bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resample of a (H, W) array (align_corners=False
+    convention, matching torch image.scale / jax.image.resize 'linear')."""
+    in_h, in_w = img.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return img.astype(np.float32)
+    ys = (np.arange(out_h) + 0.5) * (in_h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (in_w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys), 0, in_h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, in_w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    im = img.astype(np.float32)
+    top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
+    bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def load_and_preprocess(
+    path: str, cfg: Config
+) -> Optional[np.ndarray]:
+    """Decode one image -> (32, W) float32 luminance in [0, 255], or None on
+    any decode failure (the reference's pcall-skip behavior)."""
+    try:
+        if path.endswith(".npy"):
+            arr = np.load(path)
+            if arr.ndim == 3:
+                arr = _rgb_to_luminance(arr)
+            img = arr.astype(np.float32)
+            if img.max() <= 1.0 + 1e-6:
+                img = img * 255.0
+        else:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
+            img = _rgb_to_luminance(arr) * 255.0
+    except Exception:
+        return None
+    h, w = img.shape
+    if h == 0 or w == 0:
+        return None
+    aspect = np.clip(w / h, cfg.min_aspect_ratio, cfg.max_aspect_ratio)
+    img_w = int(np.ceil(aspect * cfg.image_height))
+    if not cfg.keep_aspect_ratio:
+        img_w = cfg.image_width  # reference hard-codes 100 (data_gen.lua:78)
+    return _bilinear_resize(img, cfg.image_height, img_w)
+
+
+class DataGen:
+    """Width-bucketed batch generator over a `path label` manifest."""
+
+    def __init__(self, data_base_dir: str, data_path: str, cfg: Config,
+                 rng: Optional[random.Random] = None):
+        self.cfg = cfg
+        self.data_base_dir = data_base_dir
+        self.rng = rng or random.Random(cfg.seed)
+        manifest = data_path
+        if not os.path.exists(manifest):
+            manifest = os.path.join(data_base_dir, data_path)
+        if not os.path.exists(manifest):
+            raise FileNotFoundError(f"Data file {data_path} not found")
+        self.lines: List[List] = []
+        with open(manifest) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    # [path, label, cached_img, cached_target_ids]
+                    self.lines.append([parts[0], parts[1], None, None])
+        self.cursor = 0
+        self.buffer: Dict[int, List] = {}
+
+    def size(self) -> int:
+        return len(self.lines)
+
+    def shuffle(self) -> None:
+        self.rng.shuffle(self.lines)
+
+    def _emit(self, img_w: int) -> Batch:
+        entries = self.buffer.pop(img_w)
+        B = len(entries)
+        cfg = self.cfg
+        images = np.empty((B, cfg.image_height, img_w, 1), np.float32)
+        labels, paths = [], []
+        for i, (img, label, path) in enumerate(entries):
+            images[i, :, :, 0] = img
+            labels.append(label)
+            paths.append(path)
+        targets, targets_eval, nnz = vocab.encode_batch(labels)
+        return Batch(images, targets, targets_eval, nnz, paths)
+
+    def next_batch(self, batch_size: int) -> Optional[Batch]:
+        while self.cursor < len(self.lines):
+            rec = self.lines[self.cursor]
+            if rec[2] is None:
+                img = load_and_preprocess(
+                    os.path.join(self.data_base_dir, rec[0]), self.cfg
+                )
+                if img is not None:
+                    try:
+                        vocab.encode(rec[1])
+                    except ValueError:
+                        img = None  # label outside vocab: skip like a bad image
+                if img is not None:
+                    rec[2] = img
+            if rec[2] is None:
+                self.cursor += 1
+                continue
+            img = rec[2]
+            img_w = img.shape[1]
+            self.cursor += 1
+            self.buffer.setdefault(img_w, []).append((img, rec[1], rec[0]))
+            if len(self.buffer[img_w]) == batch_size:
+                return self._emit(img_w)
+        # cursor exhausted: flush partial buckets one per call
+        if not self.buffer:
+            self.cursor = 0
+            return None
+        img_w = next(iter(self.buffer))
+        return self._emit(img_w)
+
+    def epoch(self, batch_size: int) -> Iterator[Batch]:
+        while True:
+            b = self.next_batch(batch_size)
+            if b is None:
+                return
+            yield b

@@ -215,28 +215,3 @@ def beam_decode(
     _, labels_rev = lax.scan(back, best, (tok_hist, par_hist), reverse=True)
     labels = jnp.swapaxes(labels_rev, 0, 1)  # (B, T)
     return labels, best_scores
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def gold_forward(
-    params: dict,
-    batch_stats: dict,
-    images: jax.Array,
-    targets: jax.Array,
-    targets_eval: jax.Array,
-    cfg: Config,
-) -> Tuple[jax.Array, jax.Array]:
-    """Teacher-forced eval pass: (token-sum NLL, per-sample gold log-prob).
-
-    Mirrors the reference gold-score pass (model.lua:589-627): loss over
-    non-PAD tokens plus each sample's summed gold-token log-prob.
-    """
-    nll, _, log_probs = model.forward_loss(
-        params, batch_stats, images, targets, targets_eval, cfg, train=False
-    )
-    picked = jnp.take_along_axis(
-        log_probs, targets_eval[..., None], axis=-1
-    ).squeeze(-1)
-    mask = (targets_eval != vocab.PAD).astype(log_probs.dtype)
-    gold_scores = jnp.sum(picked * mask, axis=1)
-    return nll, gold_scores

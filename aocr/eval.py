@@ -1,0 +1,153 @@
+"""Evaluation: exact-match word accuracy + edit-distance WER/CER.
+
+The reference's `evalWordErrRate` (`/root/reference/src/utils/utils.lua:136-175`)
+truncates predictions and gold at the first EOS, computes Levenshtein
+distance, and counts an error iff distance != 0 — i.e. exact-match accuracy.
+A true normalized-edit-distance WER is commented out there and listed as an
+open TODO (`README.md:11`); this module closes that TODO with a batched
+*on-device* wavefront Levenshtein (anti-diagonal DP — 2T+1 sequential vector
+steps instead of T^2 scalar steps, so it runs as one jitted XLA program).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from aocr import vocab
+
+
+# ---------------------------------------------------------------- host-side
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic DP edit distance (host reference oracle)."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def eval_word_err_rate(
+    labels: np.ndarray, target_labels: np.ndarray
+) -> Tuple[int, List[str], List[str]]:
+    """Reference-parity eval: (num word errors, pred strings, gold strings).
+
+    An error is counted iff the EOS-truncated strings differ
+    (utils.lua:168-171).
+    """
+    preds, golds = [], []
+    errors = 0
+    for p_row, g_row in zip(np.asarray(labels), np.asarray(target_labels)):
+        p = vocab.decode(p_row)
+        g = vocab.decode(g_row)
+        preds.append(p)
+        golds.append(g)
+        if p != g:
+            errors += 1
+    return errors, preds, golds
+
+
+# -------------------------------------------------------------- device-side
+
+def _eos_lengths(seqs: jax.Array) -> jax.Array:
+    """Effective length of each row: position of first EOS (or full width).
+
+    GO/PAD before the EOS are counted by the reference's decode loop only if
+    they precede EOS; decoded transcripts never contain them in practice.
+    """
+    T = seqs.shape[1]
+    is_eos = seqs == vocab.EOS
+    any_eos = jnp.any(is_eos, axis=1)
+    first = jnp.argmax(is_eos, axis=1)
+    return jnp.where(any_eos, first, T)
+
+
+@jax.jit
+def exact_match(pred: jax.Array, gold: jax.Array) -> jax.Array:
+    """Per-sample exact match of EOS-truncated sequences.  (B,) bool."""
+    T = max(pred.shape[1], gold.shape[1])
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, T - x.shape[1])),
+                            constant_values=vocab.PAD)
+    p, g = pad(pred), pad(gold)
+    lp, lg = _eos_lengths(p), _eos_lengths(g)
+    pos = jnp.arange(T)[None, :]
+    in_p = pos < lp[:, None]
+    same = jnp.where(in_p, p == g, True)
+    return (lp == lg) & jnp.all(same, axis=1)
+
+
+@jax.jit
+def edit_distance(pred: jax.Array, gold: jax.Array) -> jax.Array:
+    """Batched Levenshtein distance of EOS-truncated rows.  (B,) int32.
+
+    Wavefront DP: diagonal k holds D[i, k-i]; each of the 2T+1 diagonals is
+    one vectorized update over (B, T+1), giving an O(T) sequential-depth
+    scan — the TPU-friendly shape of the O(T^2) recurrence.
+    """
+    B = pred.shape[0]
+    T = max(pred.shape[1], gold.shape[1])
+    pad = lambda x: jnp.pad(x, ((0, 0), (0, T - x.shape[1])),
+                            constant_values=vocab.PAD)
+    p, g = pad(pred), pad(gold)
+    lp, lg = _eos_lengths(p), _eos_lengths(g)
+
+    n = T + 1
+    idx_i = jnp.arange(n)  # i along a diagonal
+    BIG = jnp.int32(10**6)
+
+    # cost[i, j] = (pred[i-1] != gold[j-1]) for 1-based i, j
+    cost = (p[:, :, None] != g[:, None, :]).astype(jnp.int32)  # (B, T, T)
+
+    def diag_body(carry, k):
+        d_prev2, d_prev1 = carry  # diagonals k-2 and k-1, each (B, n)
+        j = k - idx_i  # (n,)
+        valid = (j >= 0) & (j <= T)
+        # D[i-1, j]   -> diag k-1 at position i-1
+        up = jnp.where(idx_i >= 1, d_prev1[:, jnp.maximum(idx_i - 1, 0)], BIG)
+        # D[i, j-1]   -> diag k-1 at position i
+        left = jnp.where(j >= 1, d_prev1, BIG)
+        # D[i-1, j-1] -> diag k-2 at position i-1
+        diag = jnp.where((idx_i >= 1) & (j >= 1),
+                         d_prev2[:, jnp.maximum(idx_i - 1, 0)], BIG)
+        ii = jnp.maximum(idx_i - 1, 0)
+        jj = jnp.maximum(j - 1, 0)
+        c = cost[:, ii, jj]  # (B, n) via gather
+        val = jnp.minimum(jnp.minimum(up + 1, left + 1), diag + c)
+        # Base cases: D[0, j] = j, D[i, 0] = i.
+        val = jnp.where(idx_i == 0, jnp.broadcast_to(j, (B, n)).astype(jnp.int32), val)
+        val = jnp.where(j == 0, jnp.broadcast_to(idx_i, (B, n)).astype(jnp.int32), val)
+        val = jnp.where(valid, val, BIG).astype(jnp.int32)
+        return (d_prev1, val), val
+
+    init = (jnp.full((B, n), BIG, jnp.int32), jnp.full((B, n), BIG, jnp.int32))
+    _, diags = lax.scan(diag_body, init, jnp.arange(2 * T + 1))
+    # D[lp, lg] lives on diagonal lp+lg at position lp.
+    return diags[lp + lg, jnp.arange(B), lp]
+
+
+@jax.jit
+def char_error_rate(pred: jax.Array, gold: jax.Array) -> jax.Array:
+    """Normalized edit distance min(1, dist/len(gold)) per sample — the
+    reference's commented-out WER variant (utils.lua:172), on-device."""
+    dist = edit_distance(pred, gold)
+    T = gold.shape[1]
+    glen = _eos_lengths(
+        jnp.pad(gold, ((0, 0), (0, 0)), constant_values=vocab.PAD)
+    )
+    glen = jnp.maximum(glen, 1)
+    return jnp.minimum(1.0, dist.astype(jnp.float32) / glen.astype(jnp.float32))

@@ -1,0 +1,299 @@
+"""CLI driver and train/eval loops.
+
+Mirrors the reference driver (`/root/reference/src/train.lua:68-296`):
+
+- `-phase train`: epoch loop over shuffled width-bucketed batches; per-step
+  running perplexity log exp(loss/num_nonzeros) (train.lua:103); every
+  `steps_per_checkpoint` steps, save a step checkpoint + atomically publish
+  `final-model`, run a validation sweep (beam decode + teacher-forced loss),
+  and decay the LR by `lr_decay` (floored at learning_rate_min) when val
+  loss increased (train.lua:116-171); epoch-end save + val sweep
+  (train.lua:176-214)
+- `-phase test`: single pass of beam decoding (beam_size, optional trie
+  dictionary), exact-match accuracy, gold-score teacher-forced pass, and
+  optional `results.txt` visualization TSV (model.lua:573-633)
+- `-load_model`: resume from `<model_dir>/final-model`, restoring
+  global_step and the learning rate (clamped to learning_rate_min,
+  train.lua:87-89); CLI may override max_encoder_l / max_decoder_l /
+  batch_size (model.lua:75-77)
+
+Model-structure hyperparameters travel inside the checkpoint and take
+precedence over CLI flags on load, exactly like the reference's saved
+`config` table (model.lua:63-77).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from dataclasses import asdict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aocr import checkpoint, data, decode, eval as eval_lib, optim, train_step, vocab
+from aocr.config import Config, parse_args
+from aocr.models import model
+from aocr.utils import trie as trie_lib
+from aocr.utils.logging_util import Logger
+
+# Structure fields restored from a checkpoint on load (reference
+# model.lua:63-77); everything else follows the CLI.
+_STRUCT_FIELDS = (
+    "dropout", "encoder_num_hidden", "encoder_num_layers",
+    "decoder_num_layers", "target_vocab_size", "target_embedding_size",
+    "input_feed", "cnn_feature_size",
+)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, log: Logger):
+        self.log = log
+        ckpt = None
+        if cfg.load_model:
+            ckpt = checkpoint.try_load_final(cfg.model_dir)
+            if ckpt is None:
+                log.info("No final-model found; creating fresh parameters")
+        if ckpt is not None:
+            log.info(f"Loading model from {checkpoint.final_path(cfg.model_dir)}")
+            saved = ckpt["config"]
+            cfg = cfg.replace(**{k: saved[k] for k in _STRUCT_FIELDS if k in saved})
+            self.params = jax.tree.map(jnp.asarray, ckpt["params"])
+            self.batch_stats = jax.tree.map(jnp.asarray, ckpt["batch_stats"])
+            self.global_step = ckpt["global_step"]
+            self.optim_meta = dict(ckpt["optim_state"])
+        else:
+            log.info("Creating model with fresh parameters")
+            ms = model.init(jax.random.PRNGKey(cfg.seed), cfg)
+            self.params, self.batch_stats = ms.params, ms.batch_stats
+            self.global_step = 0
+            self.optim_meta = {"learning_rate": cfg.learning_rate,
+                               "eval_counter": 0}
+        self.cfg = cfg.validate()
+        self.opt_state = optim.SGDState(
+            eval_counter=jnp.asarray(self.optim_meta.get("eval_counter", 0),
+                                     jnp.int32),
+            momentum_buf=None,
+        )
+        self._train_step = train_step.make_train_step(self.cfg)
+        self._rng = jax.random.PRNGKey(self.cfg.seed)
+        for k, v in sorted(asdict(self.cfg).items()):
+            log.info(f"{k}: {v}")
+        log.info(f"Number of parameters: {model.num_params(self.params)}")
+        self.trie_table = None
+        if self.cfg.use_dictionary:
+            log.info(f"Load dictionary from {self.cfg.dictionary_path}")
+            self.trie_table = jnp.asarray(trie_lib.load_dictionary(
+                self.cfg.dictionary_path, self.cfg.allow_digit_prefix
+            ))
+        self.visualize_file = None
+
+    # ------------------------------------------------------------ steps
+
+    def step_train(self, batch: data.Batch, lr: float) -> float:
+        """One SGD step; returns the token-sum NLL (reference step loss)."""
+        self._rng, sub = jax.random.split(self._rng)
+        out = self._train_step(
+            self.params,
+            self.batch_stats,
+            self.opt_state,
+            jnp.asarray(batch.images),
+            jnp.asarray(batch.targets),
+            jnp.asarray(batch.targets_eval),
+            jnp.asarray(lr, jnp.float32),
+            sub,
+        )
+        self.params = out.params
+        self.batch_stats = out.batch_stats
+        self.opt_state = out.opt_state
+        return float(out.loss_sum)
+
+    def step_eval(self, batch: data.Batch):
+        """Beam decode + gold pass.  Returns (loss_sum, accuracy)."""
+        cfg = self.cfg
+        B, T = batch.targets.shape[0], cfg.max_decoder_l
+        # Reference pads eval targets to max_decoder_l and always decodes
+        # max_decoder_l steps (model.lua:266-274).
+        pad = lambda a: np.pad(a, ((0, 0), (0, T - a.shape[1])),
+                               constant_values=vocab.PAD)
+        targets = pad(batch.targets)
+        targets_eval = pad(batch.targets_eval)
+        images = jnp.asarray(batch.images)
+        labels, scores = decode.beam_decode(
+            self.params, self.batch_stats, images, cfg,
+            beam_size=cfg.beam_size, max_len=T,
+            trie_table=self.trie_table,
+            use_trie=self.trie_table is not None,
+        )
+        word_err, preds, golds = eval_lib.eval_word_err_rate(
+            np.asarray(labels), targets_eval
+        )
+        accuracy = B - word_err
+        nll, gold_scores = train_step.eval_loss_step(
+            self.params, self.batch_stats, images,
+            jnp.asarray(targets), jnp.asarray(targets_eval), cfg,
+        )
+        if self.visualize_file is not None:
+            sc = np.asarray(scores)
+            gs = np.asarray(gold_scores)
+            for i, path in enumerate(batch.img_paths):
+                self.visualize_file.write(
+                    f"{path}\t{golds[i]}\t{preds[i]}\t{sc[i]:f}\t{gs[i]:f}\n"
+                )
+            self.visualize_file.flush()
+        return float(nll), accuracy
+
+    # ------------------------------------------------------- validation
+
+    def validate(self, val_data: data.DataGen) -> tuple:
+        cfg = self.cfg
+        self.log.info(
+            f"Evaluating model on {cfg.num_batches_val} batches of validation data"
+        )
+        val_loss = val_nnz = val_acc = val_samples = 0
+        b = 1
+        while b <= cfg.num_batches_val:
+            if b % 100 == 0:
+                self.log.info(str(b))
+            batch = val_data.next_batch(cfg.batch_size)
+            if batch is None:
+                val_data.shuffle()
+                if math.isinf(cfg.num_batches_val):
+                    break
+                continue
+            loss, acc = self.step_eval(batch)
+            val_loss += loss
+            val_nnz += batch.num_nonzeros
+            val_acc += acc
+            val_samples += batch.images.shape[0]
+            b += 1
+        return val_loss, val_nnz, val_acc, val_samples
+
+    def _save(self) -> None:
+        self.optim_meta["eval_counter"] = int(self.opt_state.eval_counter)
+        path = checkpoint.save(
+            self.cfg.model_dir,
+            self.params,
+            self.batch_stats,
+            asdict(self.cfg),
+            self.global_step,
+            self.optim_meta,
+        )
+        self.log.info(f"Model saved to {path}")
+
+    # ------------------------------------------------------------ loops
+
+    def run_train(self, train_data: data.DataGen, val_data: data.DataGen):
+        cfg, log = self.cfg, self.log
+        lr = max(self.optim_meta.get("learning_rate", cfg.learning_rate),
+                 cfg.learning_rate_min)
+        self.optim_meta["learning_rate"] = lr
+        log.info(f"Lr: {lr:f}")
+        prev_val_loss: Optional[float] = None
+        loss = num_nonzeros = 0
+
+        def decay_lr(val_loss):
+            nonlocal prev_val_loss, lr
+            if (prev_val_loss is not None and val_loss > prev_val_loss
+                    and lr > cfg.learning_rate_min):
+                lr = max(lr * cfg.lr_decay, cfg.learning_rate_min)
+                self.optim_meta["learning_rate"] = lr
+                log.info(f"Decay lr, current Lr: {lr:f}")
+            prev_val_loss = val_loss
+
+        for epoch in range(1, cfg.num_epochs + 1):
+            train_data.shuffle()
+            for batch in train_data.epoch(cfg.batch_size):
+                step_loss = self.step_train(batch, lr)
+                # Running perplexity from pre-update sums (reference
+                # train.lua:103 logs before accumulating).
+                ppl = (math.exp(min(loss / num_nonzeros, 700))
+                       if num_nonzeros else float("nan"))
+                log.info(f"{ppl:f}")
+                loss += step_loss
+                num_nonzeros += batch.num_nonzeros
+                self.global_step += 1
+                if self.global_step % cfg.steps_per_checkpoint == 0:
+                    ppl = (math.exp(min(loss / num_nonzeros, 700))
+                           if num_nonzeros else float("nan"))
+                    log.info(f"Step {self.global_step} - training perplexity = {ppl:f}")
+                    log.info("Saving model")
+                    self._save()
+                    loss = num_nonzeros = 0
+                    val_loss, val_nnz, val_acc, val_n = self.validate(val_data)
+                    log.info(
+                        f"Step {self.global_step} - Val Accuracy = "
+                        f"{val_acc / max(val_n, 1):f}, loss = "
+                        f"{math.exp(min(val_loss / max(val_nnz, 1), 700)):f}"
+                    )
+                    decay_lr(val_loss)
+            self._save()
+            val_loss, val_nnz, val_acc, val_n = self.validate(val_data)
+            log.info(
+                f"Epoch: {epoch}, Step {self.global_step} - Val Accuracy = "
+                f"{val_acc / max(val_n, 1):f}, loss = "
+                f"{math.exp(min(val_loss / max(val_nnz, 1), 700)):f}"
+            )
+            decay_lr(val_loss)
+
+    def run_test(self, test_data: data.DataGen):
+        cfg, log = self.cfg, self.log
+        if cfg.visualize:
+            import os
+
+            os.makedirs(cfg.output_dir, exist_ok=True)
+            self.visualize_file = open(
+                os.path.join(cfg.output_dir, "results.txt"), "w"
+            )
+        num_samples = accuracy = 0
+        self.global_step = 0
+        for batch in test_data.epoch(cfg.batch_size):
+            _, acc = self.step_eval(batch)
+            accuracy += acc
+            num_samples += batch.images.shape[0]
+            self.global_step += 1
+            if self.global_step % cfg.steps_per_checkpoint == 0:
+                log.info(
+                    f"Number of samples {num_samples} - Accuracy = "
+                    f"{accuracy / num_samples:f}"
+                )
+        log.info(
+            f"Epoch: 1 Number of samples {num_samples} - Accuracy = "
+            f"{accuracy / max(num_samples, 1):f}"
+        )
+        if self.visualize_file is not None:
+            self.visualize_file.close()
+            self.visualize_file = None
+        return accuracy / max(num_samples, 1)
+
+
+def main(argv=None) -> None:
+    cfg = parse_args(argv)
+    log = Logger(cfg.log_path)
+    log.info("Command Line Arguments:")
+    log.info(" ".join(argv if argv is not None else sys.argv[1:]))
+    log.info("End Command Line Arguments")
+    log.info(f"JAX devices: {jax.devices()}")
+
+    log.info("Building model")
+    trainer = Trainer(cfg, log)
+    cfg = trainer.cfg
+
+    log.info(f"Data base dir {cfg.data_base_dir}")
+    log.info(f"Load training data from {cfg.data_path}")
+    train_data = data.DataGen(cfg.data_base_dir, cfg.data_path, cfg)
+    log.info(f"Training data loaded from {cfg.data_path}")
+    if cfg.phase == "train":
+        log.info(f"Load validation data from {cfg.val_data_path}")
+        val_data = data.DataGen(cfg.data_base_dir, cfg.val_data_path, cfg)
+        log.info(f"Validation data loaded from {cfg.val_data_path}")
+        trainer.run_train(train_data, val_data)
+    else:
+        trainer.run_test(train_data)
+    log.shutdown()
+
+
+if __name__ == "__main__":
+    main()

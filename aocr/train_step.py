@@ -1,0 +1,101 @@
+"""Jitted training / evaluation steps.
+
+Replaces the reference's feval + sgd_list closure dance
+(`/root/reference/src/model/model.lua:284-706`) with pure jitted functions:
+one fused forward+backward+update program per (config, batch shape).
+
+Loss scaling parity: feval divides the token-sum NLL by batch_size before
+backprop (model.lua:645-647) — so gradients (and the clip-at-5 threshold)
+are on the mean-over-batch scale — and `model:step` returns loss*batch_size
+(model.lua:701), i.e. the raw token sum.  Both behaviors are reproduced.
+
+The reference's `-prealloc` flag (buffer preallocation/sharing,
+src/utils/memory.lua) maps to XLA input-buffer donation: with prealloc the
+params/optimizer-state buffers are donated to the update step so XLA reuses
+them in place.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aocr import optim
+from aocr.config import Config
+from aocr.models import model
+
+
+class TrainOutput(NamedTuple):
+    params: dict
+    batch_stats: dict
+    opt_state: optim.SGDState
+    loss_sum: jax.Array  # token-sum NLL (reference step loss)
+    grad_norms: dict
+
+
+def _train_step(
+    params: dict,
+    batch_stats: dict,
+    opt_state: optim.SGDState,
+    images: jax.Array,
+    targets: jax.Array,
+    targets_eval: jax.Array,
+    lr: jax.Array,
+    dropout_rng: jax.Array,
+    cfg: Config,
+) -> TrainOutput:
+    batch_size = images.shape[0]
+
+    def loss_fn(p):
+        nll, new_stats, _ = model.forward_loss(
+            p, batch_stats, images, targets, targets_eval, cfg,
+            train=True, dropout_rng=dropout_rng,
+        )
+        return nll / batch_size, new_stats
+
+    (mean_loss, new_stats), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(params)
+    new_params, new_opt, norms = optim.sgd_update(params, grads, opt_state, lr)
+    return TrainOutput(
+        params=new_params,
+        batch_stats=new_stats,
+        opt_state=new_opt,
+        loss_sum=mean_loss * batch_size,
+        grad_norms=norms,
+    )
+
+
+def make_train_step(cfg: Config):
+    """Build the jitted train step; donation follows the -prealloc flag."""
+    donate = (0, 2) if cfg.prealloc else ()
+    return jax.jit(
+        partial(_train_step, cfg=cfg),
+        donate_argnums=donate,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def eval_loss_step(
+    params: dict,
+    batch_stats: dict,
+    images: jax.Array,
+    targets: jax.Array,
+    targets_eval: jax.Array,
+    cfg: Config,
+) -> Tuple[jax.Array, jax.Array]:
+    """Eval-mode teacher-forced pass: (token-sum NLL, per-sample gold score)."""
+    nll, _, log_probs = model.forward_loss(
+        params, batch_stats, images, targets, targets_eval, cfg, train=False
+    )
+    from aocr import vocab as _v
+
+    picked = jnp.take_along_axis(
+        log_probs, targets_eval[..., None], axis=-1
+    ).squeeze(-1)
+    mask = (targets_eval != _v.PAD).astype(log_probs.dtype)
+    gold_scores = jnp.sum(picked * mask, axis=1)
+    return nll, gold_scores

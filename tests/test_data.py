@@ -1,0 +1,118 @@
+import os
+
+import numpy as np
+import pytest
+
+from aocr import data, vocab
+from aocr.config import Config
+from tests import synth
+
+
+@pytest.fixture
+def cfg():
+    return Config(batch_size=4, seed=0)
+
+
+def test_load_and_preprocess_npy(tmp_path, cfg):
+    img = np.random.RandomState(0).uniform(0, 255, (32, 100)).astype(np.float32)
+    p = tmp_path / "x.npy"
+    np.save(p, img)
+    out = data.load_and_preprocess(str(p), cfg)
+    assert out.shape == (32, 100)
+    np.testing.assert_allclose(out, img, rtol=1e-5)
+
+
+def test_load_and_preprocess_resizes(tmp_path, cfg):
+    img = np.random.RandomState(0).uniform(0, 255, (64, 300)).astype(np.float32)
+    p = tmp_path / "x.npy"
+    np.save(p, img)
+    out = data.load_and_preprocess(str(p), cfg)
+    # width hard-coded to 100 (reference data_gen.lua:78)
+    assert out.shape == (32, 100)
+
+
+def test_keep_aspect_ratio(tmp_path):
+    cfg = Config(keep_aspect_ratio=True)
+    img = np.zeros((32, 64), np.float32)
+    p = tmp_path / "x.npy"
+    np.save(p, img)
+    out = data.load_and_preprocess(str(p), cfg)
+    assert out.shape == (32, 64)  # aspect 2.0 * 32 = 64
+    # clamping at max_aspect_ratio 10 -> width 320
+    img2 = np.zeros((10, 1000), np.float32)
+    p2 = tmp_path / "y.npy"
+    np.save(p2, img2)
+    out2 = data.load_and_preprocess(str(p2), cfg)
+    assert out2.shape == (32, 320)
+
+
+def test_decode_error_returns_none(tmp_path, cfg):
+    p = tmp_path / "bad.png"
+    p.write_bytes(b"not an image")
+    assert data.load_and_preprocess(str(p), cfg) is None
+
+
+def test_batching_full_and_partial(tmp_path, cfg):
+    labels = ["ab", "cde", "f", "gh", "ij", "kl", "mn", "op", "qr"]  # 9 items
+    synth.make_dataset(str(tmp_path), labels)
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg)
+    assert gen.size() == 9
+    batches = list(gen.epoch(4))
+    # 2 full batches of 4 + 1 partial flush of 1 (reference
+    # data_gen.lua:96,125-153)
+    assert [b.images.shape[0] for b in batches] == [4, 4, 1]
+    assert batches[0].images.shape[1:] == (32, 100, 1)
+    # epoch reset: next call starts a fresh sweep
+    batches2 = list(gen.epoch(4))
+    assert [b.images.shape[0] for b in batches2] == [4, 4, 1]
+
+
+def test_batch_payload(tmp_path, cfg):
+    synth.make_dataset(str(tmp_path), ["ab", "wxyz"])
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg)
+    b = gen.next_batch(2)
+    assert b.targets.shape == b.targets_eval.shape == (2, 5)
+    assert b.targets[0, 0] == vocab.GO
+    assert b.num_nonzeros == 8  # (2+1) + (4+1)
+    assert len(b.img_paths) == 2
+    # images carry the rendered content
+    assert b.images.dtype == np.float32
+    assert 0 <= b.images.min() and b.images.max() <= 255
+
+
+def test_corrupt_image_skipped(tmp_path, cfg):
+    synth.make_dataset(str(tmp_path), ["ab", "cd"])
+    with open(os.path.join(str(tmp_path), "images/bad.npy"), "wb") as f:
+        f.write(b"junk")
+    with open(os.path.join(str(tmp_path), "train.txt"), "a") as f:
+        f.write("images/bad.npy zz\n")
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg)
+    batches = list(gen.epoch(4))
+    assert sum(b.images.shape[0] for b in batches) == 2  # bad entry skipped
+
+
+def test_width_bucketing(tmp_path):
+    cfg = Config(keep_aspect_ratio=True, batch_size=2, seed=0)
+    # two widths: 64 (aspect 2) and 96 (aspect 3)
+    for i, (h, w, label) in enumerate(
+        [(32, 64, "aa"), (32, 96, "bb"), (32, 64, "cc"), (32, 96, "dd")]
+    ):
+        np.save(os.path.join(str(tmp_path), f"{i}.npy"), np.zeros((h, w), np.float32))
+    with open(os.path.join(str(tmp_path), "train.txt"), "w") as f:
+        for i, label in enumerate(["aa", "bb", "cc", "dd"]):
+            f.write(f"{i}.npy {label}\n")
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg)
+    batches = list(gen.epoch(2))
+    widths = sorted(b.images.shape[2] for b in batches)
+    assert widths == [64, 96]
+    for b in batches:
+        assert b.images.shape[0] == 2  # same-width items batched together
+
+
+def test_shuffle_deterministic(tmp_path, cfg):
+    synth.make_dataset(str(tmp_path), [f"w{i}" for i in range(10)])
+    g1 = data.DataGen(str(tmp_path), "train.txt", cfg)
+    g2 = data.DataGen(str(tmp_path), "train.txt", cfg)
+    g1.shuffle()
+    g2.shuffle()
+    assert [l[0] for l in g1.lines] == [l[0] for l in g2.lines]

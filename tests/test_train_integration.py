@@ -1,0 +1,180 @@
+"""End-to-end integration: overfit a tiny synthetic set, decode parity
+between the on-device beam scan and a host-side reference loop, checkpoint
+round-trip (reference test strategy per SURVEY.md section 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aocr import checkpoint, decode, eval as eval_lib, optim, train_step, vocab
+from aocr.config import Config
+from aocr.models import decoder, head, model
+from tests import synth
+
+CFG = Config(
+    batch_size=4, input_feed=True, encoder_num_hidden=32,
+    target_embedding_size=8, max_decoder_l=8, image_width=32,
+    learning_rate=0.1,
+).validate()
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """Train the tiny model to 100% exact match on 4 words; share across
+    tests (compile cost dominates)."""
+    labels = ["ab", "cd", "e1", "fg"]
+    imgs = np.stack([synth.render_word(l, 32, 32) for l in labels])[..., None]
+    targets, targets_eval, _ = vocab.encode_batch(labels)
+    ms = model.init(jax.random.PRNGKey(0), CFG)
+    params, stats = ms.params, ms.batch_stats
+    opt = optim.sgd_init(params)
+    step = train_step.make_train_step(CFG)
+    im = jnp.asarray(imgs)
+    tg, te = jnp.asarray(targets), jnp.asarray(targets_eval)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(200):
+        out = step(params, stats, opt, im, tg, te, jnp.float32(0.1), rng)
+        params, stats, opt = out.params, out.batch_stats, out.opt_state
+        losses.append(float(out.loss_sum))
+        if (i + 1) % 25 == 0:
+            pred, _ = decode.beam_decode(params, stats, im, CFG,
+                                         beam_size=1, max_len=8)
+            if np.asarray(eval_lib.exact_match(
+                    np.asarray(pred), np.asarray(targets_eval))).all():
+                break
+    return dict(params=params, stats=stats, images=im,
+                labels=labels, targets_eval=targets_eval, losses=losses)
+
+
+def test_overfit_reaches_exact_match(trained):
+    pred, _ = decode.beam_decode(trained["params"], trained["stats"],
+                                 trained["images"], CFG, beam_size=1, max_len=8)
+    decoded = [vocab.decode(r) for r in np.asarray(pred)]
+    assert decoded == trained["labels"]
+    assert trained["losses"][-1] < trained["losses"][0] * 0.2
+
+
+def test_loss_monotone_trend(trained):
+    losses = trained["losses"]
+    assert losses[-1] < 5.0  # near-zero NLL after overfit
+
+
+def _reference_beam(params, stats, images, cfg, K, T):
+    """Host-side beam search using decoder.step directly — a slow, simple
+    oracle for the on-device scan (same freeze/backtrack semantics)."""
+    context, dec_init, _ = model.encode(params, stats, images, cfg, train=False)
+    B = context.shape[0]
+    V = cfg.target_vocab_size
+    state = decoder.init_state(dec_init, cfg.decoder_num_layers)
+    go = jnp.full((B,), vocab.GO, jnp.int32)
+    state, h = decoder.step(params["decoder"], state, go, context,
+                            input_feed=cfg.input_feed)
+    logp = np.asarray(head.apply(params["projector"], h))
+    scores = np.sort(logp, axis=1)[:, ::-1][:, :K].copy()
+    tokens = np.argsort(-logp, axis=1)[:, :K].copy()
+    state = jax.tree.map(lambda x: jnp.repeat(x, K, axis=0), state)
+    bctx = jnp.repeat(context, K, axis=0)
+    tok_hist, par_hist = [tokens], [np.zeros((B, K), np.int64)]
+    prev = tokens.copy()
+    for _ in range(T - 1):
+        state2, h = decoder.step(params["decoder"], state,
+                                 jnp.asarray(prev.reshape(-1)), bctx,
+                                 input_feed=cfg.input_feed)
+        lp = np.array(head.apply(params["projector"], h)).reshape(B, K, V)
+        frozen = (prev == vocab.PAD) | (prev == vocab.EOS)
+        lp[:, :, vocab.PAD] = np.where(frozen, 0.0, lp[:, :, vocab.PAD])
+        total = (scores[:, :, None] + lp).reshape(B, K * V)
+        idx = np.argsort(-total, axis=1)[:, :K]
+        scores = np.take_along_axis(total, idx, axis=1)
+        parents = idx // V
+        prev = (idx % V).astype(np.int64)
+        rows = (np.arange(B)[:, None] * K + parents).reshape(-1)
+        state = jax.tree.map(lambda x: x[jnp.asarray(rows)], state2)
+        tok_hist.append(prev.copy())
+        par_hist.append(parents.copy())
+    # backtrack
+    best = np.argmax(scores, axis=1)
+    labels = np.zeros((B, T), np.int64)
+    idx = best
+    for t in range(T - 1, -1, -1):
+        labels[:, t] = tok_hist[t][np.arange(B), idx]
+        idx = par_hist[t][np.arange(B), idx]
+    return labels, scores[np.arange(B), best]
+
+
+@pytest.mark.parametrize("K", [1, 3])
+def test_beam_matches_host_reference(trained, K):
+    T = 8
+    dev_labels, dev_scores = decode.beam_decode(
+        trained["params"], trained["stats"], trained["images"], CFG,
+        beam_size=K, max_len=T,
+    )
+    ref_labels, ref_scores = _reference_beam(
+        trained["params"], trained["stats"], trained["images"], CFG, K, T
+    )
+    d = [vocab.decode(r) for r in np.asarray(dev_labels)]
+    r = [vocab.decode(row) for row in ref_labels]
+    assert d == r
+    np.testing.assert_allclose(np.asarray(dev_scores), ref_scores,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_decode_freezes_after_eos(trained):
+    """Tokens after the first EOS must all be PAD (freeze semantics)."""
+    pred, _ = decode.beam_decode(trained["params"], trained["stats"],
+                                 trained["images"], CFG, beam_size=3, max_len=8)
+    for row in np.asarray(pred):
+        seen_eos = False
+        for t in row:
+            if seen_eos:
+                assert t == vocab.PAD
+            if t == vocab.EOS:
+                seen_eos = True
+
+
+def test_checkpoint_roundtrip(trained, tmp_path):
+    cfg_dict = {"encoder_num_hidden": 32, "input_feed": True}
+    path = checkpoint.save(
+        str(tmp_path), trained["params"], trained["stats"], cfg_dict,
+        global_step=7, optim_state={"learning_rate": 0.05, "eval_counter": 7},
+    )
+    loaded = checkpoint.try_load_final(str(tmp_path))
+    assert loaded is not None
+    assert loaded["global_step"] == 7
+    assert loaded["optim_state"]["learning_rate"] == 0.05
+    # bitwise param parity
+    flat_a = jax.tree.leaves(trained["params"])
+    flat_b = jax.tree.leaves(loaded["params"])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # decode parity from restored params
+    pred, _ = decode.beam_decode(
+        jax.tree.map(jnp.asarray, loaded["params"]),
+        jax.tree.map(jnp.asarray, loaded["batch_stats"]),
+        trained["images"], CFG, beam_size=1, max_len=8,
+    )
+    assert [vocab.decode(r) for r in np.asarray(pred)] == trained["labels"]
+
+
+def test_trie_constrained_decode(trained):
+    """With a dictionary excluding the true words, decode must stay inside
+    the dictionary; with the true words included, it must recover them."""
+    from aocr.utils import trie as trie_lib
+
+    table_good = jnp.asarray(trie_lib.build_transition_table(
+        ["ab", "cd", "e1", "fg"]))
+    pred, _ = decode.beam_decode(
+        trained["params"], trained["stats"], trained["images"], CFG,
+        beam_size=3, max_len=8, trie_table=table_good, use_trie=True,
+    )
+    assert [vocab.decode(r) for r in np.asarray(pred)] == trained["labels"]
+
+    table_bad = jnp.asarray(trie_lib.build_transition_table(["zz", "qq"]))
+    pred2, _ = decode.beam_decode(
+        trained["params"], trained["stats"], trained["images"], CFG,
+        beam_size=2, max_len=8, trie_table=table_bad, use_trie=True,
+    )
+    for row in np.asarray(pred2):
+        assert vocab.decode(row) in ("zz", "qq", "z", "q", "")

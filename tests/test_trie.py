@@ -1,0 +1,69 @@
+import numpy as np
+
+from aocr import vocab
+from aocr.utils import trie
+
+
+def _walk(table, word):
+    node = 0
+    for c in word:
+        node = table[node, vocab.char_to_id(c)]
+        if node < 0:
+            return None
+    return node
+
+
+def test_basic_words():
+    table = trie.build_transition_table(["cat", "car", "dog"])
+    for w in ["cat", "car", "dog"]:
+        node = _walk(table, w)
+        assert node is not None and node >= 0
+        assert table[node, vocab.EOS] >= 0  # word end marked
+    # prefix "ca" is reachable but not a word end
+    node = _walk(table, "ca")
+    assert node is not None
+    assert table[node, vocab.EOS] < 0
+    # "cx" invalid
+    assert _walk(table, "cx") is None
+
+
+def test_shared_prefix_nodes():
+    t1 = trie.build_transition_table(["cat", "car"])
+    t2 = trie.build_transition_table(["cat"])
+    # "cat"+"car" shares the "ca" chain: only 2 extra nodes (r + its EOS leaf)
+    assert len(t1) == len(t2) + 2
+
+
+def test_terminal_leaf_has_no_children():
+    table = trie.build_transition_table(["ab"])
+    node = _walk(table, "ab")
+    leaf = table[node, vocab.EOS]
+    assert leaf >= 0
+    assert (table[leaf] == -1).all()
+
+
+def test_allow_digit_prefix():
+    table = trie.build_transition_table(["cat"], allow_digit_prefix=True)
+    root = 0
+    # digits loop back to root (reference utils.lua:193-199)
+    for d in "0123456789":
+        assert table[root, vocab.char_to_id(d)] == root
+    # EOS from root allowed ("output nothing")
+    assert table[root, vocab.EOS] == root
+    # digits then a word still valid
+    node = root
+    for c in "42cat":
+        node = table[node, vocab.char_to_id(c)]
+        assert node >= 0
+    assert table[node, vocab.EOS] >= 0
+
+
+def test_skips_out_of_vocab_words():
+    table = trie.build_transition_table(["ok", "bad-word", ""])
+    assert _walk(table, "ok") is not None
+    assert _walk(table, "bad") is None  # partial chain not committed...
+
+
+def test_case_folding():
+    table = trie.build_transition_table(["CaT"])
+    assert _walk(table, "cat") is not None
