@@ -95,13 +95,20 @@ def _max_pool(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
 
 
 def _batch_norm(
-    x: jax.Array, p: dict, s: dict, train: bool
+    x: jax.Array, p: dict, s: dict, train: bool, axis_name=None
 ) -> Tuple[jax.Array, dict]:
     if train:
-        # Statistics over batch and spatial dims, in float32.
+        # Statistics over batch and spatial dims, in float32.  Under
+        # data-parallel shard_map (axis_name set) the moments are averaged
+        # across shards (sync-BN), so multi-chip training sees exactly the
+        # global-batch statistics a single chip would.
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))
+        ex2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            ex2 = jax.lax.pmean(ex2, axis_name)
+        var = ex2 - jnp.square(mean)
         new_s = {
             "mean": BN_MOMENTUM * s["mean"] + (1.0 - BN_MOMENTUM) * mean,
             "var": BN_MOMENTUM * s["var"] + (1.0 - BN_MOMENTUM) * var,
@@ -120,6 +127,7 @@ def apply(
     images: jax.Array,
     train: bool = False,
     compute_dtype=jnp.float32,
+    axis_name=None,
 ) -> Tuple[jax.Array, dict]:
     """images (B, H=32, W, 1) float32 in [0, 255] -> ((B, L, 512), new_stats)."""
     x = ((images - 128.0) / 128.0).astype(compute_dtype)
@@ -142,7 +150,8 @@ def apply(
         x = x + params[name]["b"].astype(compute_dtype)
         if bn:
             x, new_stats[name + "_bn"] = _batch_norm(
-                x, params[name + "_bn"], batch_stats[name + "_bn"], train
+                x, params[name + "_bn"], batch_stats[name + "_bn"], train,
+                axis_name,
             )
         x = jnp.maximum(x, 0)
         if idx in _POOL_AFTER:

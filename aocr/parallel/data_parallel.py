@@ -1,0 +1,107 @@
+"""Data-parallel training step: shard_map over the mesh's data axis.
+
+Each device computes forward+backward on its batch shard; gradients (already
+normalized by the *global* batch size, matching the reference's
+divide-by-batch-size convention, src/model/model.lua:645-647) are
+all-reduced with `psum` over the data axis — an ICI collective on real TPU
+meshes — and the SGD update then runs replicated, so parameters stay
+bitwise-identical across devices.  BatchNorm batch statistics are averaged
+across shards (cross-replica BN) before updating the running stats.
+
+This is BASELINE.json config 5: DP Synth90k training with psum gradient
+allreduce.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from aocr import optim
+from aocr.config import Config
+from aocr.models import cnn, decoder, encoder, head
+from aocr.train_step import TrainOutput
+from aocr.parallel.mesh import DATA_AXIS
+
+
+def _forward_loss_crossreplica_bn(
+    params, batch_stats, images, targets, targets_eval, cfg: Config,
+    dropout_rng,
+):
+    """forward_loss with sync-BN over the data axis (see cnn._batch_norm).
+    """
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    # Sync-BN: batch moments are pmean'd across the data axis inside
+    # cnn.apply, so every shard normalizes with (and records) the exact
+    # global-batch statistics a single chip would compute.
+    feats, new_stats = cnn.apply(
+        params["cnn"], batch_stats, images, train=True, compute_dtype=cd,
+        axis_name=DATA_AXIS,
+    )
+    context, dec_init = encoder.apply(
+        params["encoder_fw"], params["encoder_bw"], feats, compute_dtype=cd
+    )
+    h_tildes = decoder.teacher_forced(
+        params["decoder"], dec_init, targets, context,
+        input_feed=cfg.input_feed, dropout=cfg.dropout, train=True,
+        dropout_rng=dropout_rng, compute_dtype=cd,
+    )
+    log_probs = head.apply(params["projector"], h_tildes, compute_dtype=cd)
+    from aocr import loss as loss_lib
+
+    return loss_lib.nll_sum(log_probs, targets_eval), new_stats
+
+
+def make_dp_train_step(cfg: Config, mesh: Mesh):
+    """Build the jitted data-parallel train step.
+
+    Call with params/batch_stats/opt_state replicated and batch arrays
+    sharded along axis 0 (see mesh.shard_batch); returns TrainOutput with
+    replicated updated state and the global token-sum loss.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+
+    def local_step(params, batch_stats, opt_state, images, targets,
+                   targets_eval, lr, rng):
+        global_bs = images.shape[0] * n_data
+        my = jax.lax.axis_index(DATA_AXIS)
+        rng = jax.random.fold_in(rng, my)
+
+        def loss_fn(p):
+            nll, new_stats = _forward_loss_crossreplica_bn(
+                p, batch_stats, images, targets, targets_eval, cfg, rng
+            )
+            return nll / global_bs, new_stats
+
+        (mean_loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        # ICI all-reduce: gradients and loss summed over the data axis.
+        grads = jax.lax.psum(grads, DATA_AXIS)
+        mean_loss = jax.lax.psum(mean_loss, DATA_AXIS)
+        new_params, new_opt, norms = optim.sgd_update(
+            params, grads, opt_state, lr
+        )
+        return TrainOutput(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            loss_sum=mean_loss * global_bs,
+            grad_norms=norms,
+        )
+
+    rep = P()
+    sharded = P(DATA_AXIS)
+    shmapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, sharded, sharded, sharded, rep, rep),
+        out_specs=TrainOutput(
+            params=rep, batch_stats=rep, opt_state=rep,
+            loss_sum=rep, grad_norms=rep,
+        ),
+        check_vma=False,
+    )
+    donate = (0, 2) if cfg.prealloc else ()
+    return jax.jit(shmapped, donate_argnums=donate)

@@ -1,0 +1,84 @@
+"""Distributed-without-a-cluster tests (SURVEY.md section 4): an 8-device
+CPU mesh must produce the same gradients/updates as single-device on the
+same global batch."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aocr import optim, train_step, vocab
+from aocr.config import Config
+from aocr.models import model
+from aocr.parallel import data_parallel, mesh as mesh_lib
+from tests import synth
+
+CFG = Config(
+    batch_size=8, input_feed=True, encoder_num_hidden=16,
+    target_embedding_size=8, image_width=32,
+).validate()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    labels = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"]
+    imgs = np.stack([synth.render_word(l, 32, 32) for l in labels])[..., None]
+    targets, targets_eval, _ = vocab.encode_batch(labels)
+    ms = model.init(jax.random.PRNGKey(0), CFG)
+    return dict(
+        images=jnp.asarray(imgs),
+        targets=jnp.asarray(targets),
+        targets_eval=jnp.asarray(targets_eval),
+        params=ms.params,
+        stats=ms.batch_stats,
+    )
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_dp_matches_single_device(setup, ndev):
+    m = mesh_lib.make_mesh(num_data=ndev)
+    dp_step = data_parallel.make_dp_train_step(CFG, m)
+    single = train_step.make_train_step(CFG)
+    opt = optim.sgd_init(setup["params"])
+    lr = jnp.float32(0.1)
+    rng = jax.random.PRNGKey(42)
+
+    im, tg, te = mesh_lib.shard_batch(
+        m, setup["images"], setup["targets"], setup["targets_eval"]
+    )
+    out_dp = dp_step(setup["params"], setup["stats"], opt, im, tg, te, lr, rng)
+    out_1 = single(setup["params"], setup["stats"], opt, setup["images"],
+                   setup["targets"], setup["targets_eval"], lr, rng)
+
+    # loss: global token sum must match
+    np.testing.assert_allclose(float(out_dp.loss_sum), float(out_1.loss_sum),
+                               rtol=1e-5)
+    # parameters after one update must match leaf-by-leaf
+    for a, b in zip(jax.tree.leaves(out_dp.params),
+                    jax.tree.leaves(out_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-4)
+    # cross-replica BN stats must match single-device stats on the same batch
+    for a, b in zip(jax.tree.leaves(out_dp.batch_stats),
+                    jax.tree.leaves(out_1.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-4)
+
+
+def test_dp_params_replicated(setup):
+    m = mesh_lib.make_mesh(num_data=4)
+    dp_step = data_parallel.make_dp_train_step(CFG, m)
+    opt = optim.sgd_init(setup["params"])
+    im, tg, te = mesh_lib.shard_batch(
+        m, setup["images"], setup["targets"], setup["targets_eval"]
+    )
+    out = dp_step(setup["params"], setup["stats"], opt, im, tg, te,
+                  jnp.float32(0.1), jax.random.PRNGKey(0))
+    # updated params are fully replicated (addressable on every device)
+    leaf = jax.tree.leaves(out.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    # batch stays shardable for a second step
+    out2 = dp_step(out.params, out.batch_stats, out.opt_state, im, tg, te,
+                   jnp.float32(0.1), jax.random.PRNGKey(1))
+    assert np.isfinite(float(out2.loss_sum))
