@@ -78,6 +78,91 @@ def _apply_trie_and_topk(
     return lax.top_k(total, K)
 
 
+@partial(jax.jit, static_argnames=("cfg", "max_len", "use_trie"))
+def greedy_decode(
+    params: dict,
+    batch_stats: dict,
+    images: jax.Array,
+    cfg: Config,
+    max_len: int,
+    trie_table: Optional[jax.Array] = None,
+    use_trie: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fast path for beam_size=1: semantically identical to beam_decode with
+    K=1 (argmax == top-1, parent backtracking is the identity), but with no
+    beam state gathers/replication in the scan body — the hot loop is just
+    the decoder cell + argmax.
+    """
+    V = cfg.target_vocab_size
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    context, dec_init, _ = model.encode(params, batch_stats, images, cfg,
+                                        train=False)
+    B = context.shape[0]
+    dec_params = params["decoder"]
+    proj = params["projector"]
+
+    state = decoder.init_state(dec_init, cfg.decoder_num_layers)
+    go = jnp.full((B,), vocab.GO, jnp.int32)
+    state, h_tilde = decoder.step(
+        dec_params, state, go, context, input_feed=cfg.input_feed,
+        compute_dtype=cd,
+    )
+    logp = head.apply(proj, h_tilde, compute_dtype=cd)  # (B, V)
+    if use_trie:
+        NEG = jnp.float32(-1e30)
+        logp = jnp.where(trie_table[0][None, :] >= 0, logp, NEG)
+    tokens0 = jnp.argmax(logp, axis=1).astype(jnp.int32)
+    scores0 = jnp.max(logp, axis=1)
+    nodes0 = (jnp.maximum(trie_table[0][tokens0], 0) if use_trie
+              else jnp.zeros((B,), jnp.int32))
+
+    def scan_body(carry, _):
+        state, score, prev, nodes = carry
+        all_done = jnp.all((prev == vocab.PAD) | (prev == vocab.EOS))
+
+        def run(args):
+            state, score, prev, nodes = args
+            st, h_t = decoder.step(
+                dec_params, state, prev, context,
+                input_feed=cfg.input_feed, compute_dtype=cd,
+            )
+            lp = head.apply(proj, h_t, compute_dtype=cd)
+            froz = (prev == vocab.PAD) | (prev == vocab.EOS)
+            lp = lp.at[:, vocab.PAD].set(
+                jnp.where(froz, 0.0, lp[:, vocab.PAD])
+            )
+            if use_trie:
+                NEG = jnp.float32(-1e30)
+                ok = trie_table[nodes] >= 0
+                ok = ok.at[:, vocab.PAD].set(True)
+                lp = jnp.where(ok, lp, NEG)
+            tok = jnp.argmax(lp, axis=1).astype(jnp.int32)
+            score2 = score + jnp.max(lp, axis=1)
+            if use_trie:
+                stepped = trie_table[nodes, tok]
+                nodes2 = jnp.where(tok == vocab.PAD, nodes,
+                                   jnp.maximum(stepped, 0))
+            else:
+                nodes2 = nodes
+            return (st, score2, tok, nodes2), tok
+
+        def skip(args):
+            state, score, prev, nodes = args
+            return (state, score, prev, nodes), jnp.full(
+                (B,), vocab.PAD, jnp.int32
+            )
+
+        return lax.cond(all_done, skip, run, (state, score, prev, nodes))
+
+    (_, scores, _, _), tok_hist = lax.scan(
+        scan_body, (state, scores0, tokens0, nodes0), None, length=max_len - 1
+    )
+    labels = jnp.concatenate(
+        [tokens0[:, None], jnp.swapaxes(tok_hist, 0, 1)], axis=1
+    )
+    return labels, scores
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "beam_size", "max_len", "use_trie"),
@@ -98,6 +183,9 @@ def beam_decode(
     beam's cumulative log-prob).  Greedy decoding is beam_size=1.
     """
     K = min(beam_size, cfg.target_vocab_size)
+    if K == 1:
+        return greedy_decode(params, batch_stats, images, cfg, max_len,
+                             trie_table, use_trie)
     V = cfg.target_vocab_size
     T = max_len
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
