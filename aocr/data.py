@@ -38,6 +38,7 @@ import numpy as np
 
 from aocr import vocab
 from aocr.config import Config
+from aocr.utils import native
 
 
 class Batch(NamedTuple):
@@ -107,6 +108,9 @@ def load_and_preprocess(
     img_w = int(np.ceil(aspect * cfg.image_height))
     if not cfg.keep_aspect_ratio:
         img_w = cfg.image_width  # reference hard-codes 100 (data_gen.lua:78)
+    out = native.luminance_resize(img, cfg.image_height, img_w)
+    if out is not None:
+        return out
     return _bilinear_resize(img, cfg.image_height, img_w)
 
 

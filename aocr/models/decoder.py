@@ -176,7 +176,12 @@ def teacher_forced(
         + layer0["bi"] + layer0["bh"]
     )  # (B, T, 4H)
     emb_proj = jnp.swapaxes(emb_proj, 0, 1)  # (T, B, 4H)
-    wi_feed = layer0["wi"][E:].astype(cd) if input_feed else None
+    wfh = (
+        jnp.concatenate(
+            [layer0["wi"][E:].astype(cd), layer0["wh"].astype(cd)], axis=0
+        )
+        if input_feed else None
+    )
 
     if dropout > 0.0 and train and dropout_rng is None:
         raise ValueError("dropout>0 in train mode requires dropout_rng")
@@ -188,10 +193,15 @@ def teacher_forced(
             rng, sub = jax.random.split(rng)
         else:
             sub = None
-        gates = xp
         if input_feed:
-            gates = gates + matmul(state.attn.astype(cd), wi_feed)
-        gates = gates + matmul(state.hs[0].astype(cd), layer0["wh"].astype(cd))
+            # Fused [attn ; h] @ [Wi_feed ; Wh] — one MXU matmul per step.
+            ah = jnp.concatenate(
+                [state.attn.astype(cd), state.hs[0].astype(cd)], axis=-1
+            )
+            gates = xp + matmul(ah, wfh)
+        else:
+            gates = xp + matmul(state.hs[0].astype(cd),
+                                layer0["wh"].astype(cd))
         c0n, h0n = lstm.gate_math(gates, state.cs[0])
         cs, hs = [c0n], [h0n]
         x = h0n

@@ -55,12 +55,19 @@ def lstm_step(
     layer: dict, x: jax.Array, c_prev: jax.Array, h_prev: jax.Array,
     compute_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
-    """One full LSTM step: gates = x@Wi + bi + h@Wh + bh, then gate math."""
-    gates = (
-        matmul(x.astype(compute_dtype), layer["wi"].astype(compute_dtype))
-        + matmul(h_prev.astype(compute_dtype), layer["wh"].astype(compute_dtype))
-        + layer["bi"] + layer["bh"]
+    """One full LSTM step: gates = [x;h] @ [Wi;Wh] + bi + bh, then gate math.
+
+    The input and recurrent projections are fused into a single wider MXU
+    matmul (one (B, D+H) x (D+H, 4H) instead of two) — better systolic-array
+    utilization for the small-batch single-step case, and the weight concat
+    is loop-invariant so XLA hoists it out of decode scans.
+    """
+    cd = compute_dtype
+    w = jnp.concatenate(
+        [layer["wi"].astype(cd), layer["wh"].astype(cd)], axis=0
     )
+    xh = jnp.concatenate([x.astype(cd), h_prev.astype(cd)], axis=-1)
+    gates = matmul(xh, w) + layer["bi"] + layer["bh"]
     return gate_math(gates, c_prev)
 
 

@@ -111,7 +111,7 @@ class Trainer:
         return float(out.loss_sum)
 
     def step_eval(self, batch: data.Batch):
-        """Beam decode + gold pass.  Returns (loss_sum, accuracy)."""
+        """Beam decode + gold pass.  Returns (loss_sum, accuracy, cer_sum)."""
         cfg = self.cfg
         B, T = batch.targets.shape[0], cfg.max_decoder_l
         # Reference pads eval targets to max_decoder_l and always decodes
@@ -127,10 +127,23 @@ class Trainer:
             trie_table=self.trie_table,
             use_trie=self.trie_table is not None,
         )
+        labels_np = np.asarray(labels)
         word_err, preds, golds = eval_lib.eval_word_err_rate(
-            np.asarray(labels), targets_eval
+            labels_np, targets_eval
         )
         accuracy = B - word_err
+        # normalized edit distance (the reference's open WER TODO,
+        # README.md:11) — native C++ path when built, numpy otherwise
+        from aocr.utils import native as native_lib
+
+        dists = native_lib.edit_distance_batch(labels_np, targets_eval,
+                                               vocab.EOS)
+        if dists is None:
+            dists = np.array([
+                eval_lib.levenshtein(p, g) for p, g in zip(preds, golds)
+            ])
+        glens = np.maximum([len(g) for g in golds], 1)
+        cer_sum = float(np.minimum(1.0, dists / glens).sum())
         nll, gold_scores = train_step.eval_loss_step(
             self.params, self.batch_stats, images,
             jnp.asarray(targets), jnp.asarray(targets_eval), cfg,
@@ -143,7 +156,7 @@ class Trainer:
                     f"{path}\t{golds[i]}\t{preds[i]}\t{sc[i]:f}\t{gs[i]:f}\n"
                 )
             self.visualize_file.flush()
-        return float(nll), accuracy
+        return float(nll), accuracy, cer_sum
 
     # ------------------------------------------------------- validation
 
@@ -163,7 +176,7 @@ class Trainer:
                 if math.isinf(cfg.num_batches_val):
                     break
                 continue
-            loss, acc = self.step_eval(batch)
+            loss, acc, _cer = self.step_eval(batch)
             val_loss += loss
             val_nnz += batch.num_nonzeros
             val_acc += acc
@@ -248,10 +261,12 @@ class Trainer:
                 os.path.join(cfg.output_dir, "results.txt"), "w"
             )
         num_samples = accuracy = 0
+        cer = 0.0
         self.global_step = 0
         for batch in test_data.epoch(cfg.batch_size):
-            _, acc = self.step_eval(batch)
+            _, acc, cer_sum = self.step_eval(batch)
             accuracy += acc
+            cer += cer_sum
             num_samples += batch.images.shape[0]
             self.global_step += 1
             if self.global_step % cfg.steps_per_checkpoint == 0:
@@ -262,6 +277,11 @@ class Trainer:
         log.info(
             f"Epoch: 1 Number of samples {num_samples} - Accuracy = "
             f"{accuracy / max(num_samples, 1):f}"
+        )
+        # Edit-distance metric closing the reference's open TODO (README.md:11)
+        log.info(
+            f"Character error rate (normalized edit distance) = "
+            f"{cer / max(num_samples, 1):f}"
         )
         if self.visualize_file is not None:
             self.visualize_file.close()

@@ -1,0 +1,105 @@
+"""ctypes bindings for the native (C++) host kernels in native/.
+
+Loads libaocr_native.so if present (build with `make -C native`); every
+entry point has a numpy fallback so the framework works without the build
+step.  `available()` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (
+        os.environ.get("AOCR_NATIVE_LIB", ""),
+        os.path.join(root, "native", "libaocr_native.so"),
+    ):
+        if cand and os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.aocr_native_abi_version.restype = ctypes.c_int
+                if lib.aocr_native_abi_version() != 1:
+                    continue
+                _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+                _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+                lib.aocr_luminance_resize.argtypes = [
+                    _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    _f32p, ctypes.c_int, ctypes.c_int,
+                ]
+                lib.aocr_edit_distance_batch.argtypes = [
+                    _i32p, _i32p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, _i32p,
+                ]
+                lib.aocr_exact_match_batch.argtypes = [
+                    _i32p, _i32p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, _i32p,
+                ]
+                _LIB = lib
+                break
+            except OSError:
+                continue
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def luminance_resize(
+    img: np.ndarray, out_h: int, out_w: int
+) -> Optional[np.ndarray]:
+    """(h, w[, c]) float32 -> (out_h, out_w) float32 luminance, or None if
+    the native library is unavailable (caller falls back to numpy)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    out = np.empty((out_h, out_w), np.float32)
+    lib.aocr_luminance_resize(img, h, w, c, out, out_h, out_w)
+    return out
+
+
+def edit_distance_batch(
+    pred: np.ndarray, gold: np.ndarray, eos: int
+) -> Optional[np.ndarray]:
+    lib = _lib()
+    if lib is None:
+        return None
+    pred = np.ascontiguousarray(pred, np.int32)
+    gold = np.ascontiguousarray(gold, np.int32)
+    assert pred.shape == gold.shape
+    b, t = pred.shape
+    out = np.empty((b,), np.int32)
+    lib.aocr_edit_distance_batch(pred, gold, b, t, eos, out)
+    return out
+
+
+def exact_match_batch(
+    pred: np.ndarray, gold: np.ndarray, eos: int
+) -> Optional[np.ndarray]:
+    lib = _lib()
+    if lib is None:
+        return None
+    pred = np.ascontiguousarray(pred, np.int32)
+    gold = np.ascontiguousarray(gold, np.int32)
+    b, t = pred.shape
+    out = np.empty((b,), np.int32)
+    lib.aocr_exact_match_batch(pred, gold, b, t, eos, out)
+    return out.astype(bool)
