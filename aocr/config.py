@@ -66,6 +66,20 @@ class Config:
     # maps to donate_argnums.
     prealloc: bool = False
 
+    # Optimizer selection: the reference ships both but hard-wires SGD and
+    # leaves its (buggy) Adadelta call site commented out
+    # (src/model/model.lua:699-700); here it's a flag.
+    optimizer: str = "sgd"  # "sgd" | "adadelta"
+
+    # --- Observability (SURVEY.md section 5 rebuild hooks) ---
+    # Capture a jax.profiler trace of training steps into
+    # <output_dir>/profile (viewable with TensorBoard / xprof).
+    profile: bool = False
+    profile_steps: int = 10
+    # Log per-group parameter/gradient norms every step (the reference's
+    # SGD prints these unconditionally, src/optim/optim_sgd.lua:49).
+    log_norms: bool = False
+
     # --- TPU-native extensions (no reference equivalent) ---
     # Compute dtype for convs/matmuls; params always float32.
     compute_dtype: str = "float32"  # or "bfloat16"
@@ -95,6 +109,7 @@ class Config:
         assert self.decoder_num_layers >= 1
         assert self.target_vocab_size >= 4
         assert self.compute_dtype in ("float32", "bfloat16")
+        assert self.optimizer in ("sgd", "adadelta")
         return self
 
     def replace(self, **kw) -> "Config":
@@ -102,6 +117,8 @@ class Config:
 
 
 _BOOL_FLAGS = {
+    "profile",
+    "log_norms",
     "use_dictionary",
     "allow_digit_prefix",
     "input_feed",

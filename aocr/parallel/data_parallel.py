@@ -80,9 +80,14 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
         # ICI all-reduce: gradients and loss summed over the data axis.
         grads = jax.lax.psum(grads, DATA_AXIS)
         mean_loss = jax.lax.psum(mean_loss, DATA_AXIS)
-        new_params, new_opt, norms = optim.sgd_update(
-            params, grads, opt_state, lr
-        )
+        if cfg.optimizer == "adadelta":
+            new_params, new_opt, norms = optim.adadelta_update(
+                params, grads, opt_state
+            )
+        else:
+            new_params, new_opt, norms = optim.sgd_update(
+                params, grads, opt_state, lr
+            )
         return TrainOutput(
             params=new_params,
             batch_stats=new_stats,

@@ -72,11 +72,15 @@ class Trainer:
             self.optim_meta = {"learning_rate": cfg.learning_rate,
                                "eval_counter": 0}
         self.cfg = cfg.validate()
-        self.opt_state = optim.SGDState(
-            eval_counter=jnp.asarray(self.optim_meta.get("eval_counter", 0),
-                                     jnp.int32),
-            momentum_buf=None,
-        )
+        if self.cfg.optimizer == "adadelta":
+            self.opt_state = optim.adadelta_init(self.params)
+        else:
+            self.opt_state = optim.SGDState(
+                eval_counter=jnp.asarray(
+                    self.optim_meta.get("eval_counter", 0), jnp.int32
+                ),
+                momentum_buf=None,
+            )
         self._train_step = train_step.make_train_step(self.cfg)
         self._rng = jax.random.PRNGKey(self.cfg.seed)
         for k, v in sorted(asdict(self.cfg).items()):
@@ -108,6 +112,15 @@ class Trainer:
         self.params = out.params
         self.batch_stats = out.batch_stats
         self.opt_state = out.opt_state
+        if self.cfg.log_norms:
+            # reference optim_sgd.lua:49 prints per-group param/grad norms
+            for i, g in enumerate(optim.GROUPS):
+                if g in out.grad_norms:
+                    pn = float(optim.group_norm(self.params[g]))
+                    gn = float(out.grad_norms[g])
+                    self.log.info(
+                        f"i: {i + 1}, param norm: {pn:f}, grad norm: {gn:f}"
+                    )
         return float(out.loss_sum)
 
     def step_eval(self, batch: data.Batch):
@@ -185,7 +198,8 @@ class Trainer:
         return val_loss, val_nnz, val_acc, val_samples
 
     def _save(self) -> None:
-        self.optim_meta["eval_counter"] = int(self.opt_state.eval_counter)
+        if isinstance(self.opt_state, optim.SGDState):
+            self.optim_meta["eval_counter"] = int(self.opt_state.eval_counter)
         path = checkpoint.save(
             self.cfg.model_dir,
             self.params,
@@ -216,10 +230,33 @@ class Trainer:
                 log.info(f"Decay lr, current Lr: {lr:f}")
             prev_val_loss = val_loss
 
+        import os
+        import time as _time
+
+        profiling = False
+        profile_started_at = None
+        steps_in_window = 0
+        window_t0 = _time.perf_counter()
+        window_images = 0
         for epoch in range(1, cfg.num_epochs + 1):
             train_data.shuffle()
             for batch in train_data.epoch(cfg.batch_size):
+                if cfg.profile and not profiling and profile_started_at is None:
+                    trace_dir = os.path.join(cfg.output_dir, "profile")
+                    os.makedirs(trace_dir, exist_ok=True)
+                    jax.profiler.start_trace(trace_dir)
+                    profiling = True
+                    profile_started_at = self.global_step
+                    log.info(f"Profiler trace started -> {trace_dir}")
                 step_loss = self.step_train(batch, lr)
+                steps_in_window += 1
+                window_images += batch.images.shape[0]
+                if (profiling
+                        and self.global_step - profile_started_at
+                        >= cfg.profile_steps):
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    log.info("Profiler trace stopped")
                 # Running perplexity from pre-update sums (reference
                 # train.lua:103 logs before accumulating).
                 ppl = (math.exp(min(loss / num_nonzeros, 700))
@@ -231,6 +268,14 @@ class Trainer:
                 if self.global_step % cfg.steps_per_checkpoint == 0:
                     ppl = (math.exp(min(loss / num_nonzeros, 700))
                            if num_nonzeros else float("nan"))
+                    dt = _time.perf_counter() - window_t0
+                    log.info(
+                        f"Throughput: {steps_in_window / dt:.2f} steps/s, "
+                        f"{window_images / dt:.0f} images/s"
+                    )
+                    steps_in_window = 0
+                    window_images = 0
+                    window_t0 = _time.perf_counter()
                     log.info(f"Step {self.global_step} - training perplexity = {ppl:f}")
                     log.info("Saving model")
                     self._save()

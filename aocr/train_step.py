@@ -59,7 +59,14 @@ def _train_step(
     (mean_loss, new_stats), grads = jax.value_and_grad(
         loss_fn, has_aux=True
     )(params)
-    new_params, new_opt, norms = optim.sgd_update(params, grads, opt_state, lr)
+    if cfg.optimizer == "adadelta":
+        new_params, new_opt, norms = optim.adadelta_update(
+            params, grads, opt_state
+        )
+    else:
+        new_params, new_opt, norms = optim.sgd_update(
+            params, grads, opt_state, lr
+        )
     return TrainOutput(
         params=new_params,
         batch_stats=new_stats,
