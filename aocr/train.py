@@ -81,7 +81,22 @@ class Trainer:
                 ),
                 momentum_buf=None,
             )
-        self._train_step = train_step.make_train_step(self.cfg)
+        self.mesh = None
+        if self.cfg.num_shards > 1:
+            from aocr.parallel import data_parallel, mesh as mesh_lib
+
+            n = self.cfg.num_shards
+            assert len(jax.devices()) >= n, (
+                f"num_shards={n} but only {len(jax.devices())} devices"
+            )
+            self.mesh = mesh_lib.make_mesh(num_data=n)
+            self._train_step = data_parallel.make_dp_train_step(
+                self.cfg, self.mesh
+            )
+            log.info(f"Data-parallel training over {n} devices "
+                     f"(psum gradient all-reduce)")
+        else:
+            self._train_step = train_step.make_train_step(self.cfg)
         self._rng = jax.random.PRNGKey(self.cfg.seed)
         for k, v in sorted(asdict(self.cfg).items()):
             log.info(f"{k}: {v}")
@@ -99,13 +114,31 @@ class Trainer:
     def step_train(self, batch: data.Batch, lr: float) -> float:
         """One SGD step; returns the token-sum NLL (reference step loss)."""
         self._rng, sub = jax.random.split(self._rng)
+        im, tg, te = batch.images, batch.targets, batch.targets_eval
+        if self.mesh is not None:
+            from aocr.parallel import mesh as mesh_lib
+
+            n = self.cfg.num_shards
+            pad = (-im.shape[0]) % n
+            if pad:
+                # partial final buckets: pad to a shardable batch with PAD
+                # targets (zero-loss rows) so every device gets equal work
+                im = np.concatenate([im, np.repeat(im[-1:], pad, 0)], 0)
+                ztg = np.full((pad, tg.shape[1]), vocab.PAD, tg.dtype)
+                tg = np.concatenate([tg, ztg], 0)
+                te = np.concatenate([te, ztg], 0)
+            im, tg, te = mesh_lib.shard_batch(self.mesh, im, tg, te)
+        else:
+            im = jnp.asarray(im)
+            tg = jnp.asarray(tg)
+            te = jnp.asarray(te)
         out = self._train_step(
             self.params,
             self.batch_stats,
             self.opt_state,
-            jnp.asarray(batch.images),
-            jnp.asarray(batch.targets),
-            jnp.asarray(batch.targets_eval),
+            im,
+            tg,
+            te,
             jnp.asarray(lr, jnp.float32),
             sub,
         )
