@@ -105,7 +105,7 @@ def greedy_decode(
     go = jnp.full((B,), vocab.GO, jnp.int32)
     state, h_tilde = decoder.step(
         dec_params, state, go, context, input_feed=cfg.input_feed,
-        compute_dtype=cd,
+        compute_dtype=cd, use_pallas=cfg.use_pallas,
     )
     logp = head.apply(proj, h_tilde, compute_dtype=cd)  # (B, V)
     if use_trie:
@@ -125,6 +125,7 @@ def greedy_decode(
             st, h_t = decoder.step(
                 dec_params, state, prev, context,
                 input_feed=cfg.input_feed, compute_dtype=cd,
+                use_pallas=cfg.use_pallas,
             )
             lp = head.apply(proj, h_t, compute_dtype=cd)
             froz = (prev == vocab.PAD) | (prev == vocab.EOS)
@@ -200,7 +201,7 @@ def beam_decode(
     go = jnp.full((B,), vocab.GO, jnp.int32)
     state, h_tilde = decoder.step(
         dec_params, state, go, context, input_feed=cfg.input_feed,
-        compute_dtype=cd,
+        compute_dtype=cd, use_pallas=cfg.use_pallas,
     )
     logp = head.apply(proj, h_tilde, compute_dtype=cd)  # (B, V)
 
@@ -237,6 +238,7 @@ def beam_decode(
                 beam_context,
                 input_feed=cfg.input_feed,
                 compute_dtype=cd,
+                use_pallas=cfg.use_pallas,
             )
             lp = head.apply(proj, h_t, compute_dtype=cd)  # (B*K, V)
             lp = lp.reshape(B, K, V)

@@ -118,6 +118,7 @@ def step(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    use_pallas: bool = False,
 ) -> Tuple[DecoderState, jax.Array]:
     """One decode step from token ids.  Returns (new_state, h_tilde (B,H))."""
     emb = params["embedding"][tokens]  # (B, E)
@@ -133,7 +134,17 @@ def step(
         cs.append(c)
         hs.append(h)
         x = h
-    h_tilde, _alpha = attention(params, hs[-1], context, ctx_mask, compute_dtype)
+    if use_pallas and ctx_mask is None and jax.default_backend() == "tpu":
+        from aocr.ops.pallas import attention as _pattn
+
+        h_tilde = _pattn.fused_attention(
+            hs[-1], context,
+            params["w_a"].astype(compute_dtype),
+            params["w_c"].astype(compute_dtype),
+        )
+    else:
+        h_tilde, _alpha = attention(params, hs[-1], context, ctx_mask,
+                                    compute_dtype)
     if dropout > 0.0 and train:
         dropout_rng, k = jax.random.split(dropout_rng)
         h_tilde = _dropout(h_tilde, dropout, k, train)

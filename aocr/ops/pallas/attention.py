@@ -1,0 +1,86 @@
+"""Pallas-fused Luong-general attention head.
+
+One kernel per batch tile computes the whole attention head of the decoder
+(reference src/model/LSTM.lua:124-162) without materializing any
+intermediate in HBM:
+
+    q      = h_top @ W_a                  (MXU)
+    scores = sum_h context * q            (VPU, per column)
+    alpha  = softmax_L(scores)            (VPU)
+    ctx    = sum_l alpha * context        (VPU)
+    h~     = tanh([ctx ; h_top] @ W_c)    (MXU)
+
+The XLA decomposition writes q (B,H), scores (B,L), alpha (B,L), ctx (B,H)
+and the concat (B,2H) through HBM between fusions; here they all live in
+VMEM for the lifetime of the batch tile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B_TILE = 128
+
+
+def _attn_kernel(h_ref, ctx_ref, wa_ref, wc_ref, out_ref):
+    h = h_ref[:]  # (Bt, H)
+    context = ctx_ref[:]  # (Bt, L, H)
+    q = jnp.dot(h, wa_ref[:], preferred_element_type=jnp.float32)  # (Bt, H)
+    scores = jnp.sum(
+        context.astype(jnp.float32) * q[:, None, :], axis=-1
+    )  # (Bt, L)
+    alpha = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.sum(
+        alpha[:, :, None] * context.astype(jnp.float32), axis=1
+    )  # (Bt, H)
+    H = h.shape[-1]
+    wc = wc_ref[:]
+    pre = (
+        jnp.dot(ctx.astype(wc.dtype), wc[:H], preferred_element_type=jnp.float32)
+        + jnp.dot(h, wc[H:], preferred_element_type=jnp.float32)
+    )
+    out_ref[:] = jnp.tanh(pre)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(
+    h_top: jax.Array,  # (B, H)
+    context: jax.Array,  # (B, L, H)
+    w_a: jax.Array,  # (H, H)
+    w_c: jax.Array,  # (2H, H)
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns h_tilde (B, H) float32.  B must be a multiple of B_TILE (the
+    callers' decode batches are); smaller batches fall back to one tile."""
+    B, L, H = context.shape
+    bt = B_TILE if B % B_TILE == 0 else B
+    grid = (B // bt,)
+    dt = w_a.dtype
+    return pl.pallas_call(
+        _attn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, L, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * H, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, H), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * H * H + 4 * B * L * H + 4 * B * H * H,
+            bytes_accessed=(B * L * H * 2 + B * H * 4 * 2
+                            + 3 * H * H * dt.itemsize),
+            transcendentals=B * (L + H),
+        ),
+        interpret=interpret,
+    )(h_top.astype(dt), context.astype(dt), w_a, w_c)
