@@ -1,0 +1,101 @@
+"""In-process CLI round trip: train -> checkpoint -> resume -> test phase,
+including variable-width bucketed inference (BASELINE configs 1/2/4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from aocr import checkpoint
+from aocr.train import main
+from tests import synth
+
+ARGS_NET = [
+    "-encoder_num_hidden", "32", "-target_embedding_size", "8",
+    "-max_decoder_l", "8", "-image_width", "32", "-input_feed",
+]
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli"))
+    labels = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"]
+    synth.make_dataset(d, labels, "train.txt", width=32)
+    synth.make_dataset(d, labels[:4], "val.txt", width=32)
+    return d
+
+
+def _common(workdir):
+    return [
+        "-data_base_dir", workdir,
+        "-data_path", "train.txt",
+        "-val_data_path", "val.txt",
+        "-model_dir", os.path.join(workdir, "model"),
+        "-log_path", os.path.join(workdir, "log.txt"),
+        "-batch_size", "4",
+        "-num_batches_val", "1",
+    ] + ARGS_NET
+
+
+def test_train_creates_checkpoints(workdir):
+    main(_common(workdir) + [
+        "-phase", "train", "-num_epochs", "1", "-steps_per_checkpoint", "2",
+    ])
+    final = checkpoint.try_load_final(os.path.join(workdir, "model"))
+    assert final is not None
+    assert final["global_step"] == 2
+    assert final["config"]["encoder_num_hidden"] == 32
+    assert os.path.exists(os.path.join(workdir, "model", "model-2"))
+
+
+def test_resume_continues_step_count(workdir):
+    main(_common(workdir) + [
+        "-phase", "train", "-load_model", "-num_epochs", "1",
+        "-steps_per_checkpoint", "2",
+    ])
+    final = checkpoint.try_load_final(os.path.join(workdir, "model"))
+    assert final["global_step"] == 4  # 2 from the first run + 2 more
+
+
+def test_test_phase_with_visualize(workdir):
+    out_dir = os.path.join(workdir, "results")
+    main(_common(workdir) + [
+        "-phase", "test", "-load_model", "-visualize",
+        "-output_dir", out_dir, "-beam_size", "2",
+    ])
+    results = os.path.join(out_dir, "results.txt")
+    assert os.path.exists(results)
+    lines = open(results).read().strip().split("\n")
+    assert len(lines) == 8
+    assert all(len(l.split("\t")) == 5 for l in lines)
+    log = open(os.path.join(workdir, "log.txt")).read()
+    assert "Accuracy =" in log
+    assert "Character error rate" in log
+    # visualizer runs on the output
+    from aocr.visualizer import generate_html
+
+    html = generate_html.generate(out_dir, workdir)
+    assert os.path.exists(html)
+
+
+def test_variable_width_buckets(tmp_path):
+    """Config 2: mixed-width test phase — each width bucket decodes with its
+    own static shape."""
+    d = str(tmp_path)
+    synth.make_dataset(d, ["ab", "cd"], "train.txt", width=32)
+    synth.make_dataset(d, ["wxyz", "qrst"], "wide.txt", width=64)
+    # merge manifests: two widths in one dataset
+    with open(os.path.join(d, "train.txt"), "a") as f:
+        for line in open(os.path.join(d, "wide.txt")):
+            f.write(line)
+    main([
+        "-data_base_dir", d,
+        "-data_path", "train.txt",
+        "-model_dir", os.path.join(d, "model"),
+        "-log_path", os.path.join(d, "log.txt"),
+        "-batch_size", "2",
+        "-phase", "test",
+        "-keep_aspect_ratio",
+    ] + ARGS_NET)
+    log = open(os.path.join(d, "log.txt")).read()
+    assert "Number of samples 4" in log
