@@ -85,6 +85,10 @@ class Config:
     compute_dtype: str = "float32"  # or "bfloat16"
     # Use Pallas-fused recurrent cells where available.
     use_pallas: bool = False
+    # Rematerialize the decoder scan body in the backward pass
+    # (jax.checkpoint): trades recompute FLOPs for activation HBM — lets
+    # batch size scale beyond what stored per-step activations allow.
+    remat: bool = False
     # Number of data-parallel shards (devices along the "data" mesh axis).
     num_shards: int = 1
     # Image geometry (reference hard-codes 32-tall, width 100:
@@ -117,6 +121,7 @@ class Config:
 
 
 _BOOL_FLAGS = {
+    "remat",
     "profile",
     "log_norms",
     "use_dictionary",

@@ -164,6 +164,7 @@ def teacher_forced(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> jax.Array:
     """Teacher-forced decode over targets (B, T) -> h_tildes (B, T, H).
 
@@ -233,5 +234,6 @@ def teacher_forced(
         return (new_state, rng), h_tilde
 
     rng0 = dropout_rng if (dropout > 0.0 and train) else None
-    (_, _), h_tildes = lax.scan(body, (state0, rng0), emb_proj)
+    scan_body = jax.checkpoint(body) if remat else body
+    (_, _), h_tildes = lax.scan(scan_body, (state0, rng0), emb_proj)
     return jnp.swapaxes(h_tildes, 0, 1)  # (B, T, H)

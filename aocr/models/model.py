@@ -102,6 +102,7 @@ def forward_loss(
         train=train,
         dropout_rng=dropout_rng,
         compute_dtype=cd,
+        remat=cfg.remat,
     )
     log_probs = head.apply(params["projector"], h_tildes, compute_dtype=cd)
     nll = loss_lib.nll_sum(log_probs, targets_eval)

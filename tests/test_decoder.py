@@ -95,3 +95,26 @@ def test_input_feed_changes_output(rng, dims):
     st2 = st._replace(attn=jnp.ones((B, H)))
     _, out2 = decoder.step(p, st2, tok, context, input_feed=True)
     assert not np.allclose(out1, out2)
+
+
+def test_remat_grads_match(rng, dims):
+    """jax.checkpoint on the scan body must not change gradients."""
+    import jax
+
+    p = _params(rng, dims, True)
+    B, T, H, L = dims["B"], dims["T"], dims["H"], dims["L"]
+    context = jax.random.normal(jax.random.PRNGKey(3), (B, L, H))
+    c0 = jax.random.normal(jax.random.PRNGKey(4), (B, H))
+    h0 = jax.random.normal(jax.random.PRNGKey(5), (B, H))
+    targets = jax.random.randint(jax.random.PRNGKey(6), (B, T), 0, dims["V"])
+
+    def loss(params, remat):
+        out = decoder.teacher_forced(params, (c0, h0), targets, context,
+                                     input_feed=True, remat=remat)
+        return jnp.sum(out ** 2)
+
+    g_plain = jax.grad(lambda p_: loss(p_, False))(p)
+    g_remat = jax.grad(lambda p_: loss(p_, True))(p)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
