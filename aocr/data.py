@@ -136,6 +136,7 @@ class DataGen:
                     self.lines.append([parts[0], parts[1], None, None])
         self.cursor = 0
         self.buffer: Dict[int, List] = {}
+        self._warned_truncate = False
 
     def size(self) -> int:
         return len(self.lines)
@@ -169,6 +170,19 @@ class DataGen:
                     except ValueError:
                         img = None  # label outside vocab: skip like a bad image
                 if img is not None:
+                    # Fair max-target-length cap (closes the reference's
+                    # open TODO, README.md:12: the reference *asserts* when
+                    # a batch's target length exceeds max_decoder_l,
+                    # model.lua:264): truncate the label so targets fit.
+                    cap = self.cfg.max_decoder_l - 1
+                    if len(rec[1]) > cap:
+                        if not self._warned_truncate:
+                            self._warned_truncate = True
+                            print(
+                                f"Warning: truncating labels longer than "
+                                f"{cap} chars to fit max_decoder_l"
+                            )
+                        rec[1] = rec[1][:cap]
                     rec[2] = img
             if rec[2] is None:
                 self.cursor += 1

@@ -116,3 +116,18 @@ def test_shuffle_deterministic(tmp_path, cfg):
     g1.shuffle()
     g2.shuffle()
     assert [l[0] for l in g1.lines] == [l[0] for l in g2.lines]
+
+
+def test_overlong_label_truncated(tmp_path):
+    """Fair max-target-length cap (reference open TODO README.md:12): labels
+    longer than max_decoder_l-1 are truncated instead of crashing."""
+    cfg = Config(batch_size=2, max_decoder_l=5, seed=0)
+    synth.make_dataset(str(tmp_path), ["abcdefghij", "xy"])
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg)
+    b = gen.next_batch(2)
+    assert b.targets.shape[1] <= cfg.max_decoder_l
+    # first label truncated to 4 chars
+    from aocr import vocab as v
+    row = [int(t) for t in b.targets_eval[0]]
+    decoded = v.decode(row)
+    assert decoded == "abcd"
