@@ -118,3 +118,48 @@ def test_remat_grads_match(rng, dims):
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_dropout_active_in_train_mode(rng, dims):
+    import jax
+
+    p = _params(rng, dims, True)
+    B, T, H, L = dims["B"], dims["T"], dims["H"], dims["L"]
+    context = jax.random.normal(jax.random.PRNGKey(3), (B, L, H))
+    c0 = jnp.zeros((B, H)); h0 = jnp.zeros((B, H))
+    targets = jax.random.randint(jax.random.PRNGKey(6), (B, T), 0, dims["V"])
+    kw = dict(input_feed=True, dropout=0.5)
+    out_plain = decoder.teacher_forced(p, (c0, h0), targets, context,
+                                       input_feed=True)
+    out_d1 = decoder.teacher_forced(p, (c0, h0), targets, context,
+                                    train=True,
+                                    dropout_rng=jax.random.PRNGKey(0), **kw)
+    out_d2 = decoder.teacher_forced(p, (c0, h0), targets, context,
+                                    train=True,
+                                    dropout_rng=jax.random.PRNGKey(0), **kw)
+    out_d3 = decoder.teacher_forced(p, (c0, h0), targets, context,
+                                    train=True,
+                                    dropout_rng=jax.random.PRNGKey(9), **kw)
+    # dropout changes the output, deterministically per rng
+    assert not np.allclose(out_plain, out_d1)
+    np.testing.assert_array_equal(np.asarray(out_d1), np.asarray(out_d2))
+    assert not np.allclose(out_d1, out_d3)
+    # eval mode ignores dropout entirely
+    out_eval = decoder.teacher_forced(p, (c0, h0), targets, context,
+                                      input_feed=True, dropout=0.5,
+                                      train=False)
+    np.testing.assert_allclose(np.asarray(out_eval), np.asarray(out_plain),
+                               rtol=1e-6)
+
+
+def test_dropout_requires_rng(rng, dims):
+    import pytest as _pytest
+
+    p = _params(rng, dims, False)
+    B, T, H, L = dims["B"], dims["T"], dims["H"], dims["L"]
+    context = jnp.zeros((B, L, H))
+    targets = jnp.zeros((B, T), jnp.int32)
+    with _pytest.raises(ValueError):
+        decoder.teacher_forced(p, (jnp.zeros((B, H)), jnp.zeros((B, H))),
+                               targets, context, input_feed=False,
+                               dropout=0.3, train=True)
