@@ -111,8 +111,11 @@ class Trainer:
 
     # ------------------------------------------------------------ steps
 
-    def step_train(self, batch: data.Batch, lr: float) -> float:
-        """One SGD step; returns the token-sum NLL (reference step loss)."""
+    def step_train(self, batch: data.Batch, lr: float):
+        """One SGD step.  Returns the token-sum NLL as a *device scalar* —
+        the caller decides when to sync (the train loop pipelines one step:
+        it fetches step t-1's loss while step t runs, so the device never
+        idles waiting on the host)."""
         self._rng, sub = jax.random.split(self._rng)
         im, tg, te = batch.images, batch.targets, batch.targets_eval
         if self.mesh is not None:
@@ -154,7 +157,7 @@ class Trainer:
                     self.log.info(
                         f"i: {i + 1}, param norm: {pn:f}, grad norm: {gn:f}"
                     )
-        return float(out.loss_sum)
+        return out.loss_sum
 
     def step_eval(self, batch: data.Batch):
         """Beam decode + gold pass.  Returns (loss_sum, accuracy, cer_sum)."""
@@ -271,6 +274,19 @@ class Trainer:
         steps_in_window = 0
         window_t0 = _time.perf_counter()
         window_images = 0
+        # One-deep pipeline of in-flight (device-scalar loss, num_nonzeros):
+        # the per-step perplexity log uses sums through step t-1, exactly the
+        # reference's pre-update logging (train.lua:103), while step t's
+        # device work overlaps the host fetch.
+        inflight = []
+
+        def drain(limit=0):
+            nonlocal loss, num_nonzeros
+            while len(inflight) > limit:
+                dev_loss, nnz = inflight.pop(0)
+                loss += float(dev_loss)
+                num_nonzeros += nnz
+
         for epoch in range(1, cfg.num_epochs + 1):
             train_data.shuffle()
             for batch in train_data.epoch(cfg.batch_size):
@@ -282,6 +298,7 @@ class Trainer:
                     profile_started_at = self.global_step
                     log.info(f"Profiler trace started -> {trace_dir}")
                 step_loss = self.step_train(batch, lr)
+                inflight.append((step_loss, batch.num_nonzeros))
                 steps_in_window += 1
                 window_images += batch.images.shape[0]
                 if (profiling
@@ -295,10 +312,10 @@ class Trainer:
                 ppl = (math.exp(min(loss / num_nonzeros, 700))
                        if num_nonzeros else float("nan"))
                 log.info(f"{ppl:f}")
-                loss += step_loss
-                num_nonzeros += batch.num_nonzeros
+                drain(limit=1)
                 self.global_step += 1
                 if self.global_step % cfg.steps_per_checkpoint == 0:
+                    drain()
                     ppl = (math.exp(min(loss / num_nonzeros, 700))
                            if num_nonzeros else float("nan"))
                     dt = _time.perf_counter() - window_t0
@@ -320,6 +337,7 @@ class Trainer:
                         f"{math.exp(min(val_loss / max(val_nnz, 1), 700)):f}"
                     )
                     decay_lr(val_loss)
+            drain()
             self._save()
             val_loss, val_nnz, val_acc, val_n = self.validate(val_data)
             log.info(
