@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B_TILE = 128
+B_TILE = 64
 
 
 def _attn_kernel(h_ref, ctx_ref, wa_ref, wc_ref, out_ref):
@@ -76,6 +76,9 @@ def fused_attention(
         out_specs=pl.BlockSpec((bt, H), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * H + 4 * B * L * H + 4 * B * H * H,
             bytes_accessed=(B * L * H * 2 + B * H * 4 * 2
