@@ -85,6 +85,10 @@ class Config:
     compute_dtype: str = "float32"  # or "bfloat16"
     # Use Pallas-fused recurrent cells where available.
     use_pallas: bool = False
+    # Length-normalized beam selection: pick the final beam by
+    # score / emitted-length instead of raw cumulative log-prob (the
+    # reference uses raw scores; this is the BASELINE config-3 variant).
+    length_normalize: bool = False
     # Rematerialize the decoder scan body in the backward pass
     # (jax.checkpoint): trades recompute FLOPs for activation HBM — lets
     # batch size scale beyond what stored per-step activations allow.
@@ -121,6 +125,7 @@ class Config:
 
 
 _BOOL_FLAGS = {
+    "length_normalize",
     "remat",
     "profile",
     "log_norms",

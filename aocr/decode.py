@@ -45,6 +45,7 @@ class BeamCarry(NamedTuple):
     scores: jax.Array  # (B, K) cumulative log-probs
     prev_tokens: jax.Array  # (B, K)
     nodes: jax.Array  # (B, K) trie nodes (all zeros when no trie)
+    lengths: jax.Array  # (B, K) emitted tokens (stops counting at freeze)
 
 
 def _gather_beams(x: jax.Array, parents: jax.Array, K: int) -> jax.Array:
@@ -223,7 +224,8 @@ def beam_decode(
     beam_context = _expand_beams(context, K)
 
     carry0 = BeamCarry(
-        state=state, scores=scores, prev_tokens=tokens0, nodes=nodes
+        state=state, scores=scores, prev_tokens=tokens0, nodes=nodes,
+        lengths=jnp.ones((B, K), jnp.int32),
     )
 
     def scan_body(carry: BeamCarry, _):
@@ -269,8 +271,12 @@ def beam_decode(
                                       jnp.maximum(stepped, 0))
             else:
                 new_nodes = carry.nodes
+            parent_len = jnp.take_along_axis(carry.lengths, parents, axis=1)
+            new_lengths = jnp.where(toks == vocab.PAD, parent_len,
+                                    parent_len + 1)
             return (
-                BeamCarry(new_state, new_scores, toks, new_nodes),
+                BeamCarry(new_state, new_scores, toks, new_nodes,
+                          new_lengths),
                 (toks, parents),
             )
 
@@ -293,8 +299,15 @@ def beam_decode(
     )
 
     # ---- backtrack best beam (reference model.lua:573-585) ----
-    best = jnp.argmax(carry.scores, axis=1)  # (B,)
-    best_scores = jnp.max(carry.scores, axis=1)
+    if cfg.length_normalize:
+        # BASELINE config-3 variant: select by score per emitted token.
+        norm = carry.scores / jnp.maximum(carry.lengths, 1).astype(jnp.float32)
+        best = jnp.argmax(norm, axis=1)
+    else:
+        best = jnp.argmax(carry.scores, axis=1)  # (B,)
+    best_scores = jnp.take_along_axis(
+        carry.scores, best[:, None], axis=1
+    ).squeeze(1)
     rows = jnp.arange(B)
 
     def back(idx, inp):

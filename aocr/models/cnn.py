@@ -134,6 +134,10 @@ def apply(
     new_stats = dict(batch_stats)
     for idx, (name, _in_c, _out_c, _kh, _kw, pad, bn) in enumerate(_CONV_DEFS):
         w = params[name]["w"].astype(compute_dtype)
+        # preferred_element_type=f32 with bf16 operands breaks the conv VJP
+        # on this JAX version (f32 cotangent vs bf16 weights); in bf16 the
+        # TPU conv accumulates in f32 internally anyway, so request f32
+        # output only on the f32 path.
         x = lax.conv_general_dilated(
             x,
             w,
@@ -145,7 +149,9 @@ def apply(
                 if compute_dtype == jnp.float32
                 else lax.Precision.DEFAULT
             ),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=(
+                jnp.float32 if compute_dtype == jnp.float32 else None
+            ),
         ).astype(compute_dtype)
         x = x + params[name]["b"].astype(compute_dtype)
         if bn:

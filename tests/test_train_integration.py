@@ -178,3 +178,29 @@ def test_trie_constrained_decode(trained):
     )
     for row in np.asarray(pred2):
         assert vocab.decode(row) in ("zz", "qq", "z", "q", "")
+
+
+def test_length_normalized_selection(trained):
+    """-length_normalize selects by score/length; on this overfit model the
+    transcripts should still be recovered (all beams near-deterministic)."""
+    cfg_ln = CFG.replace(length_normalize=True)
+    pred, scores = decode.beam_decode(
+        trained["params"], trained["stats"], trained["images"], cfg_ln,
+        beam_size=3, max_len=8,
+    )
+    assert [vocab.decode(r) for r in np.asarray(pred)] == trained["labels"]
+    # returned scores are still the raw cumulative log-probs of the pick
+    assert np.all(np.asarray(scores) <= 0)
+
+
+def test_bf16_training_step_runs(trained):
+    """Training with compute_dtype=bfloat16 must differentiate (the conv
+    VJP broke with mixed f32/bf16 dtypes before the cnn fix)."""
+    cfg16 = CFG.replace(compute_dtype="bfloat16")
+    step = train_step.make_train_step(cfg16)
+    targets, targets_eval, _ = vocab.encode_batch(["ab", "cd", "e1", "fg"])
+    opt = optim.sgd_init(trained["params"])
+    out = step(trained["params"], trained["stats"], opt, trained["images"],
+               jnp.asarray(targets), jnp.asarray(targets_eval),
+               jnp.float32(0.1), jax.random.PRNGKey(0))
+    assert np.isfinite(float(out.loss_sum))
