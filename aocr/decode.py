@@ -61,6 +61,18 @@ def _expand_beams(x: jax.Array, K: int) -> jax.Array:
     return jnp.repeat(x, K, axis=0)
 
 
+def _count_emitted(toks: jax.Array, parent_frozen: jax.Array) -> jax.Array:
+    """1 where the step contributed a real log-prob to the beam's score.
+
+    Every non-PAD token scores its true log-prob.  A PAD from a *frozen*
+    parent scores the forced 0 (freeze semantics) and is not counted; a
+    first PAD from a live parent scores PAD's real log-prob and is counted —
+    so length-normalized selection divides every beam by exactly the number
+    of scored tokens.
+    """
+    return ((toks != vocab.PAD) | ~parent_frozen).astype(jnp.int32)
+
+
 def _apply_trie_and_topk(
     total: jax.Array,  # (B, C) candidate scores (C = V at t=1, K*V later)
     valid: Optional[jax.Array],  # (B, C) bool or None
@@ -271,9 +283,15 @@ def beam_decode(
                                       jnp.maximum(stepped, 0))
             else:
                 new_nodes = carry.nodes
-            parent_len = jnp.take_along_axis(carry.lengths, parents, axis=1)
-            new_lengths = jnp.where(toks == vocab.PAD, parent_len,
-                                    parent_len + 1)
+            if cfg.length_normalize:
+                parent_len = jnp.take_along_axis(carry.lengths, parents,
+                                                 axis=1)
+                parent_froz = jnp.take_along_axis(froz, parents, axis=1)
+                new_lengths = parent_len + _count_emitted(
+                    toks, parent_froz
+                )
+            else:
+                new_lengths = carry.lengths
             return (
                 BeamCarry(new_state, new_scores, toks, new_nodes,
                           new_lengths),

@@ -204,3 +204,14 @@ def test_bf16_training_step_runs(trained):
                jnp.asarray(targets), jnp.asarray(targets_eval),
                jnp.float32(0.1), jax.random.PRNGKey(0))
     assert np.isfinite(float(out.loss_sum))
+
+
+def test_count_emitted_semantics():
+    """Length counting: non-PAD always counts; PAD counts only when the
+    parent beam was still live (it scored PAD's real log-prob)."""
+    toks = jnp.array([[5, vocab.PAD, vocab.PAD, vocab.EOS]], jnp.int32)
+    parent_frozen = jnp.array([[False, False, True, False]])
+    got = np.asarray(decode._count_emitted(toks, parent_frozen))
+    # non-PAD live -> 1; first PAD from live parent -> 1;
+    # PAD continuation of frozen beam -> 0; EOS from live parent -> 1
+    assert got.tolist() == [[1, 1, 0, 1]]
