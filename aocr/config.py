@@ -85,6 +85,13 @@ class Config:
     compute_dtype: str = "float32"  # or "bfloat16"
     # Use Pallas-fused recurrent cells where available.
     use_pallas: bool = False
+    # Cache decoded images in RAM after first touch (the reference caches
+    # unconditionally, data_gen.lua:80; disable for datasets larger than
+    # host memory).
+    cache_images: bool = True
+    # Background data prefetch depth (batches prepared ahead while the
+    # device computes); 0 disables the prefetch thread.
+    prefetch: int = 2
     # Length-normalized beam selection: pick the final beam by
     # score / emitted-length instead of raw cumulative log-prob (the
     # reference uses raw scores; this is the BASELINE config-3 variant).
@@ -125,6 +132,7 @@ class Config:
 
 
 _BOOL_FLAGS = {
+    "cache_images",
     "length_normalize",
     "remat",
     "profile",
@@ -157,7 +165,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
             continue
         opts = [f"-{name}", f"--{name}"]
         if name in _BOOL_FLAGS:
-            p.add_argument(*opts, action="store_true", default=f.default)
+            if f.default:
+                # default-on booleans are disabled with -no_<name>
+                p.add_argument(
+                    f"-no_{name}", f"--no_{name}", dest=name,
+                    action="store_false", default=f.default,
+                )
+            else:
+                p.add_argument(*opts, action="store_true", default=f.default)
         elif f.type in ("float", float) or isinstance(f.default, float):
             p.add_argument(*opts, type=float, default=f.default)
         elif f.type in ("int", int) or isinstance(f.default, int):

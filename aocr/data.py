@@ -157,37 +157,55 @@ class DataGen:
         targets, targets_eval, nnz = vocab.encode_batch(labels)
         return Batch(images, targets, targets_eval, nnz, paths)
 
+    def _load_record(self, rec) -> Optional[np.ndarray]:
+        """Decode + validate one manifest record.  Returns the image or
+        None (undecodable / out-of-vocab — the reference's pcall-skip)."""
+        img = load_and_preprocess(
+            os.path.join(self.data_base_dir, rec[0]), self.cfg
+        )
+        if img is None:
+            return None
+        try:
+            vocab.encode(rec[1])
+        except ValueError:
+            return None  # label outside vocab: skip like a bad image
+        # Fair max-target-length cap (closes the reference's open TODO,
+        # README.md:12: the reference *asserts* when a batch's target
+        # length exceeds max_decoder_l, model.lua:264).
+        cap = self.cfg.max_decoder_l - 1
+        if len(rec[1]) > cap:
+            if not self._warned_truncate:
+                self._warned_truncate = True
+                print(f"Warning: truncating labels longer than {cap} "
+                      f"chars to fit max_decoder_l")
+            rec[1] = rec[1][:cap]
+        return img
+
+    # Record cache states: None = never touched, _BAD = known undecodable,
+    # _UNCACHED = decodable but not kept in RAM (cfg.cache_images=False),
+    # ndarray = cached decoded image (reference data_gen.lua:80).
+    _BAD = "bad"
+    _UNCACHED = "ok"
+
     def next_batch(self, batch_size: int) -> Optional[Batch]:
         while self.cursor < len(self.lines):
             rec = self.lines[self.cursor]
+            img = None
             if rec[2] is None:
-                img = load_and_preprocess(
-                    os.path.join(self.data_base_dir, rec[0]), self.cfg
-                )
-                if img is not None:
-                    try:
-                        vocab.encode(rec[1])
-                    except ValueError:
-                        img = None  # label outside vocab: skip like a bad image
-                if img is not None:
-                    # Fair max-target-length cap (closes the reference's
-                    # open TODO, README.md:12: the reference *asserts* when
-                    # a batch's target length exceeds max_decoder_l,
-                    # model.lua:264): truncate the label so targets fit.
-                    cap = self.cfg.max_decoder_l - 1
-                    if len(rec[1]) > cap:
-                        if not self._warned_truncate:
-                            self._warned_truncate = True
-                            print(
-                                f"Warning: truncating labels longer than "
-                                f"{cap} chars to fit max_decoder_l"
-                            )
-                        rec[1] = rec[1][:cap]
+                img = self._load_record(rec)
+                if img is None:
+                    rec[2] = self._BAD
+                elif self.cfg.cache_images:
                     rec[2] = img
-            if rec[2] is None:
+                else:
+                    rec[2] = self._UNCACHED
+            elif isinstance(rec[2], np.ndarray):
+                img = rec[2]
+            elif rec[2] is self._UNCACHED:
+                img = self._load_record(rec)
+            if img is None:
                 self.cursor += 1
                 continue
-            img = rec[2]
             img_w = img.shape[1]
             self.cursor += 1
             self.buffer.setdefault(img_w, []).append((img, rec[1], rec[0]))
@@ -206,3 +224,35 @@ class DataGen:
             if b is None:
                 return
             yield b
+
+
+def prefetched(iterator: Iterator[Batch], depth: int) -> Iterator[Batch]:
+    """Run `iterator` in a background thread, keeping up to `depth` batches
+    ready — host-side decode/bucketing overlaps device compute.  depth<=0
+    is a passthrough.  Worker exceptions re-raise in the consumer."""
+    if depth <= 0:
+        yield from iterator
+        return
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -289,7 +289,8 @@ class Trainer:
 
         for epoch in range(1, cfg.num_epochs + 1):
             train_data.shuffle()
-            for batch in train_data.epoch(cfg.batch_size):
+            for batch in data.prefetched(train_data.epoch(cfg.batch_size),
+                                         cfg.prefetch):
                 if cfg.profile and not profiling and profile_started_at is None:
                     trace_dir = os.path.join(cfg.output_dir, "profile")
                     os.makedirs(trace_dir, exist_ok=True)
@@ -359,7 +360,8 @@ class Trainer:
         num_samples = accuracy = 0
         cer = 0.0
         self.global_step = 0
-        for batch in test_data.epoch(cfg.batch_size):
+        for batch in data.prefetched(test_data.epoch(cfg.batch_size),
+                                     cfg.prefetch):
             _, acc, cer_sum = self.step_eval(batch)
             accuracy += acc
             cer += cer_sum

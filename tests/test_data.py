@@ -131,3 +131,38 @@ def test_overlong_label_truncated(tmp_path):
     row = [int(t) for t in b.targets_eval[0]]
     decoded = v.decode(row)
     assert decoded == "abcd"
+
+
+def test_prefetched_preserves_batches(tmp_path, cfg):
+    synth.make_dataset(str(tmp_path), [f"w{i}" for i in range(9)])
+    g1 = data.DataGen(str(tmp_path), "train.txt", cfg)
+    g2 = data.DataGen(str(tmp_path), "train.txt", cfg)
+    plain = list(g1.epoch(4))
+    pre = list(data.prefetched(g2.epoch(4), depth=2))
+    assert len(plain) == len(pre)
+    for a, b in zip(plain, pre):
+        np.testing.assert_array_equal(a.images, b.images)
+        np.testing.assert_array_equal(a.targets, b.targets)
+    # depth 0 passthrough
+    assert len(list(data.prefetched(g1.epoch(4), 0))) == len(plain)
+
+
+def test_prefetched_propagates_errors(tmp_path, cfg):
+    def boom():
+        yield 1
+        raise RuntimeError("worker died")
+    it = data.prefetched(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        next(it)
+
+
+def test_cache_disabled_redecodes(tmp_path):
+    cfg = Config(batch_size=2, cache_images=False, seed=0)
+    synth.make_dataset(str(tmp_path), ["ab", "cd"])
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg)
+    b1 = list(gen.epoch(2))
+    b2 = list(gen.epoch(2))
+    np.testing.assert_array_equal(b1[0].images, b2[0].images)
+    # no ndarrays held in the manifest records
+    assert not any(isinstance(r[2], np.ndarray) for r in gen.lines)
