@@ -110,6 +110,10 @@ def greedy_decode(
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     context, dec_init, _ = model.encode(params, batch_stats, images, cfg,
                                         train=False)
+    # Cast the (loop-invariant) context to the compute dtype ONCE here —
+    # casting inside the scan would re-materialize the (B, L, H) array
+    # every decode step.
+    context = context.astype(cd)
     B = context.shape[0]
     dec_params = params["decoder"]
     proj = params["projector"]
@@ -129,51 +133,51 @@ def greedy_decode(
     nodes0 = (jnp.maximum(trie_table[0][tokens0], 0) if use_trie
               else jnp.zeros((B,), jnp.int32))
 
-    def scan_body(carry, _):
-        state, score, prev, nodes = carry
-        all_done = jnp.all((prev == vocab.PAD) | (prev == vocab.EOS))
+    # lax.while_loop instead of a fixed-length scan: iteration stops the
+    # moment every sequence has emitted EOS (the reference always runs all
+    # max_decoder_l steps, model.lua:266-274 — transcript-identical since
+    # frozen sequences only ever append PAD).  Token history lives in a
+    # preallocated (T, B) buffer written with dynamic_update_slice.
+    tok_buf = jnp.full((max_len, B), vocab.PAD, jnp.int32)
+    tok_buf = tok_buf.at[0].set(tokens0)
 
-        def run(args):
-            state, score, prev, nodes = args
-            st, h_t = decoder.step(
-                dec_params, state, prev, context,
-                input_feed=cfg.input_feed, compute_dtype=cd,
-                use_pallas=cfg.use_pallas,
-            )
-            lp = head.apply(proj, h_t, compute_dtype=cd)
-            froz = (prev == vocab.PAD) | (prev == vocab.EOS)
-            lp = lp.at[:, vocab.PAD].set(
-                jnp.where(froz, 0.0, lp[:, vocab.PAD])
-            )
-            if use_trie:
-                NEG = jnp.float32(-1e30)
-                ok = trie_table[nodes] >= 0
-                ok = ok.at[:, vocab.PAD].set(True)
-                lp = jnp.where(ok, lp, NEG)
-            tok = jnp.argmax(lp, axis=1).astype(jnp.int32)
-            score2 = score + jnp.max(lp, axis=1)
-            if use_trie:
-                stepped = trie_table[nodes, tok]
-                nodes2 = jnp.where(tok == vocab.PAD, nodes,
-                                   jnp.maximum(stepped, 0))
-            else:
-                nodes2 = nodes
-            return (st, score2, tok, nodes2), tok
+    def w_cond(carry):
+        t, _state, _score, prev, _nodes, _buf = carry
+        return (t < max_len) & ~jnp.all(
+            (prev == vocab.PAD) | (prev == vocab.EOS)
+        )
 
-        def skip(args):
-            state, score, prev, nodes = args
-            return (state, score, prev, nodes), jnp.full(
-                (B,), vocab.PAD, jnp.int32
-            )
+    def w_body(carry):
+        t, state, score, prev, nodes, buf = carry
+        st, h_t = decoder.step(
+            dec_params, state, prev, context,
+            input_feed=cfg.input_feed, compute_dtype=cd,
+            use_pallas=cfg.use_pallas,
+        )
+        lp = head.apply(proj, h_t, compute_dtype=cd)
+        froz = (prev == vocab.PAD) | (prev == vocab.EOS)
+        lp = lp.at[:, vocab.PAD].set(
+            jnp.where(froz, 0.0, lp[:, vocab.PAD])
+        )
+        if use_trie:
+            NEG = jnp.float32(-1e30)
+            ok = trie_table[nodes] >= 0
+            ok = ok.at[:, vocab.PAD].set(True)
+            lp = jnp.where(ok, lp, NEG)
+        tok = jnp.argmax(lp, axis=1).astype(jnp.int32)
+        score = score + jnp.max(lp, axis=1)
+        if use_trie:
+            stepped = trie_table[nodes, tok]
+            nodes = jnp.where(tok == vocab.PAD, nodes,
+                              jnp.maximum(stepped, 0))
+        buf = lax.dynamic_update_slice(buf, tok[None], (t, 0))
+        return (t + 1, st, score, tok, nodes, buf)
 
-        return lax.cond(all_done, skip, run, (state, score, prev, nodes))
-
-    (_, scores, _, _), tok_hist = lax.scan(
-        scan_body, (state, scores0, tokens0, nodes0), None, length=max_len - 1
+    (_, _, scores, _, _, tok_buf) = lax.while_loop(
+        w_cond, w_body, (jnp.int32(1), state, scores0, tokens0, nodes0,
+                         tok_buf)
     )
-    labels = jnp.concatenate(
-        [tokens0[:, None], jnp.swapaxes(tok_hist, 0, 1)], axis=1
-    )
+    labels = jnp.swapaxes(tok_buf, 0, 1)  # (B, T)
     return labels, scores
 
 
@@ -205,6 +209,7 @@ def beam_decode(
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     context, dec_init, _ = model.encode(params, batch_stats, images, cfg, train=False)
+    context = context.astype(cd)  # once, outside the scan (see greedy_decode)
     B = context.shape[0]
     dec_params = params["decoder"]
     proj = params["projector"]
