@@ -92,6 +92,9 @@ class Config:
     # Background data prefetch depth (batches prepared ahead while the
     # device computes); 0 disables the prefetch thread.
     prefetch: int = 2
+    # Image-decode thread pool size (PIL releases the GIL during decode,
+    # so decodes parallelize); 0 decodes inline on the batching thread.
+    decode_workers: int = 8
     # Length-normalized beam selection: pick the final beam by
     # score / emitted-length instead of raw cumulative log-prob (the
     # reference uses raw scores; this is the BASELINE config-3 variant).

@@ -80,6 +80,13 @@ def _bilinear_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return top * (1 - wy) + bot * wy
 
 
+def _target_width(w: int, h: int, cfg: Config) -> int:
+    aspect = np.clip(w / h, cfg.min_aspect_ratio, cfg.max_aspect_ratio)
+    if cfg.keep_aspect_ratio:
+        return int(np.ceil(aspect * cfg.image_height))
+    return cfg.image_width  # reference hard-codes 100 (data_gen.lua:78)
+
+
 def load_and_preprocess(
     path: str, cfg: Config
 ) -> Optional[np.ndarray]:
@@ -97,17 +104,26 @@ def load_and_preprocess(
             from PIL import Image
 
             with Image.open(path) as im:
-                arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
+                rgb = im.convert("RGB")
+                w, h = rgb.size
+                if h == 0 or w == 0:
+                    return None
+                img_w = _target_width(w, h, cfg)
+                # Fast path: raw bytes -> C++ luminance+resize with the GIL
+                # released (decode threads scale); numpy fallback below.
+                out = native.luminance_resize_u8(
+                    rgb.tobytes(), h, w, 3, cfg.image_height, img_w
+                )
+                if out is not None:
+                    return out
+                arr = np.asarray(rgb, np.float32) / 255.0
             img = _rgb_to_luminance(arr) * 255.0
     except Exception:
         return None
     h, w = img.shape
     if h == 0 or w == 0:
         return None
-    aspect = np.clip(w / h, cfg.min_aspect_ratio, cfg.max_aspect_ratio)
-    img_w = int(np.ceil(aspect * cfg.image_height))
-    if not cfg.keep_aspect_ratio:
-        img_w = cfg.image_width  # reference hard-codes 100 (data_gen.lua:78)
+    img_w = _target_width(w, h, cfg)
     out = native.luminance_resize(img, cfg.image_height, img_w)
     if out is not None:
         return out
@@ -137,6 +153,15 @@ class DataGen:
         self.cursor = 0
         self.buffer: Dict[int, List] = {}
         self._warned_truncate = False
+        self._pool = None
+        self._pending: Dict[int, object] = {}  # id(rec) -> Future
+        if cfg.decode_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=cfg.decode_workers,
+                thread_name_prefix="aocr-decode",
+            )
 
     def size(self) -> int:
         return len(self.lines)
@@ -157,12 +182,31 @@ class DataGen:
         targets, targets_eval, nnz = vocab.encode_batch(labels)
         return Batch(images, targets, targets_eval, nnz, paths)
 
+    def _schedule_lookahead(self) -> None:
+        """Submit decodes for upcoming records to the thread pool (PIL
+        releases the GIL, so decodes run concurrently with batching and
+        with each other).  Keyed by record identity so shuffles are safe."""
+        window = self.cfg.decode_workers * 4
+        for j in range(self.cursor, min(self.cursor + window,
+                                        len(self.lines))):
+            rec = self.lines[j]
+            needs_decode = rec[2] is None or rec[2] is self._UNCACHED
+            if needs_decode and id(rec) not in self._pending:
+                path = os.path.join(self.data_base_dir, rec[0])
+                self._pending[id(rec)] = self._pool.submit(
+                    load_and_preprocess, path, self.cfg
+                )
+
     def _load_record(self, rec) -> Optional[np.ndarray]:
         """Decode + validate one manifest record.  Returns the image or
         None (undecodable / out-of-vocab — the reference's pcall-skip)."""
-        img = load_and_preprocess(
-            os.path.join(self.data_base_dir, rec[0]), self.cfg
-        )
+        fut = self._pending.pop(id(rec), None)
+        if fut is not None:
+            img = fut.result()
+        else:
+            img = load_and_preprocess(
+                os.path.join(self.data_base_dir, rec[0]), self.cfg
+            )
         if img is None:
             return None
         try:
@@ -192,6 +236,8 @@ class DataGen:
             rec = self.lines[self.cursor]
             img = None
             if rec[2] is None:
+                if self._pool is not None:
+                    self._schedule_lookahead()
                 img = self._load_record(rec)
                 if img is None:
                     rec[2] = self._BAD
@@ -202,6 +248,8 @@ class DataGen:
             elif isinstance(rec[2], np.ndarray):
                 img = rec[2]
             elif rec[2] is self._UNCACHED:
+                if self._pool is not None:
+                    self._schedule_lookahead()
                 img = self._load_record(rec)
             if img is None:
                 self.cursor += 1

@@ -40,6 +40,11 @@ def _lib() -> Optional[ctypes.CDLL]:
                     _f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                     _f32p, ctypes.c_int, ctypes.c_int,
                 ]
+                _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+                lib.aocr_luminance_resize_u8.argtypes = [
+                    _u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    _f32p, ctypes.c_int, ctypes.c_int,
+                ]
                 lib.aocr_edit_distance_batch.argtypes = [
                     _i32p, _i32p, ctypes.c_int, ctypes.c_int,
                     ctypes.c_int, _i32p,
@@ -73,6 +78,22 @@ def luminance_resize(
     h, w, c = img.shape
     out = np.empty((out_h, out_w), np.float32)
     lib.aocr_luminance_resize(img, h, w, c, out, out_h, out_w)
+    return out
+
+
+def luminance_resize_u8(
+    raw: bytes, h: int, w: int, c: int, out_h: int, out_w: int
+) -> Optional[np.ndarray]:
+    """Raw uint8 pixel bytes (h, w, c) -> (out_h, out_w) float32 luminance.
+    The whole conversion runs in C with the GIL released."""
+    lib = _lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(raw, np.uint8)
+    if arr.size != h * w * c:
+        return None
+    out = np.empty((out_h, out_w), np.float32)
+    lib.aocr_luminance_resize_u8(arr, h, w, c, out, out_h, out_w)
     return out
 
 

@@ -70,6 +70,26 @@ void aocr_luminance_resize(const float* in, int h, int w, int c,
   }
 }
 
+// uint8 RGB (or gray) image -> luminance in [0, 255], bilinear-resized.
+// Operates directly on PIL's raw bytes so the Python side does no float
+// math (ctypes releases the GIL for the whole call, letting decode worker
+// threads scale).
+void aocr_luminance_resize_u8(const unsigned char* in, int h, int w, int c,
+                              float* out, int oh, int ow) {
+  std::vector<float> lum(static_cast<size_t>(h) * w);
+  if (c >= 3) {
+    for (int i = 0; i < h * w; ++i) {
+      const unsigned char* p = in + static_cast<size_t>(i) * c;
+      lum[i] = 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+    }
+  } else {
+    for (int i = 0; i < h * w; ++i) {
+      lum[i] = static_cast<float>(in[static_cast<size_t>(i) * c]);
+    }
+  }
+  aocr_luminance_resize(lum.data(), h, w, 1, out, oh, ow);
+}
+
 // Batched EOS-truncated Levenshtein distance over token id rows.
 // pred, gold: (batch, t) int32; eos: EOS token id; out: (batch,) int32.
 void aocr_edit_distance_batch(const int32_t* pred, const int32_t* gold,
