@@ -163,6 +163,15 @@ class DataGen:
                 thread_name_prefix="aocr-decode",
             )
 
+    def shard(self, shard_id: int, num_shards: int) -> "DataGen":
+        """Keep only this host's slice of the manifest (multi-host data
+        parallelism: each process feeds its own rows).  Returns self."""
+        assert 0 <= shard_id < num_shards
+        self.lines = self.lines[shard_id::num_shards]
+        self.cursor = 0
+        self.buffer.clear()
+        return self
+
     def size(self) -> int:
         return len(self.lines)
 

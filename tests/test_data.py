@@ -166,3 +166,14 @@ def test_cache_disabled_redecodes(tmp_path):
     np.testing.assert_array_equal(b1[0].images, b2[0].images)
     # no ndarrays held in the manifest records
     assert not any(isinstance(r[2], np.ndarray) for r in gen.lines)
+
+
+def test_shard_partitions_manifest(tmp_path, cfg):
+    synth.make_dataset(str(tmp_path), [f"w{i}" for i in range(10)])
+    gens = [data.DataGen(str(tmp_path), "train.txt", cfg).shard(i, 3)
+            for i in range(3)]
+    sizes = [g.size() for g in gens]
+    assert sum(sizes) == 10 and sizes == [4, 3, 3]
+    all_paths = sorted(p for g in gens for p, *_ in g.lines)
+    full = data.DataGen(str(tmp_path), "train.txt", cfg)
+    assert all_paths == sorted(p for p, *_ in full.lines)
