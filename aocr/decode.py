@@ -245,9 +245,24 @@ def beam_decode(
         lengths=jnp.ones((B, K), jnp.int32),
     )
 
-    def scan_body(carry: BeamCarry, _):
-        frozen = (carry.prev_tokens == vocab.PAD) | (carry.prev_tokens == vocab.EOS)
-        all_done = jnp.all(frozen)
+    # lax.while_loop: iteration stops once every beam is frozen (the
+    # reference runs all max_decoder_l steps; transcript-identical because
+    # frozen beams only ever self-continue as PAD — the history buffers are
+    # pre-filled with exactly that: PAD tokens and identity parents).
+    tok_buf = jnp.full((T, B, K), vocab.PAD, jnp.int32)
+    tok_buf = tok_buf.at[0].set(tokens0)
+    par_buf = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None, None, :], (T, B, K)
+    )
+
+    def w_cond(loop):
+        t, carry, _tb, _pb = loop
+        frozen = ((carry.prev_tokens == vocab.PAD)
+                  | (carry.prev_tokens == vocab.EOS))
+        return (t < T) & ~jnp.all(frozen)
+
+    def w_body(loop):
+        t, carry, tok_buf, par_buf = loop
 
         def run(carry: BeamCarry):
             st, h_t = decoder.step(
@@ -303,23 +318,17 @@ def beam_decode(
                 (toks, parents),
             )
 
-        def skip(carry: BeamCarry):
-            # All beams frozen: each continues as PAD with itself as parent.
-            toks = jnp.full((B, K), vocab.PAD, jnp.int32)
-            parents = jnp.broadcast_to(jnp.arange(K)[None, :], (B, K))
-            return carry, (toks, parents)
+        carry2, (toks, parents) = run(carry)
+        tok_buf = lax.dynamic_update_slice(tok_buf, toks[None], (t, 0, 0))
+        par_buf = lax.dynamic_update_slice(par_buf, parents[None], (t, 0, 0))
+        return (t + 1, carry2, tok_buf, par_buf)
 
-        return lax.cond(all_done, skip, run, carry)
-
-    carry, (tok_hist, par_hist) = lax.scan(
-        scan_body, carry0, None, length=T - 1
+    (_, carry, tok_hist, par_hist) = lax.while_loop(
+        w_cond, w_body, (jnp.int32(1), carry0, tok_buf, par_buf)
     )
-    # Full histories including t=1 (parents at t=1 are unused by backtracking,
-    # matching the reference where the final parent lookup is discarded).
-    tok_hist = jnp.concatenate([tokens0[None], tok_hist], axis=0)  # (T, B, K)
-    par_hist = jnp.concatenate(
-        [jnp.zeros((1, B, K), par_hist.dtype), par_hist], axis=0
-    )
+    # Histories include t=1 (parents at t=1 are unused by backtracking,
+    # matching the reference where the final parent lookup is discarded);
+    # post-exit rows keep the PAD/identity prefill.
 
     # ---- backtrack best beam (reference model.lua:573-585) ----
     if cfg.length_normalize:
