@@ -16,3 +16,13 @@ ICI mesh, and optional Pallas-fused recurrent cells.
 __version__ = "0.1.0"
 
 from aocr.config import Config  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy: importing AttentionOCR pulls in jax/model code, which top-level
+    # `import aocr` users (e.g. the config-only CLI parse path) shouldn't pay.
+    if name == "AttentionOCR":
+        from aocr.api import AttentionOCR
+
+        return AttentionOCR
+    raise AttributeError(f"module 'aocr' has no attribute {name!r}")
