@@ -65,3 +65,13 @@ def test_mixed_width_paths_rejected(ocr, tmp_path):
     with pytest.raises(AssertionError):
         ocr2.recognize([str(tmp_path / "images/0000_ab.npy"),
                         str(tmp_path / "wide.npy")])
+
+
+def test_serving_flow_with_device_preprocess(ocr, np_rng):
+    """Raw uint8 RGB batch -> jit preprocess -> recognize (serving path)."""
+    from aocr import preprocess
+
+    raw = np_rng.randint(0, 256, (2, 48, 160, 3)).astype(np.uint8)
+    images = preprocess.preprocess_batch(raw, 32, 32)
+    words, scores = ocr.recognize(np.asarray(images))
+    assert len(words) == 2 and scores.shape == (2,)
