@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import shutil
 from typing import Any, Dict, Optional
 
 import jax
@@ -57,8 +58,7 @@ def save(
     os.replace(tmp, path)
     if publish_final:
         final_tmp = os.path.join(model_dir, f".{FINAL_NAME}.tmp")
-        with open(path, "rb") as src, open(final_tmp, "wb") as dst:
-            dst.write(src.read())
+        shutil.copyfile(path, final_tmp)  # bounded-buffer copy
         os.replace(final_tmp, os.path.join(model_dir, FINAL_NAME))
     return path
 

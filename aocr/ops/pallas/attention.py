@@ -31,7 +31,12 @@ B_TILE = 64
 def _attn_kernel(h_ref, ctx_ref, wa_ref, wc_ref, out_ref):
     h = h_ref[:]  # (Bt, H)
     context = ctx_ref[:]  # (Bt, L, H)
-    q = jnp.dot(h, wa_ref[:], preferred_element_type=jnp.float32)  # (Bt, H)
+    # Same precision policy as aocr/ops/mm.py: f32 operands get full-
+    # precision MXU passes (dtype is static at trace time).
+    prec = (jax.lax.Precision.HIGHEST if h.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    q = jnp.dot(h, wa_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)  # (Bt, H)
     scores = jnp.sum(
         context.astype(jnp.float32) * q[:, None, :], axis=-1
     )  # (Bt, L)
@@ -42,8 +47,10 @@ def _attn_kernel(h_ref, ctx_ref, wa_ref, wc_ref, out_ref):
     H = h.shape[-1]
     wc = wc_ref[:]
     pre = (
-        jnp.dot(ctx.astype(wc.dtype), wc[:H], preferred_element_type=jnp.float32)
-        + jnp.dot(h, wc[H:], preferred_element_type=jnp.float32)
+        jnp.dot(ctx.astype(wc.dtype), wc[:H], precision=prec,
+                preferred_element_type=jnp.float32)
+        + jnp.dot(h, wc[H:], precision=prec,
+                  preferred_element_type=jnp.float32)
     )
     out_ref[:] = jnp.tanh(pre)
 

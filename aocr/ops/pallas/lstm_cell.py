@@ -57,8 +57,13 @@ def _cell_kernel(xproj_ref, h_ref, c_ref, wh_ref, b_ref, c_out_ref, h_out_ref):
     h block:     (B, H) full previous hidden state
     c block:     (B, TILE) previous cell state for tile j
     """
+    h = h_ref[:]
+    # mm.py precision policy: f32 operands get full-precision MXU passes.
+    prec = (jax.lax.Precision.HIGHEST if h.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     gates = (
-        jnp.dot(h_ref[:], wh_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(h, wh_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)
         + xproj_ref[:]
         + b_ref[:]
     )

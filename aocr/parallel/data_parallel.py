@@ -45,7 +45,7 @@ def _forward_loss_crossreplica_bn(
     h_tildes = decoder.teacher_forced(
         params["decoder"], dec_init, targets, context,
         input_feed=cfg.input_feed, dropout=cfg.dropout, train=True,
-        dropout_rng=dropout_rng, compute_dtype=cd,
+        dropout_rng=dropout_rng, compute_dtype=cd, remat=cfg.remat,
     )
     log_probs = head.apply(params["projector"], h_tildes, compute_dtype=cd)
     from aocr import loss as loss_lib
@@ -63,8 +63,11 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
     n_data = mesh.shape[DATA_AXIS]
 
     def local_step(params, batch_stats, opt_state, images, targets,
-                   targets_eval, lr, rng):
-        global_bs = images.shape[0] * n_data
+                   targets_eval, lr, rng, real_bs):
+        # real_bs: the un-padded global batch size.  Partial final buckets
+        # are padded with zero-loss PAD rows to stay shardable; loss/grad
+        # normalization must still use the true sample count (the reference
+        # divides by the real batch size, model.lua:645-647).
         my = jax.lax.axis_index(DATA_AXIS)
         rng = jax.random.fold_in(rng, my)
 
@@ -72,7 +75,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
             nll, new_stats = _forward_loss_crossreplica_bn(
                 p, batch_stats, images, targets, targets_eval, cfg, rng
             )
-            return nll / global_bs, new_stats
+            return nll / real_bs, new_stats
 
         (mean_loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -92,7 +95,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
-            loss_sum=mean_loss * global_bs,
+            loss_sum=mean_loss * real_bs,
             grad_norms=norms,
         )
 
@@ -101,7 +104,7 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
     shmapped = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(rep, rep, rep, sharded, sharded, sharded, rep, rep),
+        in_specs=(rep, rep, rep, sharded, sharded, sharded, rep, rep, rep),
         out_specs=TrainOutput(
             params=rep, batch_stats=rep, opt_state=rep,
             loss_sum=rep, grad_norms=rep,
@@ -109,4 +112,14 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
         check_vma=False,
     )
     donate = (0, 2) if cfg.prealloc else ()
-    return jax.jit(shmapped, donate_argnums=donate)
+
+    def step(params, batch_stats, opt_state, images, targets, targets_eval,
+             lr, rng, real_bs=None):
+        if real_bs is None:
+            real_bs = images.shape[0]
+        return _jitted(params, batch_stats, opt_state, images, targets,
+                       targets_eval, lr, rng,
+                       jnp.asarray(real_bs, jnp.float32))
+
+    _jitted = jax.jit(shmapped, donate_argnums=donate)
+    return step

@@ -18,10 +18,7 @@ single-device, jitted with in/out shardings.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aocr import optim
@@ -66,9 +63,9 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 
 
 def make_tp_train_step(cfg: Config, mesh: Mesh):
-    """Jitted DP x TP train step.  Params must be placed with shard_params;
+    """Jitted DP x TP train step.  Params must be placed with shard_params
+    (their shardings are inferred from the inputs and propagated by GSPMD);
     batch arrays sharded over DATA_AXIS (mesh_lib.shard_batch)."""
-    pspecs = param_pspecs  # closed over below
 
     def step(params, batch_stats, opt_state, images, targets, targets_eval,
              lr, rng):
@@ -77,8 +74,6 @@ def make_tp_train_step(cfg: Config, mesh: Mesh):
 
     def sh(spec):
         return NamedSharding(mesh, spec)
-
-    dummy_specs = None  # shardings inferred from inputs; constrain outputs
 
     return jax.jit(
         step,

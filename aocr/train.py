@@ -73,7 +73,15 @@ class Trainer:
                                "eval_counter": 0}
         self.cfg = cfg.validate()
         if self.cfg.optimizer == "adadelta":
-            self.opt_state = optim.adadelta_init(self.params)
+            saved_acc = self.optim_meta.get("adadelta")
+            if saved_acc is not None:
+                self.opt_state = optim.AdadeltaState(
+                    acc_grad=jax.tree.map(jnp.asarray, saved_acc["acc_grad"]),
+                    acc_delta=jax.tree.map(jnp.asarray,
+                                           saved_acc["acc_delta"]),
+                )
+            else:
+                self.opt_state = optim.adadelta_init(self.params)
         else:
             self.opt_state = optim.SGDState(
                 eval_counter=jnp.asarray(
@@ -118,6 +126,7 @@ class Trainer:
         idles waiting on the host)."""
         self._rng, sub = jax.random.split(self._rng)
         im, tg, te = batch.images, batch.targets, batch.targets_eval
+        real_bs = im.shape[0]
         if self.mesh is not None:
             from aocr.parallel import mesh as mesh_lib
 
@@ -131,20 +140,17 @@ class Trainer:
                 tg = np.concatenate([tg, ztg], 0)
                 te = np.concatenate([te, ztg], 0)
             im, tg, te = mesh_lib.shard_batch(self.mesh, im, tg, te)
+            out = self._train_step(
+                self.params, self.batch_stats, self.opt_state,
+                im, tg, te, jnp.asarray(lr, jnp.float32), sub,
+                real_bs=real_bs,
+            )
         else:
-            im = jnp.asarray(im)
-            tg = jnp.asarray(tg)
-            te = jnp.asarray(te)
-        out = self._train_step(
-            self.params,
-            self.batch_stats,
-            self.opt_state,
-            im,
-            tg,
-            te,
-            jnp.asarray(lr, jnp.float32),
-            sub,
-        )
+            out = self._train_step(
+                self.params, self.batch_stats, self.opt_state,
+                jnp.asarray(im), jnp.asarray(tg), jnp.asarray(te),
+                jnp.asarray(lr, jnp.float32), sub,
+            )
         self.params = out.params
         self.batch_stats = out.batch_stats
         self.opt_state = out.opt_state
@@ -182,10 +188,20 @@ class Trainer:
         )
         accuracy = B - word_err
         # normalized edit distance (the reference's open WER TODO,
-        # README.md:11) — native C++ path when built, numpy otherwise
+        # README.md:11).  Both the native and numpy paths operate on the
+        # *decoded strings* (PAD/GO stripped, truncated at EOS) so the
+        # reported CER is identical whether or not the C++ library is built.
         from aocr.utils import native as native_lib
 
-        dists = native_lib.edit_distance_batch(labels_np, targets_eval,
+        width = max(max((len(p) for p in preds), default=0),
+                    max((len(g) for g in golds), default=0)) + 1
+        def rows(strs):
+            out = np.full((len(strs), width), vocab.PAD, np.int32)
+            for i, s_ in enumerate(strs):
+                ids = [vocab.char_to_id(c) for c in s_] + [vocab.EOS]
+                out[i, :len(ids)] = ids
+            return out
+        dists = native_lib.edit_distance_batch(rows(preds), rows(golds),
                                                vocab.EOS)
         if dists is None:
             dists = np.array([
@@ -216,6 +232,7 @@ class Trainer:
         )
         val_loss = val_nnz = val_acc = val_samples = 0
         b = 1
+        empty_sweeps = 0
         while b <= cfg.num_batches_val:
             if b % 100 == 0:
                 self.log.info(str(b))
@@ -224,7 +241,14 @@ class Trainer:
                 val_data.shuffle()
                 if math.isinf(cfg.num_batches_val):
                     break
+                empty_sweeps += 1
+                if empty_sweeps >= 2 and val_samples == 0:
+                    self.log.info(
+                        "Warning: validation data produced no batches"
+                    )
+                    break
                 continue
+            empty_sweeps = 0
             loss, acc, _cer = self.step_eval(batch)
             val_loss += loss
             val_nnz += batch.num_nonzeros
@@ -236,6 +260,11 @@ class Trainer:
     def _save(self) -> None:
         if isinstance(self.opt_state, optim.SGDState):
             self.optim_meta["eval_counter"] = int(self.opt_state.eval_counter)
+        elif isinstance(self.opt_state, optim.AdadeltaState):
+            self.optim_meta["adadelta"] = {
+                "acc_grad": self.opt_state.acc_grad,
+                "acc_delta": self.opt_state.acc_delta,
+            }
         path = checkpoint.save(
             self.cfg.model_dir,
             self.params,
@@ -309,11 +338,13 @@ class Trainer:
                     profiling = False
                     log.info("Profiler trace stopped")
                 # Running perplexity from pre-update sums (reference
-                # train.lua:103 logs before accumulating).
+                # train.lua:103 logs before accumulating): drain first so
+                # the sums cover steps 1..t-1, keeping exactly one step in
+                # flight.
+                drain(limit=1)
                 ppl = (math.exp(min(loss / num_nonzeros, 700))
                        if num_nonzeros else float("nan"))
                 log.info(f"{ppl:f}")
-                drain(limit=1)
                 self.global_step += 1
                 if self.global_step % cfg.steps_per_checkpoint == 0:
                     drain()
@@ -347,6 +378,9 @@ class Trainer:
                 f"{math.exp(min(val_loss / max(val_nnz, 1), 700)):f}"
             )
             decay_lr(val_loss)
+        if profiling:
+            jax.profiler.stop_trace()
+            log.info("Profiler trace stopped (end of training)")
 
     def run_test(self, test_data: data.DataGen):
         cfg, log = self.cfg, self.log
