@@ -39,6 +39,30 @@ from aocr.models import model
 from aocr.utils import trie as trie_lib
 from aocr.utils.logging_util import Logger
 
+class ValDrivenLR:
+    """Validation-driven learning-rate schedule (reference
+    src/train.lua:87-89,164-168): start at max(initial, floor); multiply by
+    `decay` whenever validation loss fails to improve, floored at `minimum`.
+    Raw val-loss *sums* are compared, exactly as the reference does."""
+
+    def __init__(self, initial: float, minimum: float, decay: float):
+        self.lr = max(initial, minimum)
+        self.minimum = minimum
+        self.decay = decay
+        self.prev_val_loss: Optional[float] = None
+
+    def update(self, val_loss: float) -> bool:
+        """Record a validation result; returns True if the LR decayed."""
+        decayed = False
+        if (self.prev_val_loss is not None
+                and val_loss > self.prev_val_loss
+                and self.lr > self.minimum):
+            self.lr = max(self.lr * self.decay, self.minimum)
+            decayed = True
+        self.prev_val_loss = val_loss
+        return decayed
+
+
 # Structure fields restored from a checkpoint on load (reference
 # model.lua:63-77); everything else follows the CLI.
 _STRUCT_FIELDS = (
@@ -279,21 +303,18 @@ class Trainer:
 
     def run_train(self, train_data: data.DataGen, val_data: data.DataGen):
         cfg, log = self.cfg, self.log
-        lr = max(self.optim_meta.get("learning_rate", cfg.learning_rate),
-                 cfg.learning_rate_min)
-        self.optim_meta["learning_rate"] = lr
-        log.info(f"Lr: {lr:f}")
-        prev_val_loss: Optional[float] = None
+        sched = ValDrivenLR(
+            self.optim_meta.get("learning_rate", cfg.learning_rate),
+            cfg.learning_rate_min, cfg.lr_decay,
+        )
+        self.optim_meta["learning_rate"] = sched.lr
+        log.info(f"Lr: {sched.lr:f}")
         loss = num_nonzeros = 0
 
         def decay_lr(val_loss):
-            nonlocal prev_val_loss, lr
-            if (prev_val_loss is not None and val_loss > prev_val_loss
-                    and lr > cfg.learning_rate_min):
-                lr = max(lr * cfg.lr_decay, cfg.learning_rate_min)
-                self.optim_meta["learning_rate"] = lr
-                log.info(f"Decay lr, current Lr: {lr:f}")
-            prev_val_loss = val_loss
+            if sched.update(val_loss):
+                self.optim_meta["learning_rate"] = sched.lr
+                log.info(f"Decay lr, current Lr: {sched.lr:f}")
 
         import os
         import time as _time
@@ -327,7 +348,7 @@ class Trainer:
                     profiling = True
                     profile_started_at = self.global_step
                     log.info(f"Profiler trace started -> {trace_dir}")
-                step_loss = self.step_train(batch, lr)
+                step_loss = self.step_train(batch, sched.lr)
                 inflight.append((step_loss, batch.num_nonzeros))
                 steps_in_window += 1
                 window_images += batch.images.shape[0]

@@ -99,3 +99,27 @@ def test_variable_width_buckets(tmp_path):
     ] + ARGS_NET)
     log = open(os.path.join(d, "log.txt")).read()
     assert "Number of samples 4" in log
+
+
+def test_val_driven_lr_schedule():
+    """Reference LR semantics (train.lua:87-89,164-168): decay only when val
+    loss increases, floor clamp, resume-above-floor."""
+    from aocr.train import ValDrivenLR
+
+    s = ValDrivenLR(initial=0.1, minimum=0.001, decay=0.5)
+    assert s.lr == 0.1
+    assert not s.update(10.0)          # first result: no decay
+    assert not s.update(9.0)           # improved: no decay
+    assert s.update(9.5) and s.lr == 0.05   # worsened: decay
+    assert s.update(9.6) and s.lr == 0.025
+    # equality is NOT an increase
+    assert not s.update(9.6)
+    # floor clamp
+    for _ in range(10):
+        s.update(s.prev_val_loss + 1.0)
+    assert s.lr == 0.001
+    # at the floor, no further decay reported
+    assert not s.update(s.prev_val_loss + 1.0)
+    # resume below the floor clamps up
+    s2 = ValDrivenLR(initial=1e-5, minimum=0.001, decay=0.5)
+    assert s2.lr == 0.001
