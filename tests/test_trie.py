@@ -67,3 +67,22 @@ def test_skips_out_of_vocab_words():
 def test_case_folding():
     table = trie.build_transition_table(["CaT"])
     assert _walk(table, "cat") is not None
+
+
+def test_synth90k_scale_dictionary():
+    """The Synth90k lexicon is ~88k words (SURVEY.md section 6); the dense
+    transition table must stay device-friendly at that scale."""
+    import random
+
+    rng = random.Random(0)
+    chars = "abcdefghijklmnopqrstuvwxyz"
+    words = {"".join(rng.choice(chars) for _ in range(rng.randint(3, 12)))
+             for _ in range(88_000)}
+    table = trie.build_transition_table(words)
+    # every word resolvable and terminated
+    for w in list(words)[:200]:
+        node = _walk(table, w)
+        assert node is not None and table[node, vocab.EOS] >= 0
+    # dense table memory stays modest (< 200 MB int32)
+    assert table.nbytes < 200 * 1024 * 1024
+    assert table.dtype == np.int32
