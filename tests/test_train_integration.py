@@ -215,3 +215,24 @@ def test_count_emitted_semantics():
     # non-PAD live -> 1; first PAD from live parent -> 1;
     # PAD continuation of frozen beam -> 0; EOS from live parent -> 1
     assert got.tolist() == [[1, 1, 0, 1]]
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_beam_fuzz_matches_host_reference(seed):
+    """Device beam vs host oracle on random (untrained) models — exercises
+    top-k/gather/backtrack paths away from the near-deterministic overfit
+    fixture."""
+    cfg = Config(input_feed=(seed % 2 == 0), encoder_num_hidden=16,
+                 target_embedding_size=4, max_decoder_l=6,
+                 image_width=32).validate()
+    ms = model.init(jax.random.PRNGKey(seed), cfg)
+    imgs = jnp.asarray(np.random.RandomState(seed).uniform(
+        0, 255, (3, 32, 32, 1)).astype(np.float32))
+    dev_labels, dev_scores = decode.beam_decode(
+        ms.params, ms.batch_stats, imgs, cfg, beam_size=2, max_len=6)
+    ref_labels, ref_scores = _reference_beam(
+        ms.params, ms.batch_stats, imgs, cfg, 2, 6)
+    assert [vocab.decode(r) for r in np.asarray(dev_labels)] == \
+        [vocab.decode(r) for r in ref_labels]
+    np.testing.assert_allclose(np.asarray(dev_scores), ref_scores,
+                               rtol=1e-3, atol=1e-3)
