@@ -11,8 +11,7 @@ steps instead of T^2 scalar steps, so it runs as one jitted XLA program).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 # (out_channels, kernel_hw, stride, padding, batch_norm?) per conv layer.

@@ -18,7 +18,6 @@ VMEM for the lifetime of the batch tile.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,11 +21,9 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from aocr import optim
 from aocr.config import Config
-from aocr.models import model
 from aocr.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from aocr.train_step import TrainOutput, _train_step
+from aocr.train_step import _train_step
 
 
 def param_pspecs(params: dict) -> dict:
