@@ -170,7 +170,21 @@ class DataGen:
         self.lines = self.lines[shard_id::num_shards]
         self.cursor = 0
         self.buffer.clear()
+        self._pending.clear()  # abandon decodes of rows we no longer own
         return self
+
+    def close(self) -> None:
+        """Release the decode thread pool (also called by __del__)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+            self._pending.clear()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def size(self) -> int:
         return len(self.lines)
@@ -234,10 +248,11 @@ class DataGen:
             rec[1] = rec[1][:cap]
         return img
 
-    # Record cache states: None = never touched, _BAD = known undecodable,
-    # _UNCACHED = decodable but not kept in RAM (cfg.cache_images=False),
-    # ndarray = cached decoded image (reference data_gen.lua:80).
-    _BAD = "bad"
+    # Record cache states: None = not (successfully) decoded yet — failures
+    # stay None and are retried next sweep, matching the reference's
+    # per-epoch pcall (data_gen.lua:67); _UNCACHED = decodable but not kept
+    # in RAM (cfg.cache_images=False); ndarray = cached decoded image
+    # (reference data_gen.lua:80).
     _UNCACHED = "ok"
 
     def next_batch(self, batch_size: int) -> Optional[Batch]:
@@ -249,7 +264,7 @@ class DataGen:
                     self._schedule_lookahead()
                 img = self._load_record(rec)
                 if img is None:
-                    rec[2] = self._BAD
+                    pass  # retried on the next sweep (reference behavior)
                 elif self.cfg.cache_images:
                     rec[2] = img
                 else:
@@ -286,7 +301,11 @@ class DataGen:
 def prefetched(iterator: Iterator[Batch], depth: int) -> Iterator[Batch]:
     """Run `iterator` in a background thread, keeping up to `depth` batches
     ready — host-side decode/bucketing overlaps device compute.  depth<=0
-    is a passthrough.  Worker exceptions re-raise in the consumer."""
+    is a passthrough.  Worker exceptions re-raise in the consumer.
+
+    If the consumer abandons the generator early (exception / break), the
+    worker is told to stop and joined before control returns, so the
+    underlying DataGen is never left with a concurrent mutator."""
     if depth <= 0:
         yield from iterator
         return
@@ -295,21 +314,36 @@ def prefetched(iterator: Iterator[Batch], depth: int) -> Iterator[Batch]:
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
-            q.put(done)
+                if not _put(item):
+                    return
+            _put(done)
         except BaseException as e:  # propagate to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is done:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=5.0)

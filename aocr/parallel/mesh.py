@@ -49,7 +49,18 @@ def shard_batch(mesh: Mesh, *arrays):
 
     Replaces the reference's per-batch `localize()` host->device copy
     (src/utils/utils.lua:96-102, src/model/model.lua:252-254).
+
+    Single-process: a plain device_put with a NamedSharding.  Multi-process
+    (TPU pod): each process passes its *local* rows and the global array is
+    assembled with make_array_from_process_local_data — every host must
+    contribute the same number of rows.
     """
     s = batch_sharding(mesh)
-    out = tuple(jax.device_put(a, s) for a in arrays)
+    if jax.process_count() > 1:
+        out = tuple(
+            jax.make_array_from_process_local_data(s, np.asarray(a))
+            for a in arrays
+        )
+    else:
+        out = tuple(jax.device_put(a, s) for a in arrays)
     return out if len(out) > 1 else out[0]

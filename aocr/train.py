@@ -150,7 +150,9 @@ class Trainer:
         idles waiting on the host)."""
         self._rng, sub = jax.random.split(self._rng)
         im, tg, te = batch.images, batch.targets, batch.targets_eval
-        real_bs = im.shape[0]
+        # Under multi-process (pod) training every host holds only its
+        # local rows; the normalization count must be global.
+        real_bs = im.shape[0] * jax.process_count()
         if self.mesh is not None:
             from aocr.parallel import mesh as mesh_lib
 
@@ -219,13 +221,9 @@ class Trainer:
 
         width = max(max((len(p) for p in preds), default=0),
                     max((len(g) for g in golds), default=0)) + 1
-        def rows(strs):
-            out = np.full((len(strs), width), vocab.PAD, np.int32)
-            for i, s_ in enumerate(strs):
-                ids = [vocab.char_to_id(c) for c in s_] + [vocab.EOS]
-                out[i, :len(ids)] = ids
-            return out
-        dists = native_lib.edit_distance_batch(rows(preds), rows(golds),
+        pred_rows = vocab.encode_batch(preds, pad_to=width)[1]
+        gold_rows = vocab.encode_batch(golds, pad_to=width)[1]
+        dists = native_lib.edit_distance_batch(pred_rows, gold_rows,
                                                vocab.EOS)
         if dists is None:
             dists = np.array([

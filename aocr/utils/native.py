@@ -29,11 +29,11 @@ def _lib() -> Optional[ctypes.CDLL]:
         os.path.join(root, "native", "libaocr_native.so"),
     ):
         if cand and os.path.exists(cand):
-            try:
+            try:  # AttributeError: library older than this binding
                 lib = ctypes.CDLL(cand)
                 lib.aocr_native_abi_version.restype = ctypes.c_int
-                if lib.aocr_native_abi_version() != 1:
-                    continue
+                if lib.aocr_native_abi_version() != 2:
+                    continue  # stale build: rebuild with `make -C native`
                 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
                 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
                 lib.aocr_luminance_resize.argtypes = [
@@ -55,7 +55,7 @@ def _lib() -> Optional[ctypes.CDLL]:
                 ]
                 _LIB = lib
                 break
-            except OSError:
+            except (OSError, AttributeError):
                 continue
     return _LIB
 

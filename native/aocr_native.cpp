@@ -139,6 +139,6 @@ void aocr_pack_batch(const float* const* images, int batch, int h, int w,
   }
 }
 
-int aocr_native_abi_version() { return 1; }
+int aocr_native_abi_version() { return 2; }
 
 }  // extern "C"
