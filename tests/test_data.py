@@ -177,3 +177,41 @@ def test_shard_partitions_manifest(tmp_path, cfg):
     all_paths = sorted(p for g in gens for p, *_ in g.lines)
     full = data.DataGen(str(tmp_path), "train.txt", cfg)
     assert all_paths == sorted(p for p, *_ in full.lines)
+
+
+def test_transient_decode_failure_retried(tmp_path, cfg):
+    """A decode failure is retried next sweep (reference per-epoch pcall),
+    so a file that appears later is picked up."""
+    synth.make_dataset(str(tmp_path), ["ab"])
+    bad = os.path.join(str(tmp_path), "late.npy")
+    with open(bad, "wb") as f:
+        f.write(b"junk")
+    with open(os.path.join(str(tmp_path), "train.txt"), "a") as f:
+        f.write("late.npy cd\n")
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg)
+    assert sum(b.images.shape[0] for b in gen.epoch(4)) == 1  # bad skipped
+    np.save(bad, np.zeros((32, 100), np.float32))  # file becomes valid
+    assert sum(b.images.shape[0] for b in gen.epoch(4)) == 2  # retried
+
+
+def test_close_releases_pool(tmp_path, cfg):
+    synth.make_dataset(str(tmp_path), ["ab"])
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg)
+    assert gen._pool is not None
+    gen.close()
+    assert gen._pool is None
+    gen.close()  # idempotent
+
+
+def test_prefetched_early_abandon_is_safe(tmp_path, cfg):
+    """Breaking out of a prefetched epoch must not leave a worker mutating
+    the DataGen; a fresh full epoch afterwards sees every sample once."""
+    synth.make_dataset(str(tmp_path), [f"w{i}" for i in range(9)])
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg)
+    it = data.prefetched(gen.epoch(2), depth=2)
+    next(it)
+    it.close()  # abandon mid-epoch; joins the worker
+    gen.cursor = 0
+    gen.buffer.clear()
+    total = sum(b.images.shape[0] for b in gen.epoch(9))
+    assert total == 9
