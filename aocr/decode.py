@@ -77,18 +77,25 @@ def _apply_trie_and_topk(
     total: jax.Array,  # (B, C) candidate scores (C = V at t=1, K*V later)
     valid: Optional[jax.Array],  # (B, C) bool or None
     K: int,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Top-K with trie masking and reference 'refill' semantics: if fewer
-    than K candidates are valid, duplicate the best valid candidate."""
+    than K candidates are valid, duplicate the best valid candidate.
+
+    Third return: per-row count of *valid* beams (None without a trie) — the
+    reference logs 'Warning: valid beam size: %d' whenever this falls short
+    of K (model.lua:421-436,489-499); the host-side caller surfaces it.
+    """
     if valid is not None:
         NEG = jnp.float32(-1e30)
         total = jnp.where(valid, total, NEG)
         scores, idx = lax.top_k(total, K)
         bad = scores <= NEG * 0.5
+        nvalid = K - jnp.sum(bad, axis=1).astype(jnp.int32)  # (B,)
         scores = jnp.where(bad, scores[:, :1], scores)
         idx = jnp.where(bad, idx[:, :1], idx)
-        return scores, idx
-    return lax.top_k(total, K)
+        return scores, idx, nvalid
+    scores, idx = lax.top_k(total, K)
+    return scores, idx, None
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "use_trie"))
@@ -183,7 +190,8 @@ def greedy_decode(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "beam_size", "max_len", "use_trie"),
+    static_argnames=("cfg", "beam_size", "max_len", "use_trie",
+                     "return_refills"),
 )
 def beam_decode(
     params: dict,
@@ -194,16 +202,29 @@ def beam_decode(
     max_len: int,
     trie_table: Optional[jax.Array] = None,
     use_trie: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
+    return_refills: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Decode a batch of images.
 
     Returns (labels (B, max_len) int32, scores (B,) float32 — the best
     beam's cumulative log-prob).  Greedy decoding is beam_size=1.
+
+    With return_refills=True a third element (refill_rows, min_valid) is
+    appended: how many (row, step) events had fewer than K valid trie
+    continuations (and the smallest valid-beam count seen) — the on-device
+    aggregate of the reference's per-row 'Warning: valid beam size: %d'
+    log (model.lua:421-436,489-499).
     """
     K = min(beam_size, cfg.target_vocab_size)
     if K == 1:
-        return greedy_decode(params, batch_stats, images, cfg, max_len,
-                             trie_table, use_trie)
+        out = greedy_decode(params, batch_stats, images, cfg, max_len,
+                            trie_table, use_trie)
+        if return_refills:
+            # The greedy fast path always has PAD as a valid continuation,
+            # so refills cannot occur (reference beam_size=1 behaves the
+            # same: PAD is accepted at vocab_id==1, model.lua:487).
+            return out + ((jnp.int32(0), jnp.int32(K)),)
+        return out
     V = cfg.target_vocab_size
     T = max_len
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -228,7 +249,13 @@ def beam_decode(
         valid0 = jnp.broadcast_to(root_valid[None, :], (B, V))
     else:
         valid0 = None
-    scores, tokens0 = _apply_trie_and_topk(logp, valid0, K)  # (B, K)
+    scores, tokens0, nvalid0 = _apply_trie_and_topk(logp, valid0, K)  # (B, K)
+    if nvalid0 is not None:
+        refills0 = jnp.sum(nvalid0 < K).astype(jnp.int32)
+        min_valid0 = jnp.min(nvalid0)
+    else:
+        refills0 = jnp.int32(0)
+        min_valid0 = jnp.int32(K)
 
     if use_trie:
         nodes = trie_table[0][tokens0]  # (B, K); valid by construction
@@ -256,13 +283,13 @@ def beam_decode(
     )
 
     def w_cond(loop):
-        t, carry, _tb, _pb = loop
+        t, carry, _tb, _pb, _rf, _mv = loop
         frozen = ((carry.prev_tokens == vocab.PAD)
                   | (carry.prev_tokens == vocab.EOS))
         return (t < T) & ~jnp.all(frozen)
 
     def w_body(loop):
-        t, carry, tok_buf, par_buf = loop
+        t, carry, tok_buf, par_buf, refills, min_valid = loop
 
         def run(carry: BeamCarry):
             st, h_t = decoder.step(
@@ -288,7 +315,7 @@ def beam_decode(
                 valid = ok.reshape(B, K * V)
             else:
                 valid = None
-            new_scores, raw = _apply_trie_and_topk(total, valid, K)
+            new_scores, raw, nvalid = _apply_trie_and_topk(total, valid, K)
             parents = raw // V  # (B, K)
             toks = raw % V
             new_state = jax.tree.map(
@@ -315,16 +342,27 @@ def beam_decode(
             return (
                 BeamCarry(new_state, new_scores, toks, new_nodes,
                           new_lengths),
-                (toks, parents),
+                (toks, parents, nvalid),
             )
 
-        carry2, (toks, parents) = run(carry)
+        carry2, (toks, parents, nvalid) = run(carry)
+        if nvalid is not None:
+            # Only live (un-frozen) rows count: a fully-frozen row's sole
+            # valid continuation is PAD by design, not a dictionary dead end.
+            live = ~jnp.all(
+                (carry.prev_tokens == vocab.PAD)
+                | (carry.prev_tokens == vocab.EOS), axis=1)
+            short = (nvalid < K) & live
+            refills = refills + jnp.sum(short).astype(jnp.int32)
+            min_valid = jnp.minimum(
+                min_valid, jnp.min(jnp.where(live, nvalid, K)))
         tok_buf = lax.dynamic_update_slice(tok_buf, toks[None], (t, 0, 0))
         par_buf = lax.dynamic_update_slice(par_buf, parents[None], (t, 0, 0))
-        return (t + 1, carry2, tok_buf, par_buf)
+        return (t + 1, carry2, tok_buf, par_buf, refills, min_valid)
 
-    (_, carry, tok_hist, par_hist) = lax.while_loop(
-        w_cond, w_body, (jnp.int32(1), carry0, tok_buf, par_buf)
+    (_, carry, tok_hist, par_hist, refills, min_valid) = lax.while_loop(
+        w_cond, w_body,
+        (jnp.int32(1), carry0, tok_buf, par_buf, refills0, min_valid0)
     )
     # Histories include t=1 (parents at t=1 are unused by backtracking,
     # matching the reference where the final parent lookup is discarded);
@@ -349,4 +387,6 @@ def beam_decode(
 
     _, labels_rev = lax.scan(back, best, (tok_hist, par_hist), reverse=True)
     labels = jnp.swapaxes(labels_rev, 0, 1)  # (B, T)
+    if return_refills:
+        return labels, best_scores, (refills, min_valid)
     return labels, best_scores

@@ -62,10 +62,21 @@ def fused_attention(
     w_c: jax.Array,  # (2H, H)
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns h_tilde (B, H) float32.  B must be a multiple of B_TILE (the
-    callers' decode batches are); smaller batches fall back to one tile."""
+    """Returns h_tilde (B, H) float32.  Row counts that are not a multiple
+    of B_TILE are padded up to one (and the output sliced back), so the
+    kernel always runs on bounded 64-row tiles — a single whole-batch tile
+    at e.g. B = batch*beam = 2000 would need ~100 MB of VMEM and fail at
+    runtime."""
+    B0 = h_top.shape[0]
+    pad_rows = (-B0) % B_TILE if B0 > B_TILE else 0
+    if B0 < B_TILE:
+        bt = B0  # small batches: one tile
+    else:
+        bt = B_TILE
+        if pad_rows:
+            h_top = jnp.pad(h_top, ((0, pad_rows), (0, 0)))
+            context = jnp.pad(context, ((0, pad_rows), (0, 0), (0, 0)))
     B, L, H = context.shape
-    bt = B_TILE if B % B_TILE == 0 else B
     grid = (B // bt,)
     dt = w_a.dtype
     return pl.pallas_call(
@@ -92,4 +103,4 @@ def fused_attention(
             transcendentals=B * (L + H),
         ),
         interpret=interpret,
-    )(h_top.astype(dt), context.astype(dt), w_a, w_c)
+    )(h_top.astype(dt), context.astype(dt), w_a, w_c)[:B0]

@@ -202,12 +202,26 @@ class Trainer:
         targets = pad(batch.targets)
         targets_eval = pad(batch.targets_eval)
         images = jnp.asarray(batch.images)
-        labels, scores = decode.beam_decode(
+        use_trie = self.trie_table is not None
+        out = decode.beam_decode(
             self.params, self.batch_stats, images, cfg,
             beam_size=cfg.beam_size, max_len=T,
             trie_table=self.trie_table,
-            use_trie=self.trie_table is not None,
+            use_trie=use_trie,
+            return_refills=use_trie,
         )
+        labels, scores = out[0], out[1]
+        if use_trie:
+            refills, min_valid = (int(x) for x in out[2])
+            if refills:
+                # Reference logs per-row 'Warning: valid beam size: %d'
+                # whenever fewer than beam_size trie continuations exist
+                # (model.lua:421,480); aggregated per batch here since the
+                # decode loop runs on-device.
+                self.log.info(
+                    f"Warning: valid beam size: {min_valid} "
+                    f"({refills} refilled row-steps in batch)"
+                )
         labels_np = np.asarray(labels)
         word_err, preds, golds = eval_lib.eval_word_err_rate(
             labels_np, targets_eval

@@ -17,6 +17,7 @@ legacy .pkl pickles.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import html
 import json
 import os
@@ -100,7 +101,10 @@ def generate(
             if len(items) != 5:
                 continue
             img_path, gold, pred, score_pred, score_gold = items
-            base = img_path.replace("/", "_").lstrip("._")
+            # Prefix with a short hash of the full path: flattening alone
+            # would collide 'a/b.png' with 'a_b.png' and silently overwrite.
+            digest = hashlib.sha1(img_path.encode()).hexdigest()[:8]
+            base = f"{digest}_{os.path.basename(img_path)}"
             src = os.path.join(data_base_dir, img_path)
             dst = os.path.join(img_dir, base)
             img_tag = ""

@@ -28,6 +28,40 @@ import numpy as np
 
 BASELINE_IPS = 10_000.0  # north-star target (BASELINE.json)
 REP = 10
+V5E_PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (single chip)
+
+
+def flops_per_sample(cfg, width: int = 100, decode_steps: int = 50) -> float:
+    """Analytic FLOPs for one image through CNN + bi-encoder + full greedy
+    decode (2 x multiply-add per MAC).  Used only to normalize throughput
+    into an MFU figure."""
+    from aocr.models.cnn import _CONV_DEFS, _POOL_AFTER
+
+    h, w = 32, width
+    total = 0.0
+    for idx, (_n, in_c, out_c, kh, kw, pad, _bn) in enumerate(_CONV_DEFS):
+        oh, ow = (h, w) if pad == "SAME" else (h - kh + 1, w - kw + 1)
+        total += 2.0 * kh * kw * in_c * out_c * oh * ow
+        h, w = oh, ow
+        if idx in _POOL_AFTER:
+            ph, pw = _POOL_AFTER[idx]
+            h, w = h // ph, w // pw
+    L = w  # encoder columns
+    He = cfg.encoder_num_hidden
+    lstm = lambda i, hh: 2.0 * (i + hh) * 4 * hh
+    total += 2 * L * lstm(cfg.cnn_feature_size, He)  # fw + bw encoder
+    Hd = cfg.decoder_num_hidden
+    E = cfg.target_embedding_size
+    in0 = E + (Hd if cfg.input_feed else 0)
+    per_step = lstm(in0, Hd)
+    for _ in range(cfg.decoder_num_layers - 1):
+        per_step += lstm(Hd, Hd)
+    per_step += 2.0 * Hd * Hd  # w_a
+    per_step += 4.0 * L * Hd  # scores + context
+    per_step += 2.0 * 2 * Hd * Hd  # w_c
+    per_step += 2.0 * Hd * cfg.target_vocab_size  # projector
+    total += decode_steps * per_step
+    return total
 
 
 def main():
@@ -89,6 +123,12 @@ def main():
               file=sys.stderr)
         if ips > best_ips:
             best_ips = ips
+
+    gflop = flops_per_sample(cfg) / 1e9
+    mfu = best_ips * gflop * 1e9 / V5E_PEAK_FLOPS
+    print(f"# {gflop:.2f} GFLOP/sample x {best_ips:.0f} img/s = "
+          f"{best_ips * gflop / 1000:.2f} TFLOP/s -> MFU {mfu * 100:.2f}% "
+          f"of v5e bf16 peak ({V5E_PEAK_FLOPS / 1e12:.0f} TF)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "greedy_decode_throughput",

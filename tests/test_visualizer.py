@@ -29,9 +29,18 @@ def test_generate_copies_images(tmp_path):
     imgdir = tmp_path / "images"
     imgdir.mkdir()
     (imgdir / "a.png").write_bytes(b"\x89PNG fake")
-    (out / "results.txt").write_text("images/a.png\tx\tx\t-1\t-1\n")
+    # 'x/a.png' and 'x_a.png' must not collide in the flattened gallery dir.
+    (tmp_path / "images_a.png").write_bytes(b"\x89PNG other")
+    (out / "results.txt").write_text(
+        "images/a.png\tx\tx\t-1\t-1\nimages_a.png\ty\ty\t-1\t-1\n"
+    )
     generate_html.generate(str(out), str(tmp_path))
-    assert os.path.exists(out / "website" / "images" / "images_a.png")
+    gallery = out / "website" / "images"
+    copied = sorted(os.listdir(gallery))
+    assert len(copied) == 2
+    assert all(f.endswith(("a.png",)) for f in copied)
+    contents = {open(gallery / f, "rb").read() for f in copied}
+    assert contents == {b"\x89PNG fake", b"\x89PNG other"}
 
 
 def test_missing_results_raises(tmp_path):
