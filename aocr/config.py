@@ -70,6 +70,16 @@ class Config:
     # leaves its (buggy) Adadelta call site commented out
     # (src/model/model.lua:699-700); here it's a flag.
     optimizer: str = "sgd"  # "sgd" | "adadelta"
+    # SGD hyper surface (reference src/optim/optim_sgd.lua:28-33,54-91:
+    # learningRateDecay / weightDecay / momentum / dampening / nesterov —
+    # supported by the reference optimizer but never set by its CLI; exposed
+    # as flags here).  dampening < 0 means "default to momentum", the
+    # reference's `config.dampening or mom` rule.
+    momentum: float = 0.0
+    weight_decay: float = 0.0
+    dampening: float = -1.0
+    nesterov: bool = False
+    sgd_learning_rate_decay: float = 0.0
 
     # --- Observability (SURVEY.md section 5 rebuild hooks) ---
     # Capture a jax.profiler trace of training steps into
@@ -105,6 +115,11 @@ class Config:
     remat: bool = False
     # Number of data-parallel shards (devices along the "data" mesh axis).
     num_shards: int = 1
+    # Number of tensor-parallel shards (devices along the "model" mesh
+    # axis): shards the wide decoder matmuls + projector via GSPMD.
+    # Composes with num_shards (DP x TP needs num_shards*num_model_shards
+    # devices).
+    num_model_shards: int = 1
     # Image geometry (reference hard-codes 32-tall, width 100:
     # src/data/data_gen.lua:16,78). keep_aspect_ratio=False reproduces the
     # hard-coded width-100 behavior; True uses the clamped aspect-ratio width.
@@ -128,6 +143,13 @@ class Config:
         assert self.target_vocab_size >= 4
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.optimizer in ("sgd", "adadelta")
+        # Reference assert (optim_sgd.lua:35): Nesterov momentum requires a
+        # momentum and zero dampening.
+        effective_damp = self.momentum if self.dampening < 0 else self.dampening
+        assert not self.nesterov or (self.momentum > 0
+                                     and effective_damp == 0.0), (
+            "Nesterov momentum requires a momentum and zero dampening"
+        )
         return self
 
     def replace(self, **kw) -> "Config":
@@ -135,6 +157,7 @@ class Config:
 
 
 _BOOL_FLAGS = {
+    "nesterov",
     "cache_images",
     "length_normalize",
     "remat",

@@ -63,6 +63,20 @@ class SGDHyper(NamedTuple):
     nesterov: bool = False
 
 
+def hyper_from_config(cfg) -> SGDHyper:
+    """Resolve the CLI SGD hyper surface.  dampening < 0 is the 'unset'
+    sentinel and defaults to momentum — the reference's
+    `damp = config.dampening or mom` rule (optim_sgd.lua:32)."""
+    damp = cfg.momentum if cfg.dampening < 0 else cfg.dampening
+    return SGDHyper(
+        learning_rate_decay=cfg.sgd_learning_rate_decay,
+        weight_decay=cfg.weight_decay,
+        momentum=cfg.momentum,
+        dampening=damp,
+        nesterov=cfg.nesterov,
+    )
+
+
 def sgd_init(params: dict, hyper: SGDHyper = SGDHyper()) -> SGDState:
     buf = None
     if hyper.momentum > 0:

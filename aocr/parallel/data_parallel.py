@@ -85,11 +85,11 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
         mean_loss = jax.lax.psum(mean_loss, DATA_AXIS)
         if cfg.optimizer == "adadelta":
             new_params, new_opt, norms = optim.adadelta_update(
-                params, grads, opt_state
+                params, grads, opt_state, weight_decay=cfg.weight_decay
             )
         else:
             new_params, new_opt, norms = optim.sgd_update(
-                params, grads, opt_state, lr
+                params, grads, opt_state, lr, optim.hyper_from_config(cfg)
             )
         return TrainOutput(
             params=new_params,

@@ -19,6 +19,7 @@ single-device, jitted with in/out shardings.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aocr.config import Config
@@ -63,20 +64,34 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 def make_tp_train_step(cfg: Config, mesh: Mesh):
     """Jitted DP x TP train step.  Params must be placed with shard_params
     (their shardings are inferred from the inputs and propagated by GSPMD);
-    batch arrays sharded over DATA_AXIS (mesh_lib.shard_batch)."""
+    batch arrays sharded over DATA_AXIS (mesh_lib.shard_batch).
 
-    def step(params, batch_stats, opt_state, images, targets, targets_eval,
-             lr, rng):
+    The returned step has the same call signature as the DP step (incl. the
+    optional real_bs for padded partial buckets), so the Trainer can use
+    either interchangeably."""
+
+    def jit_step(params, batch_stats, opt_state, images, targets,
+                 targets_eval, lr, rng, real_bs):
         return _train_step(params, batch_stats, opt_state, images, targets,
-                           targets_eval, lr, rng, cfg)
+                           targets_eval, lr, rng, cfg, real_bs=real_bs)
 
     def sh(spec):
         return NamedSharding(mesh, spec)
 
-    return jax.jit(
-        step,
+    jitted = jax.jit(
+        jit_step,
         # Inputs carry their shardings (device_put above); only pin the
         # batch axis so the compiler cannot replicate it.
         in_shardings=(None, None, None, sh(P(DATA_AXIS)), sh(P(DATA_AXIS)),
-                      sh(P(DATA_AXIS)), None, None),
+                      sh(P(DATA_AXIS)), None, None, None),
     )
+
+    def step(params, batch_stats, opt_state, images, targets, targets_eval,
+             lr, rng, real_bs=None):
+        if real_bs is None:
+            real_bs = images.shape[0]
+        return jitted(params, batch_stats, opt_state, images, targets,
+                      targets_eval, lr, rng,
+                      jnp.asarray(real_bs, jnp.float32))
+
+    return step

@@ -107,14 +107,33 @@ class Trainer:
             else:
                 self.opt_state = optim.adadelta_init(self.params)
         else:
+            buf = None
+            if self.cfg.momentum > 0:
+                saved_buf = self.optim_meta.get("momentum_buf")
+                buf = (jax.tree.map(jnp.asarray, saved_buf)
+                       if saved_buf is not None
+                       else jax.tree.map(jnp.zeros_like, self.params))
             self.opt_state = optim.SGDState(
                 eval_counter=jnp.asarray(
                     self.optim_meta.get("eval_counter", 0), jnp.int32
                 ),
-                momentum_buf=None,
+                momentum_buf=buf,
             )
         self.mesh = None
-        if self.cfg.num_shards > 1:
+        if self.cfg.num_model_shards > 1:
+            from aocr.parallel import mesh as mesh_lib, tensor_parallel as tp
+
+            nd, nm = self.cfg.num_shards, self.cfg.num_model_shards
+            assert len(jax.devices()) >= nd * nm, (
+                f"num_shards={nd} x num_model_shards={nm} but only "
+                f"{len(jax.devices())} devices"
+            )
+            self.mesh = mesh_lib.make_mesh(num_data=nd, num_model=nm)
+            self.params = tp.shard_params(self.params, self.mesh)
+            self._train_step = tp.make_tp_train_step(self.cfg, self.mesh)
+            log.info(f"DP x TP training over a {nd}x{nm} (data, model) mesh "
+                     f"(GSPMD-sharded decoder/projector matmuls)")
+        elif self.cfg.num_shards > 1:
             from aocr.parallel import data_parallel, mesh as mesh_lib
 
             n = self.cfg.num_shards
@@ -296,6 +315,8 @@ class Trainer:
     def _save(self) -> None:
         if isinstance(self.opt_state, optim.SGDState):
             self.optim_meta["eval_counter"] = int(self.opt_state.eval_counter)
+            if self.opt_state.momentum_buf is not None:
+                self.optim_meta["momentum_buf"] = self.opt_state.momentum_buf
         elif isinstance(self.opt_state, optim.AdadeltaState):
             self.optim_meta["adadelta"] = {
                 "acc_grad": self.opt_state.acc_grad,

@@ -46,8 +46,12 @@ def _train_step(
     lr: jax.Array,
     dropout_rng: jax.Array,
     cfg: Config,
+    real_bs=None,
 ) -> TrainOutput:
-    batch_size = images.shape[0]
+    # real_bs: true (un-padded) sample count when the batch was padded to a
+    # shardable size; loss/grad normalization must use it (the reference
+    # divides by the real batch size, model.lua:645-647).
+    batch_size = images.shape[0] if real_bs is None else real_bs
 
     def loss_fn(p):
         nll, new_stats, _ = model.forward_loss(
@@ -61,11 +65,11 @@ def _train_step(
     )(params)
     if cfg.optimizer == "adadelta":
         new_params, new_opt, norms = optim.adadelta_update(
-            params, grads, opt_state
+            params, grads, opt_state, weight_decay=cfg.weight_decay
         )
     else:
         new_params, new_opt, norms = optim.sgd_update(
-            params, grads, opt_state, lr
+            params, grads, opt_state, lr, optim.hyper_from_config(cfg)
         )
     return TrainOutput(
         params=new_params,

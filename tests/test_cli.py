@@ -101,6 +101,31 @@ def test_variable_width_buckets(tmp_path):
     assert "Number of samples 4" in log
 
 
+def test_sgd_hyper_flags_reach_optimizer(workdir):
+    """-momentum / -weight_decay / -nesterov / -dampening reach
+    optim.SGDHyper (reference surface src/optim/optim_sgd.lua:54-91), and
+    the momentum buffer round-trips through checkpoints."""
+    mdir = os.path.join(workdir, "model_mom")
+    args = _common(workdir) + [
+        "-phase", "train", "-num_epochs", "1", "-steps_per_checkpoint", "2",
+        "-model_dir", mdir,
+        "-momentum", "0.9", "-dampening", "0", "-nesterov",
+        "-weight_decay", "0.0001",
+    ]
+    main(args)
+    final = checkpoint.try_load_final(mdir)
+    assert final is not None
+    assert final["config"]["momentum"] == 0.9
+    assert final["config"]["nesterov"] is True
+    buf = final["optim_state"].get("momentum_buf")
+    assert buf is not None
+    # buffers are real accumulated velocity, not zeros
+    assert any(np.abs(np.asarray(x)).max() > 0
+               for x in __import__("jax").tree.leaves(buf))
+    # resume restores the buffer without error
+    main(args + ["-load_model"])
+
+
 def test_val_driven_lr_schedule():
     """Reference LR semantics (train.lua:87-89,164-168): decay only when val
     loss increases, floor clamp, resume-above-floor."""

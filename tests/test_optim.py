@@ -66,6 +66,48 @@ def test_sgd_lr_annealing():
     np.testing.assert_allclose(p2["g"]["w"], [-1.5], rtol=1e-6)  # clr = 1/(1+1)
 
 
+def test_sgd_weight_decay_applied_after_clip():
+    """Reference order (optim_sgd.lua:50-58): clip at 5 first, then
+    dfdx:add(wd, y) — weight decay is NOT clipped."""
+    params = {"g": {"w": jnp.array([10.0, 0.0])}}
+    grads = {"g": {"w": jnp.array([30.0, 40.0])}}  # norm 50 -> clip to 5
+    hyper = optim.SGDHyper(weight_decay=0.1)
+    st = optim.sgd_init(params, hyper)
+    p1, _, _ = optim.sgd_update(params, grads, st, jnp.float32(1.0), hyper)
+    # clipped grad = [3, 4]; + wd*p = [4, 4]; update = -1.0 * that
+    np.testing.assert_allclose(p1["g"]["w"], [10.0 - 4.0, -4.0], rtol=1e-6)
+
+
+def test_sgd_dampening():
+    params = {"g": {"w": jnp.array([0.0])}}
+    grads = {"g": {"w": jnp.array([1.0])}}
+    hyper = optim.SGDHyper(momentum=0.5, dampening=0.5)
+    st = optim.sgd_init(params, hyper)
+    p1, st1, _ = optim.sgd_update(params, grads, st, jnp.float32(1.0), hyper)
+    np.testing.assert_allclose(p1["g"]["w"], [-1.0], rtol=1e-6)  # buf := g
+    # buf = 0.5*1 + (1-0.5)*1 = 1.0 -> same step again
+    p2, _, _ = optim.sgd_update(p1, grads, st1, jnp.float32(1.0), hyper)
+    np.testing.assert_allclose(p2["g"]["w"], [-2.0], rtol=1e-6)
+
+
+def test_hyper_from_config_dampening_rule():
+    """dampening unset (<0) defaults to momentum — the reference's
+    `damp = config.dampening or mom` (optim_sgd.lua:32)."""
+    from aocr.config import Config
+
+    h = optim.hyper_from_config(Config(momentum=0.9))
+    assert h.dampening == 0.9
+    h2 = optim.hyper_from_config(Config(momentum=0.9, dampening=0.0,
+                                        nesterov=True))
+    assert h2.dampening == 0.0 and h2.nesterov
+    import pytest
+
+    with pytest.raises(AssertionError):
+        Config(nesterov=True).validate()  # nesterov needs momentum
+    with pytest.raises(AssertionError):
+        Config(nesterov=True, momentum=0.9).validate()  # damp defaults to mom
+
+
 def test_adadelta_moves_params():
     params = {"g": {"w": jnp.array([1.0, -1.0])}}
     grads = {"g": {"w": jnp.array([0.5, 0.5])}}
