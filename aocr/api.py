@@ -50,14 +50,17 @@ class AttentionOCR:
 
     @classmethod
     def load(cls, model_dir_or_path: str,
-             cfg: Optional[Config] = None) -> "AttentionOCR":
-        """Load from a checkpoint file or a model dir's final-model."""
+             cfg: Optional[Config] = None,
+             allow_pickle: bool = False) -> "AttentionOCR":
+        """Load from a checkpoint file or a model dir's final-model.
+        allow_pickle opts into legacy v1 pickle checkpoints (which execute
+        code on load — only for files you wrote yourself)."""
         import os
 
         path = model_dir_or_path
         if os.path.isdir(path):
             path = checkpoint.final_path(path)
-        ckpt = checkpoint.load(path)
+        ckpt = checkpoint.load(path, allow_pickle=allow_pickle)
         saved_cfg = config_from_dict(ckpt["config"])
         if cfg is not None:
             # structure comes from the checkpoint; runtime knobs from cfg

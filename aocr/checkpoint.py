@@ -11,26 +11,101 @@ state and clamped to learning_rate_min (train.lua:87-89), and
 max_encoder_l / max_decoder_l / batch_size may be overridden by the CLI
 (model.lua:75-77).
 
-Format: a single pickle of numpy pytrees (framework-neutral, no torch
-serialization) — versioned for forward compatibility.
+Format v2: a standard `.npz` zip archive — every pytree leaf is one named
+array member and a single JSON `__meta__` member carries the config,
+global_step, tree structure, and non-array optimizer scalars.  Loading never
+unpickles (np.load with allow_pickle=False), so a checkpoint file cannot
+execute code — the torch.load / raw-pickle hazard the reference (and format
+v1) had.  v1 pickles remain readable for one version behind an explicit
+opt-in flag.
 """
 
 from __future__ import annotations
 
+import io
+import json
 import os
-import pickle
 import shutil
-from typing import Any, Dict, Optional
+import zipfile
+from typing import Any, Dict, Optional, Tuple
 
-import jax
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 FINAL_NAME = "final-model"
 
+_LEAF_TAG = "__npz__"
 
-def _to_numpy(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+def _flatten(tree, prefix: str, out: Dict[str, np.ndarray]):
+    """Recursively flatten dict/list/tuple pytrees of arrays + scalars.
+
+    Returns a JSON-able skeleton mirroring the tree where each array leaf is
+    {"__npz__": <member name>} and plain scalars/strings stay inline."""
+    if isinstance(tree, dict):
+        return {k: _flatten(v, f"{prefix}/{k}", out) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_flatten(v, f"{prefix}/{i}", out) for i, v in enumerate(tree)]
+    if tree is None or isinstance(tree, (bool, int, float, str)):
+        return tree
+    arr = np.asarray(tree)  # jax.Array / np scalar / ndarray
+    if arr.dtype == object:
+        raise TypeError(f"non-array checkpoint leaf at {prefix}: {tree!r}")
+    out[prefix] = arr
+    return {_LEAF_TAG: prefix}
+
+
+def _unflatten(skel, arrays) -> Any:
+    if isinstance(skel, dict):
+        if set(skel.keys()) == {_LEAF_TAG}:
+            return arrays[skel[_LEAF_TAG]]
+        return {k: _unflatten(v, arrays) for k, v in skel.items()}
+    if isinstance(skel, list):
+        return [_unflatten(v, arrays) for v in skel]
+    return skel
+
+
+def _write_npz(path: str, payload: Dict[str, Any]) -> None:
+    arrays: Dict[str, np.ndarray] = {}
+    skeleton = {
+        k: _flatten(payload[k], k, arrays)
+        for k in ("params", "batch_stats", "optim_state")
+    }
+    meta = {
+        "version": FORMAT_VERSION,
+        "config": payload["config"],
+        "global_step": payload["global_step"],
+        "skeleton": skeleton,
+    }
+    # np.savez writes <name>.npy members; add the JSON meta as a plain
+    # member through the same zip (STORED: arrays dominate, keep it simple).
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED, allowZip64=True) as z:
+        z.writestr("__meta__.json", json.dumps(meta))
+        for name, arr in arrays.items():
+            buf = io.BytesIO()
+            np.lib.format.write_array(buf, np.ascontiguousarray(arr),
+                                      allow_pickle=False)
+            z.writestr(name + ".npy", buf.getvalue())
+
+
+def _read_npz(path: str) -> Dict[str, Any]:
+    with zipfile.ZipFile(path, "r") as z:
+        meta = json.loads(z.read("__meta__.json").decode())
+        arrays = {}
+        for info in z.infolist():
+            if info.filename.endswith(".npy"):
+                buf = io.BytesIO(z.read(info))
+                arrays[info.filename[:-4]] = np.lib.format.read_array(
+                    buf, allow_pickle=False
+                )
+    payload = {
+        "version": meta["version"],
+        "config": meta["config"],
+        "global_step": meta["global_step"],
+    }
+    for k, skel in meta["skeleton"].items():
+        payload[k] = _unflatten(skel, arrays)
+    return payload
 
 
 def save(
@@ -44,17 +119,15 @@ def save(
 ) -> str:
     os.makedirs(model_dir, exist_ok=True)
     payload = {
-        "version": FORMAT_VERSION,
-        "params": _to_numpy(params),
-        "batch_stats": _to_numpy(batch_stats),
-        "config": config_dict,
+        "params": params,
+        "batch_stats": batch_stats,
+        "config": dict(config_dict),
         "global_step": int(global_step),
-        "optim_state": _to_numpy(optim_state),
+        "optim_state": dict(optim_state),
     }
     path = os.path.join(model_dir, f"model-{global_step}")
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    _write_npz(tmp, payload)
     os.replace(tmp, path)
     if publish_final:
         final_tmp = os.path.join(model_dir, f".{FINAL_NAME}.tmp")
@@ -63,10 +136,32 @@ def save(
     return path
 
 
-def load(path: str) -> Dict[str, Any]:
+def _is_zip(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(4) == b"PK\x03\x04"
+
+
+def load(path: str, allow_pickle: bool = False) -> Dict[str, Any]:
+    """Load a checkpoint.  v2 (npz) loads without any unpickling; legacy v1
+    pickles require allow_pickle=True (unpickling executes code from the
+    file — only enable for checkpoints you wrote yourself)."""
+    if _is_zip(path):
+        payload = _read_npz(path)
+        assert payload.get("version") == FORMAT_VERSION, (
+            f"unsupported checkpoint version {payload.get('version')}"
+        )
+        return payload
+    if not allow_pickle:
+        raise ValueError(
+            f"{path} is a legacy v1 pickle checkpoint; pass "
+            "allow_pickle=True (or --allow_pickle_ckpt on the CLI) to load "
+            "it — unpickling executes code embedded in the file."
+        )
+    import pickle
+
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    assert payload.get("version") == FORMAT_VERSION, (
+    assert payload.get("version") == 1, (
         f"unsupported checkpoint version {payload.get('version')}"
     )
     return payload
@@ -76,6 +171,7 @@ def final_path(model_dir: str) -> str:
     return os.path.join(model_dir, FINAL_NAME)
 
 
-def try_load_final(model_dir: str) -> Optional[Dict[str, Any]]:
+def try_load_final(model_dir: str,
+                   allow_pickle: bool = False) -> Optional[Dict[str, Any]]:
     p = final_path(model_dir)
-    return load(p) if os.path.exists(p) else None
+    return load(p, allow_pickle=allow_pickle) if os.path.exists(p) else None

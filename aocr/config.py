@@ -81,6 +81,11 @@ class Config:
     nesterov: bool = False
     sgd_learning_rate_decay: float = 0.0
 
+    # Allow loading legacy v1 (pickle) checkpoints.  Off by default:
+    # unpickling executes code embedded in the file; v2 checkpoints are
+    # plain npz archives and always load.
+    allow_pickle_ckpt: bool = False
+
     # --- Observability (SURVEY.md section 5 rebuild hooks) ---
     # Capture a jax.profiler trace of training steps into
     # <output_dir>/profile (viewable with TensorBoard / xprof).
@@ -158,6 +163,7 @@ class Config:
 
 _BOOL_FLAGS = {
     "nesterov",
+    "allow_pickle_ckpt",
     "cache_images",
     "length_normalize",
     "remat",

@@ -77,7 +77,9 @@ class Trainer:
         self.log = log
         ckpt = None
         if cfg.load_model:
-            ckpt = checkpoint.try_load_final(cfg.model_dir)
+            ckpt = checkpoint.try_load_final(
+                cfg.model_dir, allow_pickle=cfg.allow_pickle_ckpt
+            )
             if ckpt is None:
                 log.info("No final-model found; creating fresh parameters")
         if ckpt is not None:
@@ -313,6 +315,11 @@ class Trainer:
         return val_loss, val_nnz, val_acc, val_samples
 
     def _save(self) -> None:
+        if jax.process_index() != 0:
+            # Multi-host: params are replicated across processes; only
+            # process 0 writes (every host writing would race on shared
+            # filesystems and waste IO).
+            return
         if isinstance(self.opt_state, optim.SGDState):
             self.optim_meta["eval_counter"] = int(self.opt_state.eval_counter)
             if self.opt_state.momentum_buf is not None:

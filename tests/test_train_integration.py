@@ -158,6 +158,40 @@ def test_checkpoint_roundtrip(trained, tmp_path):
     assert [vocab.decode(r) for r in np.asarray(pred)] == trained["labels"]
 
 
+def test_checkpoint_v2_is_not_pickle(trained, tmp_path):
+    """Format v2 is a plain npz zip: no unpickling on load, nested optim
+    trees (momentum buffers) round-trip, and legacy pickles are rejected
+    unless explicitly allowed."""
+    import pickle
+    import zipfile
+
+    mom_buf = jax.tree.map(jnp.ones_like, trained["params"])
+    path = checkpoint.save(
+        str(tmp_path), trained["params"], trained["stats"],
+        {"input_feed": True}, global_step=3,
+        optim_state={"learning_rate": 0.1, "eval_counter": 3,
+                     "momentum_buf": mom_buf},
+    )
+    assert zipfile.is_zipfile(path)  # not a pickle stream
+    loaded = checkpoint.load(path)
+    buf = loaded["optim_state"]["momentum_buf"]
+    for a, b in zip(jax.tree.leaves(mom_buf), jax.tree.leaves(buf)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    # decoder layers list survives as a list
+    assert isinstance(loaded["params"]["decoder"]["layers"], list)
+
+    # a malicious/legacy pickle is refused by default
+    legacy = tmp_path / "legacy-model"
+    with open(legacy, "wb") as f:
+        pickle.dump({"version": 1, "params": {}, "batch_stats": {},
+                     "config": {}, "global_step": 0, "optim_state": {}}, f)
+    import pytest
+
+    with pytest.raises(ValueError, match="pickle"):
+        checkpoint.load(str(legacy))
+    assert checkpoint.load(str(legacy), allow_pickle=True)["version"] == 1
+
+
 def test_trie_constrained_decode(trained):
     """With a dictionary excluding the true words, decode must stay inside
     the dictionary; with the true words included, it must recover them."""
