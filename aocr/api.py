@@ -86,55 +86,95 @@ class AttentionOCR:
             trie_lib.build_transition_table(words, allow_digit_prefix)
         )
 
-    def _prepare(self, images) -> jnp.ndarray:
-        if isinstance(images, (list, tuple)) and images and isinstance(
-                images[0], str):
-            arrs = []
-            for p in images:
-                img = data.load_and_preprocess(p, self.cfg)
+    @staticmethod
+    def _to_hw1(arr) -> np.ndarray:
+        a = np.asarray(arr, np.float32)
+        if a.ndim == 2:
+            a = a[..., None]
+        assert a.ndim == 3, f"expected (H, W[, 1]) image, got {a.shape}"
+        return a
+
+    def _prepare_groups(self, images) -> List[Tuple[List[int], jnp.ndarray]]:
+        """Normalize any accepted input into width-homogeneous device
+        batches: [(original indices, (b, 32, W, 1) array), ...].
+
+        Accepts a stacked (B, H, W[, 1]) array, a list of image paths, or a
+        list of (H, W[, 1]) arrays — paths/arrays may mix widths; they are
+        bucketed by width internally (the CLI's DataGen does the same,
+        reference data_gen.lua:92-121) and results are returned in input
+        order.
+        """
+        if isinstance(images, np.ndarray) or hasattr(images, "ndim"):
+            images = np.asarray(images, np.float32)
+            if images.ndim == 3:
+                images = images[..., None]
+            assert images.ndim == 4, f"bad image batch shape {images.shape}"
+            return [(list(range(images.shape[0])), jnp.asarray(images))]
+        arrs = []
+        for item in images:
+            if isinstance(item, str):
+                img = data.load_and_preprocess(item, self.cfg)
                 if img is None:
-                    raise ValueError(f"cannot decode image {p}")
-                arrs.append(img)
-            widths = {a.shape[1] for a in arrs}
-            assert len(widths) == 1, (
-                "mixed widths in one recognize() call; batch by width "
-                f"(got {sorted(widths)})"
-            )
-            images = np.stack(arrs)[..., None]
-        images = np.asarray(images, np.float32)
-        if images.ndim == 3:
-            images = images[..., None]
-        return jnp.asarray(images)
+                    raise ValueError(f"cannot decode image {item}")
+                arrs.append(img[..., None])
+            else:
+                arrs.append(self._to_hw1(item))
+        by_width: dict = {}
+        for i, a in enumerate(arrs):
+            by_width.setdefault(a.shape[1], []).append(i)
+        groups = []
+        for w, idx in sorted(by_width.items()):
+            batch = np.stack([arrs[i] for i in idx])
+            groups.append((idx, jnp.asarray(batch)))
+        return groups
 
     def recognize(
         self,
-        images: Union[np.ndarray, Sequence[str]],
+        images: Union[np.ndarray, Sequence[str], Sequence[np.ndarray]],
         beam_size: Optional[int] = None,
         max_len: Optional[int] = None,
     ) -> Tuple[List[str], np.ndarray]:
-        """Decode a batch.  Returns (transcripts, log-prob scores)."""
-        x = self._prepare(images)
-        labels, scores = decode.beam_decode(
-            self.params, self.batch_stats, x, self.cfg,
-            beam_size=beam_size or self.cfg.beam_size,
-            max_len=max_len or self.cfg.max_decoder_l,
-            trie_table=self._trie,
-            use_trie=self._trie is not None,
-        )
-        return ([vocab.decode(r) for r in np.asarray(labels)],
-                np.asarray(scores))
+        """Decode a batch (stacked array, paths, or per-image arrays; widths
+        may mix).  Returns (transcripts, log-prob scores) in input order."""
+        groups = self._prepare_groups(images)
+        n = sum(len(idx) for idx, _ in groups)
+        words: List[Optional[str]] = [None] * n
+        scores = np.empty((n,), np.float32)
+        for idx, x in groups:
+            labels, sc = decode.beam_decode(
+                self.params, self.batch_stats, x, self.cfg,
+                beam_size=beam_size or self.cfg.beam_size,
+                max_len=max_len or self.cfg.max_decoder_l,
+                trie_table=self._trie,
+                use_trie=self._trie is not None,
+            )
+            labels, sc = np.asarray(labels), np.asarray(sc)
+            for j, i in enumerate(idx):
+                words[i] = vocab.decode(labels[j])
+                scores[i] = sc[j]
+        return words, scores
 
     def score(self, images, transcripts: Sequence[str]) -> np.ndarray:
         """Per-sample gold log-prob of given transcripts (teacher-forced)."""
         from aocr import train_step
 
-        x = self._prepare(images)
-        targets, targets_eval, _ = vocab.encode_batch(list(transcripts))
-        _, gold = train_step.eval_loss_step(
-            self.params, self.batch_stats, x,
-            jnp.asarray(targets), jnp.asarray(targets_eval), self.cfg,
+        transcripts = list(transcripts)
+        groups = self._prepare_groups(images)
+        n = sum(len(idx) for idx, _ in groups)
+        assert n == len(transcripts), (
+            f"{n} images but {len(transcripts)} transcripts"
         )
-        return np.asarray(gold)
+        out = np.empty((n,), np.float32)
+        for idx, x in groups:
+            targets, targets_eval, _ = vocab.encode_batch(
+                [transcripts[i] for i in idx]
+            )
+            _, gold = train_step.eval_loss_step(
+                self.params, self.batch_stats, x,
+                jnp.asarray(targets), jnp.asarray(targets_eval), self.cfg,
+            )
+            out[idx] = np.asarray(gold, np.float32)
+        return out
 
     def save(self, model_dir: str) -> str:
         from dataclasses import asdict

@@ -55,16 +55,43 @@ def test_dictionary_constraint(ocr):
         ocr._trie = None
 
 
-def test_mixed_width_paths_rejected(ocr, tmp_path):
+def test_mixed_width_paths_bucketed(ocr, tmp_path):
+    """recognize() buckets mixed widths internally (one decode per width)
+    and returns results in input order — the CLI DataGen behavior
+    (data_gen.lua:92-121) available from the library API."""
     synth.make_dataset(str(tmp_path), ["ab"], "a.txt", width=32)
-    import numpy as np_
-
-    np_.save(tmp_path / "wide.npy", np_.zeros((32, 64), np_.float32))
+    wide = synth.render_word("wxyz", 32, 64)
+    np.save(tmp_path / "wide.npy", wide)
     cfg2 = CFG.replace(keep_aspect_ratio=True)
     ocr2 = AttentionOCR(cfg2, ocr.params, ocr.batch_stats)
-    with pytest.raises(AssertionError):
-        ocr2.recognize([str(tmp_path / "images/0000_ab.npy"),
-                        str(tmp_path / "wide.npy")])
+    paths = [str(tmp_path / "wide.npy"),
+             str(tmp_path / "images/0000_ab.npy"),
+             str(tmp_path / "wide.npy")]
+    words, scores = ocr2.recognize(paths)
+    assert len(words) == 3 and scores.shape == (3,)
+    # same input -> same output, in input order (rows 0 and 2 are the
+    # same wide image; row 1 is the narrow one)
+    assert words[0] == words[2] and scores[0] == scores[2]
+    # order-invariance: per-image results match single-image calls
+    w_single, s_single = ocr2.recognize([paths[1]])
+    assert words[1] == w_single[0]
+    np.testing.assert_allclose(scores[1], s_single[0], rtol=1e-5)
+
+
+def test_mixed_width_arrays_and_score(ocr):
+    cfg2 = CFG.replace(keep_aspect_ratio=True)
+    ocr2 = AttentionOCR(cfg2, ocr.params, ocr.batch_stats)
+    imgs = [synth.render_word("ab", 32, 32),
+            synth.render_word("wxyz", 32, 64),
+            synth.render_word("cd", 32, 32)]
+    words, scores = ocr2.recognize(imgs)
+    assert len(words) == 3
+    gold = ocr2.score(imgs, ["ab", "wxyz", "cd"])
+    assert gold.shape == (3,) and (gold <= 0).all()
+    # scores come back in input order: scoring the same image/transcript
+    # alone must agree with its slot in the mixed call
+    alone = ocr2.score([imgs[1]], ["wxyz"])
+    np.testing.assert_allclose(gold[1], alone[0], rtol=1e-5)
 
 
 def test_serving_flow_with_device_preprocess(ocr, np_rng):
