@@ -94,19 +94,35 @@ def _max_pool(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
 
 
 def _batch_norm(
-    x: jax.Array, p: dict, s: dict, train: bool, axis_name=None
+    x: jax.Array, p: dict, s: dict, train: bool, axis_name=None,
+    row_mask=None,
 ) -> Tuple[jax.Array, dict]:
     if train:
         # Statistics over batch and spatial dims, in float32.  Under
         # data-parallel shard_map (axis_name set) the moments are averaged
         # across shards (sync-BN), so multi-chip training sees exactly the
-        # global-batch statistics a single chip would.
+        # global-batch statistics a single chip would.  row_mask (B,) marks
+        # real rows: rows padded in to keep batches shardable are excluded
+        # from the moments (else duplicated rows bias the statistics).
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        ex2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
-        if axis_name is not None:
-            mean = jax.lax.pmean(mean, axis_name)
-            ex2 = jax.lax.pmean(ex2, axis_name)
+        if row_mask is not None:
+            w = row_mask.astype(jnp.float32)[:, None, None, None]
+            count = jnp.sum(w) * (x.shape[1] * x.shape[2])
+            xsum = jnp.sum(xf * w, axis=(0, 1, 2))
+            x2sum = jnp.sum(jnp.square(xf) * w, axis=(0, 1, 2))
+            if axis_name is not None:
+                count = jax.lax.psum(count, axis_name)
+                xsum = jax.lax.psum(xsum, axis_name)
+                x2sum = jax.lax.psum(x2sum, axis_name)
+            count = jnp.maximum(count, 1.0)
+            mean = xsum / count
+            ex2 = x2sum / count
+        else:
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            ex2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            if axis_name is not None:
+                mean = jax.lax.pmean(mean, axis_name)
+                ex2 = jax.lax.pmean(ex2, axis_name)
         var = ex2 - jnp.square(mean)
         new_s = {
             "mean": BN_MOMENTUM * s["mean"] + (1.0 - BN_MOMENTUM) * mean,
@@ -127,6 +143,7 @@ def apply(
     train: bool = False,
     compute_dtype=jnp.float32,
     axis_name=None,
+    row_mask=None,
 ) -> Tuple[jax.Array, dict]:
     """images (B, H=32, W, 1) float32 in [0, 255] -> ((B, L, 512), new_stats)."""
     x = ((images - 128.0) / 128.0).astype(compute_dtype)
@@ -156,7 +173,7 @@ def apply(
         if bn:
             x, new_stats[name + "_bn"] = _batch_norm(
                 x, params[name + "_bn"], batch_stats[name + "_bn"], train,
-                axis_name,
+                axis_name, row_mask,
             )
         x = jnp.maximum(x, 0)
         if idx in _POOL_AFTER:

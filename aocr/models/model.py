@@ -62,11 +62,16 @@ def encode(
     images: jax.Array,
     cfg: Config,
     train: bool = False,
+    row_mask=None,
 ):
-    """images (B, 32, W, 1) -> (context (B,L,2H), dec_init (c0,h0), new_stats)."""
+    """images (B, 32, W, 1) -> (context (B,L,2H), dec_init (c0,h0), new_stats).
+
+    row_mask (B,) marks real rows when the batch was padded to a shardable
+    size; BatchNorm moments exclude masked-out rows."""
     cd = _compute_dtype(cfg)
     features, new_stats = cnn.apply(
-        params["cnn"], batch_stats, images, train=train, compute_dtype=cd
+        params["cnn"], batch_stats, images, train=train, compute_dtype=cd,
+        row_mask=row_mask,
     )
     context, dec_init = encoder.apply(
         params["encoder_fw"], params["encoder_bw"], features, compute_dtype=cd
@@ -83,6 +88,7 @@ def forward_loss(
     cfg: Config,
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
+    row_mask=None,
 ) -> Tuple[jax.Array, dict, jax.Array]:
     """Teacher-forced forward pass.
 
@@ -91,7 +97,8 @@ def forward_loss(
     643-645) up to the loss normalization noted in aocr/loss.py.
     """
     cd = _compute_dtype(cfg)
-    context, dec_init, new_stats = encode(params, batch_stats, images, cfg, train)
+    context, dec_init, new_stats = encode(params, batch_stats, images, cfg,
+                                          train, row_mask=row_mask)
     h_tildes = decoder.teacher_forced(
         params["decoder"],
         dec_init,

@@ -27,17 +27,18 @@ from aocr.parallel.mesh import DATA_AXIS
 
 def _forward_loss_crossreplica_bn(
     params, batch_stats, images, targets, targets_eval, cfg: Config,
-    dropout_rng,
+    dropout_rng, row_mask,
 ):
     """forward_loss with sync-BN over the data axis (see cnn._batch_norm).
     """
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    # Sync-BN: batch moments are pmean'd across the data axis inside
+    # Sync-BN: batch moments are reduced across the data axis inside
     # cnn.apply, so every shard normalizes with (and records) the exact
-    # global-batch statistics a single chip would compute.
+    # global-batch statistics a single chip would compute; row_mask
+    # excludes rows padded in for shardability.
     feats, new_stats = cnn.apply(
         params["cnn"], batch_stats, images, train=True, compute_dtype=cd,
-        axis_name=DATA_AXIS,
+        axis_name=DATA_AXIS, row_mask=row_mask,
     )
     context, dec_init = encoder.apply(
         params["encoder_fw"], params["encoder_bw"], feats, compute_dtype=cd
@@ -63,17 +64,24 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
     n_data = mesh.shape[DATA_AXIS]
 
     def local_step(params, batch_stats, opt_state, images, targets,
-                   targets_eval, lr, rng, real_bs):
-        # real_bs: the un-padded global batch size.  Partial final buckets
+                   targets_eval, lr, rng, row_mask):
+        # row_mask (local rows,) marks real samples.  Partial final buckets
         # are padded with zero-loss PAD rows to stay shardable; loss/grad
         # normalization must still use the true sample count (the reference
-        # divides by the real batch size, model.lua:645-647).
+        # divides by the real batch size, model.lua:645-647) — all-reduced
+        # from the mask so multi-host epoch tails with uneven local counts
+        # stay correct, and BN moments exclude the padding.
         my = jax.lax.axis_index(DATA_AXIS)
         rng = jax.random.fold_in(rng, my)
+        real_bs = jnp.maximum(
+            jax.lax.psum(jnp.sum(row_mask.astype(jnp.float32)), DATA_AXIS),
+            1.0,
+        )
 
         def loss_fn(p):
             nll, new_stats = _forward_loss_crossreplica_bn(
-                p, batch_stats, images, targets, targets_eval, cfg, rng
+                p, batch_stats, images, targets, targets_eval, cfg, rng,
+                row_mask,
             )
             return nll / real_bs, new_stats
 
@@ -104,7 +112,8 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
     shmapped = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(rep, rep, rep, sharded, sharded, sharded, rep, rep, rep),
+        in_specs=(rep, rep, rep, sharded, sharded, sharded, rep, rep,
+                  sharded),
         out_specs=TrainOutput(
             params=rep, batch_stats=rep, opt_state=rep,
             loss_sum=rep, grad_norms=rep,
@@ -114,12 +123,11 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
     donate = (0, 2) if cfg.prealloc else ()
 
     def step(params, batch_stats, opt_state, images, targets, targets_eval,
-             lr, rng, real_bs=None):
-        if real_bs is None:
-            real_bs = images.shape[0]
+             lr, rng, row_mask=None):
+        if row_mask is None:
+            row_mask = jnp.ones((images.shape[0],), jnp.float32)
         return _jitted(params, batch_stats, opt_state, images, targets,
-                       targets_eval, lr, rng,
-                       jnp.asarray(real_bs, jnp.float32))
+                       targets_eval, lr, rng, row_mask)
 
     _jitted = jax.jit(shmapped, donate_argnums=donate)
     return step

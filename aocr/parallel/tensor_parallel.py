@@ -67,13 +67,15 @@ def make_tp_train_step(cfg: Config, mesh: Mesh):
     batch arrays sharded over DATA_AXIS (mesh_lib.shard_batch).
 
     The returned step has the same call signature as the DP step (incl. the
-    optional real_bs for padded partial buckets), so the Trainer can use
+    optional row_mask for padded partial buckets), so the Trainer can use
     either interchangeably."""
 
     def jit_step(params, batch_stats, opt_state, images, targets,
-                 targets_eval, lr, rng, real_bs):
+                 targets_eval, lr, rng, row_mask):
+        real_bs = jnp.maximum(jnp.sum(row_mask), 1.0)
         return _train_step(params, batch_stats, opt_state, images, targets,
-                           targets_eval, lr, rng, cfg, real_bs=real_bs)
+                           targets_eval, lr, rng, cfg, real_bs=real_bs,
+                           row_mask=row_mask)
 
     def sh(spec):
         return NamedSharding(mesh, spec)
@@ -83,15 +85,15 @@ def make_tp_train_step(cfg: Config, mesh: Mesh):
         # Inputs carry their shardings (device_put above); only pin the
         # batch axis so the compiler cannot replicate it.
         in_shardings=(None, None, None, sh(P(DATA_AXIS)), sh(P(DATA_AXIS)),
-                      sh(P(DATA_AXIS)), None, None, None),
+                      sh(P(DATA_AXIS)), None, None, sh(P(DATA_AXIS))),
     )
 
     def step(params, batch_stats, opt_state, images, targets, targets_eval,
-             lr, rng, real_bs=None):
-        if real_bs is None:
-            real_bs = images.shape[0]
+             lr, rng, row_mask=None):
+        if row_mask is None:
+            row_mask = jnp.ones((images.shape[0],), jnp.float32)
         return jitted(params, batch_stats, opt_state, images, targets,
                       targets_eval, lr, rng,
-                      jnp.asarray(real_bs, jnp.float32))
+                      jnp.asarray(row_mask, jnp.float32))
 
     return step

@@ -171,26 +171,29 @@ class Trainer:
         idles waiting on the host)."""
         self._rng, sub = jax.random.split(self._rng)
         im, tg, te = batch.images, batch.targets, batch.targets_eval
-        # Under multi-process (pod) training every host holds only its
-        # local rows; the normalization count must be global.
-        real_bs = im.shape[0] * jax.process_count()
         if self.mesh is not None:
             from aocr.parallel import mesh as mesh_lib
 
-            n = self.cfg.num_shards
+            n = self.mesh.shape[mesh_lib.DATA_AXIS]
             pad = (-im.shape[0]) % n
+            mask = np.ones((im.shape[0] + pad,), np.float32)
             if pad:
                 # partial final buckets: pad to a shardable batch with PAD
-                # targets (zero-loss rows) so every device gets equal work
+                # targets (zero-loss rows) so every device gets equal work;
+                # the mask keeps them out of BN moments and the loss/grad
+                # normalization count (all-reduced inside the step, so
+                # multi-host epoch tails stay correct too)
+                mask[-pad:] = 0.0
                 im = np.concatenate([im, np.repeat(im[-1:], pad, 0)], 0)
                 ztg = np.full((pad, tg.shape[1]), vocab.PAD, tg.dtype)
                 tg = np.concatenate([tg, ztg], 0)
                 te = np.concatenate([te, ztg], 0)
-            im, tg, te = mesh_lib.shard_batch(self.mesh, im, tg, te)
+            im, tg, te, mk = mesh_lib.shard_batch(self.mesh, im, tg, te,
+                                                  mask)
             out = self._train_step(
                 self.params, self.batch_stats, self.opt_state,
                 im, tg, te, jnp.asarray(lr, jnp.float32), sub,
-                real_bs=real_bs,
+                row_mask=mk,
             )
         else:
             out = self._train_step(

@@ -47,16 +47,18 @@ def _train_step(
     dropout_rng: jax.Array,
     cfg: Config,
     real_bs=None,
+    row_mask=None,
 ) -> TrainOutput:
     # real_bs: true (un-padded) sample count when the batch was padded to a
     # shardable size; loss/grad normalization must use it (the reference
-    # divides by the real batch size, model.lua:645-647).
+    # divides by the real batch size, model.lua:645-647).  row_mask marks
+    # the real rows so BatchNorm moments exclude the padding.
     batch_size = images.shape[0] if real_bs is None else real_bs
 
     def loss_fn(p):
         nll, new_stats, _ = model.forward_loss(
             p, batch_stats, images, targets, targets_eval, cfg,
-            train=True, dropout_rng=dropout_rng,
+            train=True, dropout_rng=dropout_rng, row_mask=row_mask,
         )
         return nll / batch_size, new_stats
 

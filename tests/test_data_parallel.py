@@ -84,39 +84,46 @@ def test_dp_params_replicated(setup):
     assert np.isfinite(float(out2.loss_sum))
 
 
-def test_dp_padded_partial_batch_normalization(setup):
-    """Padded zero-loss rows must not change the loss sum or shrink the
-    update: gradients normalize by the real batch size."""
+def test_dp_padded_partial_batch_matches_unpadded(setup):
+    """A partial bucket padded with masked rows must produce the SAME step
+    as the unpadded batch: the mask keeps pad rows out of BN moments and
+    the all-reduced real_bs normalization (r1 advisor finding: duplicated
+    pad rows used to bias batch statistics)."""
     from aocr import vocab as v
 
-    m = mesh_lib.make_mesh(num_data=4)
-    dp_step = data_parallel.make_dp_train_step(CFG, m)
+    m4 = mesh_lib.make_mesh(num_data=4)
+    m2 = mesh_lib.make_mesh(num_data=2)
     opt = optim.sgd_init(setup["params"])
     lr = jnp.float32(0.1)
     rng = jax.random.PRNGKey(3)
 
-    # real data: 4 rows (1/device); padded variant: same 4 + 4 PAD rows
+    # real data: 4 rows on 2 devices; padded variant: same 4 + 4 masked
+    # PAD rows on 4 devices
     im4 = setup["images"][:4]
     tg4, te4 = setup["targets"][:4], setup["targets_eval"][:4]
     pad_im = jnp.concatenate([im4, im4[-1:].repeat(4, 0)], 0)
     zrow = jnp.full((4, tg4.shape[1]), v.PAD, tg4.dtype)
     pad_tg = jnp.concatenate([tg4, zrow], 0)
     pad_te = jnp.concatenate([te4, zrow], 0)
+    mask = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0])
 
-    a_im, a_tg, a_te = mesh_lib.shard_batch(m, im4, tg4, te4)
-    b_im, b_tg, b_te = mesh_lib.shard_batch(m, pad_im, pad_tg, pad_te)
-    out_a = dp_step(setup["params"], setup["stats"], opt, a_im, a_tg, a_te,
-                    lr, rng)
-    out_b = dp_step(setup["params"], setup["stats"], opt, b_im, b_tg, b_te,
-                    lr, rng, real_bs=4)
-    # PAD rows contribute zero tokens: loss sums agree (up to the BN batch-
-    # stat perturbation from the duplicated image rows)
+    a_im, a_tg, a_te = mesh_lib.shard_batch(m2, im4, tg4, te4)
+    b_im, b_tg, b_te, b_mk = mesh_lib.shard_batch(m4, pad_im, pad_tg,
+                                                  pad_te, mask)
+    out_a = data_parallel.make_dp_train_step(CFG, m2)(
+        setup["params"], setup["stats"], opt, a_im, a_tg, a_te, lr, rng)
+    out_b = data_parallel.make_dp_train_step(CFG, m4)(
+        setup["params"], setup["stats"], opt, b_im, b_tg, b_te, lr, rng,
+        row_mask=b_mk)
     np.testing.assert_allclose(float(out_b.loss_sum), float(out_a.loss_sum),
-                               rtol=2e-2)
-    # update magnitude is preserved (not shrunk by the padded denominator)
-    def upd_norm(out):
-        return float(optim.group_norm(jax.tree.map(
-            lambda n, o: n - o, out.params["decoder"],
-            setup["params"]["decoder"])))
-    na, nb = upd_norm(out_a), upd_norm(out_b)
-    assert abs(na - nb) / na < 0.1
+                               rtol=1e-5)
+    # BN running stats identical: masked rows contributed nothing
+    for a, b in zip(jax.tree.leaves(out_a.batch_stats),
+                    jax.tree.leaves(out_b.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # parameter updates identical
+    for a, b in zip(jax.tree.leaves(out_a.params),
+                    jax.tree.leaves(out_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-4)
