@@ -1,0 +1,119 @@
+"""Data-parallel evaluation: beam decode + gold pass sharded over the mesh.
+
+The reference evaluates inside the train loop on its single device
+(`/root/reference/src/train.lua:136-162`); round 1 of this rebuild kept the
+whole validation sweep on chip 0 even under `-num_shards N`, so training
+scaled but the eval that gates LR decay didn't.  Here the full eval step —
+CNN + bi-encoder + beam/greedy decode + teacher-forced gold pass — runs
+under one `shard_map` over the data axis: every chip decodes its batch
+shard (beam state is per-sample, so the decode shards trivially on batch;
+each shard's `lax.while_loop` early-exits independently), and only the
+token-sum NLL is all-reduced.  Labels, beam scores, and per-sample gold
+scores come back sharded; the host fetches them once per batch for the
+(cheap) string metrics, exactly like the single-device path.
+
+Partial buckets are padded to a shardable row count by the caller; padded
+rows are sliced off after the fetch (PAD targets make them zero-loss, so
+the psum'd NLL needs no correction).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from aocr import decode, vocab
+from aocr.config import Config
+from aocr.models import model
+from aocr.parallel.mesh import DATA_AXIS
+
+
+class EvalOut(NamedTuple):
+    labels: jax.Array  # (B, T) int32, batch-sharded
+    scores: jax.Array  # (B,) float32 best-beam cumulative log-prob
+    nll: jax.Array  # scalar, global token-sum NLL (psum'd)
+    gold_scores: jax.Array  # (B,) per-sample teacher-forced log-prob
+    refills: jax.Array  # scalar int32 trie refill events (0 without trie)
+    min_valid: jax.Array  # scalar int32 smallest valid-beam count seen
+
+
+def make_dp_eval_step(cfg: Config, mesh: Mesh, use_trie: bool):
+    """Build the sharded eval step.
+
+    Returns step(params, batch_stats, images, targets, targets_eval,
+    trie_table) -> EvalOut.  Batch arrays must be sharded over DATA_AXIS
+    (mesh.shard_batch) with row counts divisible by the data-axis size;
+    params/batch_stats/trie_table replicated.
+    """
+    K = min(cfg.beam_size, cfg.target_vocab_size)
+    T = cfg.max_decoder_l
+
+    def local_step(params, batch_stats, images, targets, targets_eval,
+                   trie_table):
+        out = decode.beam_decode(
+            params, batch_stats, images, cfg,
+            beam_size=K, max_len=T,
+            trie_table=trie_table if use_trie else None,
+            use_trie=use_trie,
+            return_refills=True,
+        )
+        labels, scores, (refills, min_valid) = out
+        # Teacher-forced gold pass (same math as train_step.eval_loss_step;
+        # XLA CSEs the duplicated encode with the decode's).
+        nll, _, log_probs = model.forward_loss(
+            params, batch_stats, images, targets, targets_eval, cfg,
+            train=False,
+        )
+        picked = jnp.take_along_axis(
+            log_probs, targets_eval[..., None], axis=-1
+        ).squeeze(-1)
+        mask = (targets_eval != vocab.PAD).astype(log_probs.dtype)
+        gold_scores = jnp.sum(picked * mask, axis=1)
+        nll = jax.lax.psum(nll, DATA_AXIS)
+        refills = jax.lax.psum(refills, DATA_AXIS)
+        min_valid = jax.lax.pmin(min_valid, DATA_AXIS)
+        return EvalOut(labels, scores, nll, gold_scores, refills, min_valid)
+
+    rep = P()
+    sh = P(DATA_AXIS)
+    shmapped = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(rep, rep, sh, sh, sh, rep),
+        out_specs=EvalOut(labels=sh, scores=sh, nll=rep, gold_scores=sh,
+                          refills=rep, min_valid=rep),
+        check_vma=False,
+    )
+    jitted = jax.jit(shmapped)
+
+    def step(params, batch_stats, images, targets, targets_eval,
+             trie_table: Optional[jax.Array] = None) -> EvalOut:
+        if trie_table is None:
+            # dummy replicated operand keeps one signature for both modes
+            trie_table = jnp.zeros((1, cfg.target_vocab_size), jnp.int32)
+        return jitted(params, batch_stats, images, targets, targets_eval,
+                      trie_table)
+
+    return step
+
+
+def pad_rows(n_shards: int, *arrays):
+    """Pad batch arrays (axis 0, repeating the last row for images / PAD
+    rows for targets) to a row count divisible by n_shards.  Returns
+    (real_rows, padded arrays...)."""
+    B = arrays[0].shape[0]
+    pad = (-B) % n_shards
+    if pad == 0:
+        return (B,) + arrays
+    out = []
+    for a in arrays:
+        if a.dtype.kind == "f":  # images: repeat last row
+            filler = np.repeat(np.asarray(a[-1:]), pad, 0)
+        else:  # targets: PAD rows (zero loss)
+            filler = np.full((pad,) + a.shape[1:], vocab.PAD, a.dtype)
+        out.append(np.concatenate([np.asarray(a), filler], 0))
+    return (B,) + tuple(out)

@@ -160,6 +160,16 @@ class Trainer:
             self.trie_table = jnp.asarray(trie_lib.load_dictionary(
                 self.cfg.dictionary_path, self.cfg.allow_digit_prefix
             ))
+        self._eval_step = None
+        if (self.mesh is not None and self.cfg.num_shards > 1
+                and self.cfg.num_model_shards == 1):
+            from aocr.parallel import eval_parallel
+
+            self._eval_step = eval_parallel.make_dp_eval_step(
+                self.cfg, self.mesh, use_trie=self.trie_table is not None
+            )
+            log.info(f"Sharded evaluation over {self.cfg.num_shards} "
+                     f"devices (beam decode + gold pass per shard)")
         self.visualize_file = None
 
     # ------------------------------------------------------------ steps
@@ -225,28 +235,50 @@ class Trainer:
                                constant_values=vocab.PAD)
         targets = pad(batch.targets)
         targets_eval = pad(batch.targets_eval)
-        images = jnp.asarray(batch.images)
         use_trie = self.trie_table is not None
-        out = decode.beam_decode(
-            self.params, self.batch_stats, images, cfg,
-            beam_size=cfg.beam_size, max_len=T,
-            trie_table=self.trie_table,
-            use_trie=use_trie,
-            return_refills=use_trie,
-        )
-        labels, scores = out[0], out[1]
-        if use_trie:
-            refills, min_valid = (int(x) for x in out[2])
-            if refills:
-                # Reference logs per-row 'Warning: valid beam size: %d'
-                # whenever fewer than beam_size trie continuations exist
-                # (model.lua:421,480); aggregated per batch here since the
-                # decode loop runs on-device.
-                self.log.info(
-                    f"Warning: valid beam size: {min_valid} "
-                    f"({refills} refilled row-steps in batch)"
-                )
-        labels_np = np.asarray(labels)
+        if self._eval_step is not None:
+            # Sharded eval: decode + gold pass run on every chip of the
+            # data axis; padded rows are sliced off after the fetch.
+            from aocr.parallel import eval_parallel, mesh as mesh_lib
+
+            n = self.mesh.shape[mesh_lib.DATA_AXIS]
+            real_b, im, tg, te = eval_parallel.pad_rows(
+                n, batch.images, targets, targets_eval
+            )
+            im, tg, te = mesh_lib.shard_batch(self.mesh, im, tg, te)
+            out = self._eval_step(self.params, self.batch_stats, im, tg, te,
+                                  self.trie_table)
+            labels_np = np.asarray(out.labels)[:real_b]
+            scores = np.asarray(out.scores)[:real_b]
+            nll = out.nll
+            gold_scores = np.asarray(out.gold_scores)[:real_b]
+            refills, min_valid = int(out.refills), int(out.min_valid)
+        else:
+            images = jnp.asarray(batch.images)
+            out = decode.beam_decode(
+                self.params, self.batch_stats, images, cfg,
+                beam_size=cfg.beam_size, max_len=T,
+                trie_table=self.trie_table,
+                use_trie=use_trie,
+                return_refills=use_trie,
+            )
+            labels_np = np.asarray(out[0])
+            scores = out[1]
+            refills, min_valid = ((int(x) for x in out[2]) if use_trie
+                                  else (0, 0))
+            nll, gold_scores = train_step.eval_loss_step(
+                self.params, self.batch_stats, images,
+                jnp.asarray(targets), jnp.asarray(targets_eval), cfg,
+            )
+        if use_trie and refills:
+            # Reference logs per-row 'Warning: valid beam size: %d'
+            # whenever fewer than beam_size trie continuations exist
+            # (model.lua:421,480); aggregated per batch here since the
+            # decode loop runs on-device.
+            self.log.info(
+                f"Warning: valid beam size: {min_valid} "
+                f"({refills} refilled row-steps in batch)"
+            )
         word_err, preds, golds = eval_lib.eval_word_err_rate(
             labels_np, targets_eval
         )
@@ -269,10 +301,6 @@ class Trainer:
             ])
         glens = np.maximum([len(g) for g in golds], 1)
         cer_sum = float(np.minimum(1.0, dists / glens).sum())
-        nll, gold_scores = train_step.eval_loss_step(
-            self.params, self.batch_stats, images,
-            jnp.asarray(targets), jnp.asarray(targets_eval), cfg,
-        )
         if self.visualize_file is not None:
             sc = np.asarray(scores)
             gs = np.asarray(gold_scores)

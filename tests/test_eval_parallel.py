@@ -1,0 +1,120 @@
+"""Sharded eval/decode (VERDICT r1 item 3): DP eval on an 8-device CPU mesh
+must reproduce single-device transcripts, scores, NLL, and gold scores —
+including partial batches that need row padding and trie-constrained
+decoding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aocr import decode, train_step, vocab
+from aocr.config import Config
+from aocr.models import model
+from aocr.parallel import eval_parallel, mesh as mesh_lib
+from tests import synth
+
+CFG = Config(
+    batch_size=8, input_feed=True, encoder_num_hidden=16,
+    target_embedding_size=8, image_width=32, max_decoder_l=8, beam_size=2,
+).validate()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    labels = ["ab", "cd", "ef", "gh", "ij", "kl"]  # 6 rows: partial on 4 dev
+    imgs = np.stack([synth.render_word(l, 32, 32) for l in labels])[..., None]
+    targets, targets_eval, _ = vocab.encode_batch(labels, pad_to=CFG.max_decoder_l)
+    ms = model.init(jax.random.PRNGKey(0), CFG)
+    return dict(
+        images=imgs.astype(np.float32),
+        targets=targets, targets_eval=targets_eval,
+        params=ms.params, stats=ms.batch_stats,
+    )
+
+
+def _single_device_reference(setup, cfg, trie_table=None):
+    labels, scores = decode.beam_decode(
+        setup["params"], setup["stats"], jnp.asarray(setup["images"]), cfg,
+        beam_size=cfg.beam_size, max_len=cfg.max_decoder_l,
+        trie_table=trie_table, use_trie=trie_table is not None,
+    )
+    nll, gold = train_step.eval_loss_step(
+        setup["params"], setup["stats"], jnp.asarray(setup["images"]),
+        jnp.asarray(setup["targets"]), jnp.asarray(setup["targets_eval"]),
+        cfg,
+    )
+    return np.asarray(labels), np.asarray(scores), float(nll), np.asarray(gold)
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_dp_eval_matches_single_device(setup, ndev):
+    mesh = mesh_lib.make_mesh(num_data=ndev)
+    step = eval_parallel.make_dp_eval_step(CFG, mesh, use_trie=False)
+    real_b, im, tg, te = eval_parallel.pad_rows(
+        ndev, setup["images"], setup["targets"], setup["targets_eval"]
+    )
+    assert im.shape[0] % ndev == 0
+    im, tg, te = mesh_lib.shard_batch(mesh, im, tg, te)
+    out = step(setup["params"], setup["stats"], im, tg, te)
+
+    ref_labels, ref_scores, ref_nll, ref_gold = _single_device_reference(
+        setup, CFG
+    )
+    np.testing.assert_array_equal(np.asarray(out.labels)[:real_b], ref_labels)
+    np.testing.assert_allclose(np.asarray(out.scores)[:real_b], ref_scores,
+                               rtol=1e-4)
+    # padded rows are zero-loss PAD rows: global NLL matches exactly
+    np.testing.assert_allclose(float(out.nll), ref_nll, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.gold_scores)[:real_b],
+                               ref_gold, rtol=1e-4)
+
+
+def test_dp_eval_with_trie(setup):
+    from aocr.utils import trie as trie_lib
+
+    table = jnp.asarray(trie_lib.build_transition_table(["ab", "cd", "zz"]))
+    mesh = mesh_lib.make_mesh(num_data=2)
+    step = eval_parallel.make_dp_eval_step(CFG, mesh, use_trie=True)
+    real_b, im, tg, te = eval_parallel.pad_rows(
+        2, setup["images"], setup["targets"], setup["targets_eval"]
+    )
+    im, tg, te = mesh_lib.shard_batch(mesh, im, tg, te)
+    out = step(setup["params"], setup["stats"], im, tg, te, table)
+    ref_labels, _, _, _ = _single_device_reference(setup, CFG, table)
+    np.testing.assert_array_equal(np.asarray(out.labels)[:real_b], ref_labels)
+    # all decodes stay inside the dictionary
+    for row in np.asarray(out.labels)[:real_b]:
+        assert vocab.decode(row) in ("ab", "cd", "zz", "a", "c", "z", "")
+    assert int(out.refills) >= 0 and int(out.min_valid) >= 0
+
+
+def test_trainer_sharded_eval_cli(tmp_path):
+    """-num_shards shards the validation sweep and the test phase (the
+    Trainer routes step_eval through the mesh)."""
+    import os
+
+    from aocr.train import main
+
+    d = str(tmp_path)
+    labels = ["ab", "cd", "ef", "gh", "ij"]  # 5 rows: partial under 2 shards
+    synth.make_dataset(d, labels, "train.txt", width=32)
+    synth.make_dataset(d, labels, "val.txt", width=32)
+    common = [
+        "-data_base_dir", d, "-data_path", "train.txt",
+        "-val_data_path", "val.txt",
+        "-model_dir", os.path.join(d, "model"),
+        "-log_path", os.path.join(d, "log.txt"),
+        "-batch_size", "5", "-num_batches_val", "1",
+        "-encoder_num_hidden", "16", "-target_embedding_size", "8",
+        "-max_decoder_l", "8", "-image_width", "32", "-input_feed",
+        "-num_shards", "2",
+    ]
+    main(common + ["-phase", "train", "-num_epochs", "1",
+                   "-steps_per_checkpoint", "1"])
+    log = open(os.path.join(d, "log.txt")).read()
+    assert "Sharded evaluation over 2 devices" in log
+    assert "Val Accuracy" in log
+    main(common + ["-phase", "test", "-load_model"])
+    log = open(os.path.join(d, "log.txt")).read()
+    assert "Number of samples 5" in log
