@@ -63,27 +63,41 @@ def eval_word_err_rate(
 
 # -------------------------------------------------------------- device-side
 
-def _eos_lengths(seqs: jax.Array) -> jax.Array:
-    """Effective length of each row: position of first EOS (or full width).
+def canonicalize(seqs: jax.Array):
+    """Per-row canonical form matching `vocab.decode` exactly: truncate at
+    the first EOS, drop PAD and GO anywhere, compact the surviving
+    character tokens to the front.  Returns (compacted (B, T) int32 rows
+    PAD-filled past their length, lengths (B,) int32).
 
-    GO/PAD before the EOS are counted by the reference's decode loop only if
-    they precede EOS; decoded transcripts never contain them in practice.
+    This is what makes the device metrics bit-identical to the host
+    string metrics: a beam that freezes on PAD without emitting EOS, or a
+    stray GO mid-sequence, decodes to the same string both ways.
     """
     T = seqs.shape[1]
     is_eos = seqs == vocab.EOS
     any_eos = jnp.any(is_eos, axis=1)
     first = jnp.argmax(is_eos, axis=1)
-    return jnp.where(any_eos, first, T)
+    eos_pos = jnp.where(any_eos, first, T)  # (B,)
+    pos = jnp.arange(T)[None, :]
+    keep = (seqs >= vocab.EOS + 1) & (pos < eos_pos[:, None])
+    # Stable compaction: kept tokens keep relative order, dropped go last.
+    order = jnp.argsort(jnp.where(keep, pos, pos + T), axis=1)
+    compact = jnp.take_along_axis(seqs, order, axis=1)
+    lengths = jnp.sum(keep, axis=1).astype(jnp.int32)
+    compact = jnp.where(pos < lengths[:, None], compact, vocab.PAD)
+    return compact, lengths
 
 
 @jax.jit
 def exact_match(pred: jax.Array, gold: jax.Array) -> jax.Array:
-    """Per-sample exact match of EOS-truncated sequences.  (B,) bool."""
+    """Per-sample exact match of canonicalized sequences.  (B,) bool.
+    Identical to comparing the vocab.decode'd strings (reference
+    utils.lua:168-171)."""
     T = max(pred.shape[1], gold.shape[1])
     pad = lambda x: jnp.pad(x, ((0, 0), (0, T - x.shape[1])),
                             constant_values=vocab.PAD)
-    p, g = pad(pred), pad(gold)
-    lp, lg = _eos_lengths(p), _eos_lengths(g)
+    p, lp = canonicalize(pad(pred))
+    g, lg = canonicalize(pad(gold))
     pos = jnp.arange(T)[None, :]
     in_p = pos < lp[:, None]
     same = jnp.where(in_p, p == g, True)
@@ -92,7 +106,7 @@ def exact_match(pred: jax.Array, gold: jax.Array) -> jax.Array:
 
 @jax.jit
 def edit_distance(pred: jax.Array, gold: jax.Array) -> jax.Array:
-    """Batched Levenshtein distance of EOS-truncated rows.  (B,) int32.
+    """Batched Levenshtein distance of canonicalized rows.  (B,) int32.
 
     Wavefront DP: diagonal k holds D[i, k-i]; each of the 2T+1 diagonals is
     one vectorized update over (B, T+1), giving an O(T) sequential-depth
@@ -102,8 +116,8 @@ def edit_distance(pred: jax.Array, gold: jax.Array) -> jax.Array:
     T = max(pred.shape[1], gold.shape[1])
     pad = lambda x: jnp.pad(x, ((0, 0), (0, T - x.shape[1])),
                             constant_values=vocab.PAD)
-    p, g = pad(pred), pad(gold)
-    lp, lg = _eos_lengths(p), _eos_lengths(g)
+    p, lp = canonicalize(pad(pred))
+    g, lg = canonicalize(pad(gold))
 
     n = T + 1
     idx_i = jnp.arange(n)  # i along a diagonal
@@ -144,9 +158,6 @@ def char_error_rate(pred: jax.Array, gold: jax.Array) -> jax.Array:
     """Normalized edit distance min(1, dist/len(gold)) per sample — the
     reference's commented-out WER variant (utils.lua:172), on-device."""
     dist = edit_distance(pred, gold)
-    T = gold.shape[1]
-    glen = _eos_lengths(
-        jnp.pad(gold, ((0, 0), (0, 0)), constant_values=vocab.PAD)
-    )
+    _, glen = canonicalize(gold)
     glen = jnp.maximum(glen, 1)
     return jnp.minimum(1.0, dist.astype(jnp.float32) / glen.astype(jnp.float32))

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from aocr import decode, vocab
+from aocr import decode, eval as eval_lib, vocab
 from aocr.config import Config
 from aocr.models import model
 from aocr.parallel.mesh import DATA_AXIS
@@ -37,6 +37,8 @@ class EvalOut(NamedTuple):
     scores: jax.Array  # (B,) float32 best-beam cumulative log-prob
     nll: jax.Array  # scalar, global token-sum NLL (psum'd)
     gold_scores: jax.Array  # (B,) per-sample teacher-forced log-prob
+    accuracy: jax.Array  # scalar int32 exact-match count over real rows
+    cer_sum: jax.Array  # scalar f32 summed normalized edit distance
     refills: jax.Array  # scalar int32 trie refill events (0 without trie)
     min_valid: jax.Array  # scalar int32 smallest valid-beam count seen
 
@@ -45,15 +47,18 @@ def make_dp_eval_step(cfg: Config, mesh: Mesh, use_trie: bool):
     """Build the sharded eval step.
 
     Returns step(params, batch_stats, images, targets, targets_eval,
-    trie_table) -> EvalOut.  Batch arrays must be sharded over DATA_AXIS
-    (mesh.shard_batch) with row counts divisible by the data-axis size;
-    params/batch_stats/trie_table replicated.
+    trie_table, row_mask) -> EvalOut.  Batch arrays must be sharded over
+    DATA_AXIS (mesh.shard_batch) with row counts divisible by the data-axis
+    size; params/batch_stats/trie_table replicated.  row_mask marks real
+    rows; exact-match and CER are computed on-device (aocr.eval's
+    canonicalizing wavefront DP — identical to the host string metrics)
+    and reduced over real rows only.
     """
     K = min(cfg.beam_size, cfg.target_vocab_size)
     T = cfg.max_decoder_l
 
     def local_step(params, batch_stats, images, targets, targets_eval,
-                   trie_table):
+                   trie_table, row_mask):
         out = decode.beam_decode(
             params, batch_stats, images, cfg,
             beam_size=K, max_len=T,
@@ -76,27 +81,40 @@ def make_dp_eval_step(cfg: Config, mesh: Mesh, use_trie: bool):
         nll = jax.lax.psum(nll, DATA_AXIS)
         refills = jax.lax.psum(refills, DATA_AXIS)
         min_valid = jax.lax.pmin(min_valid, DATA_AXIS)
-        return EvalOut(labels, scores, nll, gold_scores, refills, min_valid)
+        # On-device metrics (aocr.eval wavefront DP); padded filler rows
+        # are masked out of both counts.
+        em = eval_lib.exact_match(labels, targets_eval)
+        cer = eval_lib.char_error_rate(labels, targets_eval)
+        accuracy = jax.lax.psum(
+            jnp.sum(em & (row_mask > 0)).astype(jnp.int32), DATA_AXIS
+        )
+        cer_sum = jax.lax.psum(jnp.sum(cer * row_mask), DATA_AXIS)
+        return EvalOut(labels, scores, nll, gold_scores, accuracy, cer_sum,
+                       refills, min_valid)
 
     rep = P()
     sh = P(DATA_AXIS)
     shmapped = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(rep, rep, sh, sh, sh, rep),
+        in_specs=(rep, rep, sh, sh, sh, rep, sh),
         out_specs=EvalOut(labels=sh, scores=sh, nll=rep, gold_scores=sh,
+                          accuracy=rep, cer_sum=rep,
                           refills=rep, min_valid=rep),
         check_vma=False,
     )
     jitted = jax.jit(shmapped)
 
     def step(params, batch_stats, images, targets, targets_eval,
-             trie_table: Optional[jax.Array] = None) -> EvalOut:
+             trie_table: Optional[jax.Array] = None,
+             row_mask: Optional[jax.Array] = None) -> EvalOut:
         if trie_table is None:
             # dummy replicated operand keeps one signature for both modes
             trie_table = jnp.zeros((1, cfg.target_vocab_size), jnp.int32)
+        if row_mask is None:
+            row_mask = jnp.ones((images.shape[0],), jnp.float32)
         return jitted(params, batch_stats, images, targets, targets_eval,
-                      trie_table)
+                      trie_table, row_mask)
 
     return step
 

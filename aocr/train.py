@@ -237,22 +237,34 @@ class Trainer:
         targets_eval = pad(batch.targets_eval)
         use_trie = self.trie_table is not None
         if self._eval_step is not None:
-            # Sharded eval: decode + gold pass run on every chip of the
-            # data axis; padded rows are sliced off after the fetch.
+            # Sharded eval: decode + gold pass + metrics run on every chip
+            # of the data axis.  Accuracy and CER come back as two scalars
+            # (the on-device canonicalizing metrics in aocr.eval); labels
+            # are only fetched when the visualizer needs transcripts.
             from aocr.parallel import eval_parallel, mesh as mesh_lib
 
             n = self.mesh.shape[mesh_lib.DATA_AXIS]
             real_b, im, tg, te = eval_parallel.pad_rows(
                 n, batch.images, targets, targets_eval
             )
-            im, tg, te = mesh_lib.shard_batch(self.mesh, im, tg, te)
+            mask = (np.arange(im.shape[0]) < real_b).astype(np.float32)
+            im, tg, te, mk = mesh_lib.shard_batch(self.mesh, im, tg, te,
+                                                  mask)
             out = self._eval_step(self.params, self.batch_stats, im, tg, te,
-                                  self.trie_table)
-            labels_np = np.asarray(out.labels)[:real_b]
-            scores = np.asarray(out.scores)[:real_b]
-            nll = out.nll
-            gold_scores = np.asarray(out.gold_scores)[:real_b]
+                                  self.trie_table, mk)
+            nll = float(out.nll)
+            accuracy = int(out.accuracy)
+            cer_sum = float(out.cer_sum)
             refills, min_valid = int(out.refills), int(out.min_valid)
+            if self.visualize_file is not None:
+                labels_np = np.asarray(out.labels)[:real_b]
+                scores = np.asarray(out.scores)[:real_b]
+                gold_scores = np.asarray(out.gold_scores)[:real_b]
+                _, preds, golds = eval_lib.eval_word_err_rate(
+                    labels_np, targets_eval
+                )
+                self._write_visualize_rows(batch.img_paths, preds, golds,
+                                           scores, gold_scores)
         else:
             images = jnp.asarray(batch.images)
             out = decode.beam_decode(
@@ -270,6 +282,35 @@ class Trainer:
                 self.params, self.batch_stats, images,
                 jnp.asarray(targets), jnp.asarray(targets_eval), cfg,
             )
+            nll = float(nll)
+            word_err, preds, golds = eval_lib.eval_word_err_rate(
+                labels_np, targets_eval
+            )
+            accuracy = B - word_err
+            # normalized edit distance (the reference's open WER TODO,
+            # README.md:11).  The native and numpy paths both operate on
+            # the *decoded strings* (PAD/GO stripped, truncated at EOS) so
+            # the reported CER is identical whether or not the C++ library
+            # is built — and identical to the sharded path's on-device
+            # metric (tested in tests/test_eval_parallel.py).
+            from aocr.utils import native as native_lib
+
+            width = max(max((len(p) for p in preds), default=0),
+                        max((len(g) for g in golds), default=0)) + 1
+            pred_rows = vocab.encode_batch(preds, pad_to=width)[1]
+            gold_rows = vocab.encode_batch(golds, pad_to=width)[1]
+            dists = native_lib.edit_distance_batch(pred_rows, gold_rows,
+                                                   vocab.EOS)
+            if dists is None:
+                dists = np.array([
+                    eval_lib.levenshtein(p, g) for p, g in zip(preds, golds)
+                ])
+            glens = np.maximum([len(g) for g in golds], 1)
+            cer_sum = float(np.minimum(1.0, dists / glens).sum())
+            if self.visualize_file is not None:
+                self._write_visualize_rows(batch.img_paths, preds, golds,
+                                           np.asarray(scores),
+                                           np.asarray(gold_scores))
         if use_trie and refills:
             # Reference logs per-row 'Warning: valid beam size: %d'
             # whenever fewer than beam_size trie continuations exist
@@ -279,37 +320,16 @@ class Trainer:
                 f"Warning: valid beam size: {min_valid} "
                 f"({refills} refilled row-steps in batch)"
             )
-        word_err, preds, golds = eval_lib.eval_word_err_rate(
-            labels_np, targets_eval
-        )
-        accuracy = B - word_err
-        # normalized edit distance (the reference's open WER TODO,
-        # README.md:11).  Both the native and numpy paths operate on the
-        # *decoded strings* (PAD/GO stripped, truncated at EOS) so the
-        # reported CER is identical whether or not the C++ library is built.
-        from aocr.utils import native as native_lib
+        return nll, accuracy, cer_sum
 
-        width = max(max((len(p) for p in preds), default=0),
-                    max((len(g) for g in golds), default=0)) + 1
-        pred_rows = vocab.encode_batch(preds, pad_to=width)[1]
-        gold_rows = vocab.encode_batch(golds, pad_to=width)[1]
-        dists = native_lib.edit_distance_batch(pred_rows, gold_rows,
-                                               vocab.EOS)
-        if dists is None:
-            dists = np.array([
-                eval_lib.levenshtein(p, g) for p, g in zip(preds, golds)
-            ])
-        glens = np.maximum([len(g) for g in golds], 1)
-        cer_sum = float(np.minimum(1.0, dists / glens).sum())
-        if self.visualize_file is not None:
-            sc = np.asarray(scores)
-            gs = np.asarray(gold_scores)
-            for i, path in enumerate(batch.img_paths):
-                self.visualize_file.write(
-                    f"{path}\t{golds[i]}\t{preds[i]}\t{sc[i]:f}\t{gs[i]:f}\n"
-                )
-            self.visualize_file.flush()
-        return float(nll), accuracy, cer_sum
+    def _write_visualize_rows(self, paths, preds, golds, scores,
+                              gold_scores) -> None:
+        for i, path in enumerate(paths):
+            self.visualize_file.write(
+                f"{path}\t{golds[i]}\t{preds[i]}\t{scores[i]:f}"
+                f"\t{gold_scores[i]:f}\n"
+            )
+        self.visualize_file.flush()
 
     # ------------------------------------------------------- validation
 

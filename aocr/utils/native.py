@@ -32,7 +32,7 @@ def _lib() -> Optional[ctypes.CDLL]:
             try:  # AttributeError: library older than this binding
                 lib = ctypes.CDLL(cand)
                 lib.aocr_native_abi_version.restype = ctypes.c_int
-                if lib.aocr_native_abi_version() != 2:
+                if lib.aocr_native_abi_version() != 3:
                     continue  # stale build: rebuild with `make -C native`
                 _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
                 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -46,10 +46,6 @@ def _lib() -> Optional[ctypes.CDLL]:
                     _f32p, ctypes.c_int, ctypes.c_int,
                 ]
                 lib.aocr_edit_distance_batch.argtypes = [
-                    _i32p, _i32p, ctypes.c_int, ctypes.c_int,
-                    ctypes.c_int, _i32p,
-                ]
-                lib.aocr_exact_match_batch.argtypes = [
                     _i32p, _i32p, ctypes.c_int, ctypes.c_int,
                     ctypes.c_int, _i32p,
                 ]
@@ -110,17 +106,3 @@ def edit_distance_batch(
     out = np.empty((b,), np.int32)
     lib.aocr_edit_distance_batch(pred, gold, b, t, eos, out)
     return out
-
-
-def exact_match_batch(
-    pred: np.ndarray, gold: np.ndarray, eos: int
-) -> Optional[np.ndarray]:
-    lib = _lib()
-    if lib is None:
-        return None
-    pred = np.ascontiguousarray(pred, np.int32)
-    gold = np.ascontiguousarray(gold, np.int32)
-    b, t = pred.shape
-    out = np.empty((b,), np.int32)
-    lib.aocr_exact_match_batch(pred, gold, b, t, eos, out)
-    return out.astype(bool)

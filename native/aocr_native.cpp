@@ -114,31 +114,6 @@ void aocr_edit_distance_batch(const int32_t* pred, const int32_t* gold,
   }
 }
 
-// Batched exact match of EOS-truncated rows. out: (batch,) int32 in {0,1}.
-void aocr_exact_match_batch(const int32_t* pred, const int32_t* gold,
-                            int batch, int t, int32_t eos, int32_t* out) {
-  for (int b = 0; b < batch; ++b) {
-    const int32_t* p = pred + static_cast<size_t>(b) * t;
-    const int32_t* g = gold + static_cast<size_t>(b) * t;
-    int lp = 0, lg = 0;
-    while (lp < t && p[lp] != eos) ++lp;
-    while (lg < t && g[lg] != eos) ++lg;
-    int ok = (lp == lg);
-    for (int i = 0; ok && i < lp; ++i) ok = (p[i] == g[i]);
-    out[b] = ok;
-  }
-}
-
-// Pack a batch of same-size (h, w) float images into a (batch, h, w, 1)
-// NHWC tensor (the DataGen batch-emit hot loop, data_gen.lua:97-105).
-void aocr_pack_batch(const float* const* images, int batch, int h, int w,
-                     float* out) {
-  const size_t plane = static_cast<size_t>(h) * w;
-  for (int b = 0; b < batch; ++b) {
-    std::memcpy(out + b * plane, images[b], sizeof(float) * plane);
-  }
-}
-
-int aocr_native_abi_version() { return 2; }
+int aocr_native_abi_version() { return 3; }
 
 }  // extern "C"

@@ -67,6 +67,36 @@ def test_device_edit_distance_random(np_rng):
     assert list(d) == expected
 
 
+def test_device_metrics_match_string_semantics():
+    """Device metrics must equal the host string metrics on the awkward
+    cases: PAD-terminated rows without EOS (a beam that froze on PAD) and
+    stray GO/PAD tokens mid-sequence — vocab.decode strips both."""
+    width = 8
+    rows = np.array([
+        # pred: 'ab' then PAD-freeze, no EOS        -> decodes to "ab"
+        [vocab.char_to_id("a"), vocab.char_to_id("b"), vocab.PAD, vocab.PAD,
+         vocab.PAD, vocab.PAD, vocab.PAD, vocab.PAD],
+        # pred: 'a GO b EOS'                         -> decodes to "ab"
+        [vocab.char_to_id("a"), vocab.GO, vocab.char_to_id("b"), vocab.EOS,
+         vocab.PAD, vocab.PAD, vocab.PAD, vocab.PAD],
+        # pred: 'x PAD y EOS'                        -> decodes to "xy"
+        [vocab.char_to_id("x"), vocab.PAD, vocab.char_to_id("y"), vocab.EOS,
+         vocab.PAD, vocab.PAD, vocab.PAD, vocab.PAD],
+    ], np.int32)
+    gold = np.array([_seq("ab", width), _seq("ab", width),
+                     _seq("xz", width)], np.int32)
+    # host (string) semantics
+    host_err, preds, golds = eval_lib.eval_word_err_rate(rows, gold)
+    assert preds == ["ab", "ab", "xy"]
+    assert host_err == 1
+    # device semantics must agree
+    em = np.asarray(eval_lib.exact_match(rows, gold))
+    assert list(em) == [True, True, False]
+    d = np.asarray(eval_lib.edit_distance(rows, gold))
+    expected = [eval_lib.levenshtein(p, g) for p, g in zip(preds, golds)]
+    assert list(d) == expected
+
+
 def test_char_error_rate():
     width = 10
     pred = np.array([_seq("abc", width), _seq("abcd", width)])

@@ -55,8 +55,9 @@ def test_dp_eval_matches_single_device(setup, ndev):
         ndev, setup["images"], setup["targets"], setup["targets_eval"]
     )
     assert im.shape[0] % ndev == 0
-    im, tg, te = mesh_lib.shard_batch(mesh, im, tg, te)
-    out = step(setup["params"], setup["stats"], im, tg, te)
+    mask = (np.arange(im.shape[0]) < real_b).astype(np.float32)
+    im, tg, te, mk = mesh_lib.shard_batch(mesh, im, tg, te, mask)
+    out = step(setup["params"], setup["stats"], im, tg, te, row_mask=mk)
 
     ref_labels, ref_scores, ref_nll, ref_gold = _single_device_reference(
         setup, CFG
@@ -68,6 +69,19 @@ def test_dp_eval_matches_single_device(setup, ndev):
     np.testing.assert_allclose(float(out.nll), ref_nll, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(out.gold_scores)[:real_b],
                                ref_gold, rtol=1e-4)
+    # on-device metrics == host string metrics on the same transcripts
+    # (padded filler rows masked out)
+    from aocr import eval as eval_lib
+
+    err, preds, golds = eval_lib.eval_word_err_rate(
+        ref_labels, setup["targets_eval"]
+    )
+    assert int(out.accuracy) == len(golds) - err
+    host_cer = sum(
+        min(1.0, eval_lib.levenshtein(p, g) / max(len(g), 1))
+        for p, g in zip(preds, golds)
+    )
+    np.testing.assert_allclose(float(out.cer_sum), host_cer, rtol=1e-5)
 
 
 def test_dp_eval_with_trie(setup):

@@ -66,14 +66,6 @@ def test_edit_distance_matches_host(np_rng):
     assert list(out) == expected
 
 
-def test_exact_match_batch(np_rng):
-    width = 8
-    pred = np.array([_seq("abc", width), _seq("abd", width)], np.int32)
-    gold = np.array([_seq("abc", width), _seq("abc", width)], np.int32)
-    out = native.exact_match_batch(pred, gold, vocab.EOS)
-    assert list(out) == [True, False]
-
-
 def test_data_pipeline_uses_native(tmp_path, np_rng):
     """load_and_preprocess should produce identical output whether or not
     the native path is active."""
