@@ -125,6 +125,10 @@ class Config:
     # Composes with num_shards (DP x TP needs num_shards*num_model_shards
     # devices).
     num_model_shards: int = 1
+    # Multi-host (pod) training: call jax.distributed.initialize, shard the
+    # manifest per process, and run the lockstep data path (fixed batch
+    # shapes + dummy-batch epoch drain).  See aocr/parallel/multihost.py.
+    multihost: bool = False
     # Image geometry (reference hard-codes 32-tall, width 100:
     # src/data/data_gen.lua:16,78). keep_aspect_ratio=False reproduces the
     # hard-coded width-100 behavior; True uses the clamped aspect-ratio width.
@@ -164,6 +168,7 @@ class Config:
 _BOOL_FLAGS = {
     "nesterov",
     "allow_pickle_ckpt",
+    "multihost",
     "cache_images",
     "length_normalize",
     "remat",

@@ -152,6 +152,11 @@ class DataGen:
                     self.lines.append([parts[0], parts[1], None, None])
         self.cursor = 0
         self.buffer: Dict[int, List] = {}
+        # Multi-host lockstep requires identical target shapes on every
+        # host each step: pad every batch's targets to max_decoder_l
+        # instead of the batch max (aocr/parallel/multihost.py).
+        self._pad_targets_to = (cfg.max_decoder_l if cfg.multihost
+                                else None)
         self._warned_truncate = False
         self._pool = None
         self._pending: Dict[int, object] = {}  # id(rec) -> Future
@@ -202,7 +207,9 @@ class DataGen:
             images[i, :, :, 0] = img
             labels.append(label)
             paths.append(path)
-        targets, targets_eval, nnz = vocab.encode_batch(labels)
+        targets, targets_eval, nnz = vocab.encode_batch(
+            labels, pad_to=self._pad_targets_to
+        )
         return Batch(images, targets, targets_eval, nnz, paths)
 
     def _schedule_lookahead(self) -> None:

@@ -119,12 +119,14 @@ def make_dp_eval_step(cfg: Config, mesh: Mesh, use_trie: bool):
     return step
 
 
-def pad_rows(n_shards: int, *arrays):
+def pad_rows(n_shards: int, *arrays, total_rows: Optional[int] = None):
     """Pad batch arrays (axis 0, repeating the last row for images / PAD
-    rows for targets) to a row count divisible by n_shards.  Returns
-    (real_rows, padded arrays...)."""
+    rows for targets) to a row count divisible by n_shards — or to exactly
+    total_rows (multi-host lockstep: every host contributes the same local
+    row count).  Returns (real_rows, padded arrays...)."""
     B = arrays[0].shape[0]
-    pad = (-B) % n_shards
+    pad = (total_rows - B) if total_rows is not None else (-B) % n_shards
+    assert pad >= 0, f"batch of {B} rows exceeds total_rows={total_rows}"
     if pad == 0:
         return (B,) + arrays
     out = []

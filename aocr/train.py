@@ -170,30 +170,66 @@ class Trainer:
             )
             log.info(f"Sharded evaluation over {self.cfg.num_shards} "
                      f"devices (beam decode + gold pass per shard)")
+        # Multi-host lockstep (aocr/parallel/multihost.py): fixed per-host
+        # batch shapes + dummy-batch epoch drain so every process issues
+        # identical collective programs.
+        self._lockstep = self.cfg.multihost
+        if self._lockstep:
+            from aocr.parallel import multihost
+
+            pc = jax.process_count()
+            assert self.mesh is not None and self.cfg.num_shards > 1, (
+                "-multihost requires -num_shards > 1 (the data mesh spans "
+                "every host's chips)"
+            )
+            assert self.cfg.num_model_shards == 1, (
+                "-multihost eval does not compose with -num_model_shards yet"
+            )
+            assert not self.cfg.keep_aspect_ratio, (
+                "-multihost requires fixed-width batches "
+                "(keep_aspect_ratio=False)"
+            )
+            self.local_bs = multihost.local_batch_size(
+                self.cfg.batch_size, pc
+            )
+            assert (self.local_bs * pc) % self.cfg.num_shards == 0, (
+                f"global rows {self.local_bs * pc} not divisible by "
+                f"num_shards {self.cfg.num_shards}"
+            )
+            log.info(f"Multi-host lockstep: process {jax.process_index()}/"
+                     f"{pc}, {self.local_bs} rows/host/step")
+        else:
+            self.local_bs = self.cfg.batch_size
         self.visualize_file = None
 
     # ------------------------------------------------------------ steps
 
-    def step_train(self, batch: data.Batch, lr: float):
+    def step_train(self, batch: data.Batch, lr: float, valid_rows=None):
         """One SGD step.  Returns the token-sum NLL as a *device scalar* —
         the caller decides when to sync (the train loop pipelines one step:
         it fetches step t-1's loss while step t runs, so the device never
-        idles waiting on the host)."""
+        idles waiting on the host).  valid_rows marks how many leading rows
+        are real (lockstep dummy batches pass 0)."""
         self._rng, sub = jax.random.split(self._rng)
         im, tg, te = batch.images, batch.targets, batch.targets_eval
+        if valid_rows is None:
+            valid_rows = im.shape[0]
         if self.mesh is not None:
             from aocr.parallel import mesh as mesh_lib
 
             n = self.mesh.shape[mesh_lib.DATA_AXIS]
-            pad = (-im.shape[0]) % n
-            mask = np.ones((im.shape[0] + pad,), np.float32)
+            # Lockstep: every host contributes exactly local_bs rows each
+            # step; otherwise pad to the next data-axis multiple.
+            want = (self.local_bs if self._lockstep
+                    else im.shape[0] + (-im.shape[0]) % n)
+            pad = want - im.shape[0]
+            mask = (np.arange(want) < valid_rows).astype(np.float32)
             if pad:
                 # partial final buckets: pad to a shardable batch with PAD
                 # targets (zero-loss rows) so every device gets equal work;
                 # the mask keeps them out of BN moments and the loss/grad
                 # normalization count (all-reduced inside the step, so
                 # multi-host epoch tails stay correct too)
-                mask[-pad:] = 0.0
                 im = np.concatenate([im, np.repeat(im[-1:], pad, 0)], 0)
                 ztg = np.full((pad, tg.shape[1]), vocab.PAD, tg.dtype)
                 tg = np.concatenate([tg, ztg], 0)
@@ -225,10 +261,15 @@ class Trainer:
                     )
         return out.loss_sum
 
-    def step_eval(self, batch: data.Batch):
-        """Beam decode + gold pass.  Returns (loss_sum, accuracy, cer_sum)."""
+    def step_eval(self, batch: data.Batch, valid_rows=None):
+        """Beam decode + gold pass.  Returns (loss_sum, accuracy, cer_sum).
+        Under -num_shards the accuracy/CER are global (psum'd over the
+        mesh); valid_rows marks real leading rows (lockstep dummies pass 0).
+        """
         cfg = self.cfg
         B, T = batch.targets.shape[0], cfg.max_decoder_l
+        if valid_rows is None:
+            valid_rows = B
         # Reference pads eval targets to max_decoder_l and always decodes
         # max_decoder_l steps (model.lua:266-274).
         pad = lambda a: np.pad(a, ((0, 0), (0, T - a.shape[1])),
@@ -245,8 +286,10 @@ class Trainer:
 
             n = self.mesh.shape[mesh_lib.DATA_AXIS]
             real_b, im, tg, te = eval_parallel.pad_rows(
-                n, batch.images, targets, targets_eval
+                n, batch.images, targets, targets_eval,
+                total_rows=self.local_bs if self._lockstep else None,
             )
+            real_b = min(real_b, valid_rows)
             mask = (np.arange(im.shape[0]) < real_b).astype(np.float32)
             im, tg, te, mk = mesh_lib.shard_batch(self.mesh, im, tg, te,
                                                   mask)
@@ -331,9 +374,37 @@ class Trainer:
             )
         self.visualize_file.flush()
 
+    # ------------------------------------------------------ batch stream
+
+    def _dummy_batch(self) -> data.Batch:
+        """All-masked filler batch: hosts whose epoch ended keep issuing
+        the same collective programs until every host is done."""
+        cfg = self.cfg
+        B, T = self.local_bs, cfg.max_decoder_l
+        im = np.zeros((B, cfg.image_height, cfg.image_width, 1), np.float32)
+        tg = np.full((B, T), vocab.PAD, np.int32)
+        return data.Batch(im, tg, tg.copy(), 0, ["<dummy>"] * B)
+
+    def _batches(self, gen):
+        """Yield (batch, valid_rows, global_nnz, global_rows) — prefetched;
+        lockstep-synchronized across processes under -multihost."""
+        it = data.prefetched(gen, self.cfg.prefetch)
+        if self._lockstep:
+            from aocr.parallel import multihost
+
+            for b, real, g_nnz, g_rows in multihost.lockstep(
+                    it, self._dummy_batch,
+                    lambda bb: (bb.num_nonzeros, bb.images.shape[0])):
+                yield b, (b.images.shape[0] if real else 0), g_nnz, g_rows
+        else:
+            for b in it:
+                yield b, b.images.shape[0], b.num_nonzeros, b.images.shape[0]
+
     # ------------------------------------------------------- validation
 
     def validate(self, val_data: data.DataGen) -> tuple:
+        if self._lockstep:
+            return self._validate_lockstep(val_data)
         cfg = self.cfg
         self.log.info(
             f"Evaluating model on {cfg.num_batches_val} batches of validation data"
@@ -362,6 +433,28 @@ class Trainer:
             val_nnz += batch.num_nonzeros
             val_acc += acc
             val_samples += batch.images.shape[0]
+            b += 1
+        return val_loss, val_nnz, val_acc, val_samples
+
+    def _validate_lockstep(self, val_data: data.DataGen) -> tuple:
+        """Multi-host validation: one pass over the (sharded) val manifest,
+        capped at num_batches_val, with lockstep dummy batches so every
+        process issues identical collectives.  Counts are global."""
+        cfg = self.cfg
+        self.log.info(
+            f"Evaluating model on {cfg.num_batches_val} batches of validation data"
+        )
+        val_loss = val_nnz = val_acc = val_samples = 0
+        b = 0
+        for batch, valid, g_nnz, g_rows in self._batches(
+                val_data.epoch(self.local_bs)):
+            if b >= cfg.num_batches_val:
+                break  # b advances in lockstep: every host breaks together
+            loss, acc, _cer = self.step_eval(batch, valid)
+            val_loss += loss  # psum'd: identical on every host
+            val_nnz += g_nnz
+            val_acc += acc
+            val_samples += g_rows
             b += 1
         return val_loss, val_nnz, val_acc, val_samples
 
@@ -430,8 +523,8 @@ class Trainer:
 
         for epoch in range(1, cfg.num_epochs + 1):
             train_data.shuffle()
-            for batch in data.prefetched(train_data.epoch(cfg.batch_size),
-                                         cfg.prefetch):
+            for batch, valid, g_nnz, g_rows in self._batches(
+                    train_data.epoch(self.local_bs)):
                 if cfg.profile and not profiling and profile_started_at is None:
                     trace_dir = os.path.join(cfg.output_dir, "profile")
                     os.makedirs(trace_dir, exist_ok=True)
@@ -439,10 +532,10 @@ class Trainer:
                     profiling = True
                     profile_started_at = self.global_step
                     log.info(f"Profiler trace started -> {trace_dir}")
-                step_loss = self.step_train(batch, sched.lr)
-                inflight.append((step_loss, batch.num_nonzeros))
+                step_loss = self.step_train(batch, sched.lr, valid)
+                inflight.append((step_loss, g_nnz))
                 steps_in_window += 1
-                window_images += batch.images.shape[0]
+                window_images += g_rows
                 if (profiling
                         and self.global_step - profile_started_at
                         >= cfg.profile_steps):
@@ -506,12 +599,12 @@ class Trainer:
         num_samples = accuracy = 0
         cer = 0.0
         self.global_step = 0
-        for batch in data.prefetched(test_data.epoch(cfg.batch_size),
-                                     cfg.prefetch):
-            _, acc, cer_sum = self.step_eval(batch)
+        for batch, valid, _g_nnz, g_rows in self._batches(
+                test_data.epoch(self.local_bs)):
+            _, acc, cer_sum = self.step_eval(batch, valid)
             accuracy += acc
             cer += cer_sum
-            num_samples += batch.images.shape[0]
+            num_samples += g_rows
             self.global_step += 1
             if self.global_step % cfg.steps_per_checkpoint == 0:
                 log.info(
@@ -535,6 +628,20 @@ class Trainer:
 
 def main(argv=None) -> None:
     cfg = parse_args(argv)
+    if cfg.multihost:
+        # Must run before any other JAX backend use.  On a TPU pod the
+        # coordinator/process id/count are env-configured.
+        from aocr.parallel import multihost
+
+        try:
+            multihost.initialize()
+        except RuntimeError as e:
+            # already initialized (e.g. driver harness did it) — proceed
+            print(f"multihost.initialize skipped: {e}", file=sys.stderr)
+        assert not cfg.visualize, (
+            "-visualize is per-host; run -phase test -visualize "
+            "single-process on the published checkpoint instead"
+        )
     log = Logger(cfg.log_path)
     log.info("Command Line Arguments:")
     log.info(" ".join(argv if argv is not None else sys.argv[1:]))
@@ -549,10 +656,16 @@ def main(argv=None) -> None:
     log.info(f"Load training data from {cfg.data_path}")
     train_data = data.DataGen(cfg.data_base_dir, cfg.data_path, cfg)
     log.info(f"Training data loaded from {cfg.data_path}")
+    if jax.process_count() > 1:
+        train_data.shard(jax.process_index(), jax.process_count())
+        log.info(f"Manifest sharded: {train_data.size()} rows on process "
+                 f"{jax.process_index()}")
     if cfg.phase == "train":
         log.info(f"Load validation data from {cfg.val_data_path}")
         val_data = data.DataGen(cfg.data_base_dir, cfg.val_data_path, cfg)
         log.info(f"Validation data loaded from {cfg.val_data_path}")
+        if jax.process_count() > 1:
+            val_data.shard(jax.process_index(), jax.process_count())
         trainer.run_train(train_data, val_data)
     else:
         trainer.run_test(train_data)
