@@ -107,6 +107,12 @@ class Config:
     # Background data prefetch depth (batches prepared ahead while the
     # device computes); 0 disables the prefetch thread.
     prefetch: int = 2
+    # Device-side preprocessing: the host only *decodes* images (JPEG/PNG
+    # -> raw RGB bytes); luminance, aspect resize, and normalization run
+    # as one jitted XLA program per batch (aocr.preprocess).  Lifts the
+    # ~10x host-resize bottleneck on cold-cache datasets (docs/
+    # performance.md "Host-side data path").
+    device_preprocess: bool = False
     # Image-decode thread pool size (PIL releases the GIL during decode,
     # so decodes parallelize); 0 decodes inline on the batching thread.
     decode_workers: int = 8
@@ -169,6 +175,7 @@ _BOOL_FLAGS = {
     "nesterov",
     "allow_pickle_ckpt",
     "multihost",
+    "device_preprocess",
     "cache_images",
     "length_normalize",
     "remat",

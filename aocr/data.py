@@ -42,11 +42,22 @@ from aocr.utils import native
 
 
 class Batch(NamedTuple):
-    images: np.ndarray  # (B, 32, W, 1) float32 in [0, 255]
+    images: Optional[np.ndarray]  # (B, 32, W, 1) float32 in [0, 255];
+    # None in device-preprocess mode (raw/sizes/out_w set instead)
     targets: np.ndarray  # (B, T) int32 [GO, c1..cn] PAD-filled
     targets_eval: np.ndarray  # (B, T) int32 [c1..cn, EOS] PAD-filled
     num_nonzeros: int
     img_paths: List[str]
+    # Device-preprocess payload (cfg.device_preprocess): the host decoded
+    # the bytes but did no pixel math — preprocess.preprocess_varsize
+    # turns this into (B, 32, out_w, 1) on-device.
+    raw: Optional[np.ndarray] = None  # (B, Hp, Wp, 3) uint8 padded buffers
+    sizes: Optional[np.ndarray] = None  # (B, 2) int32 true (h, w)
+    out_w: Optional[int] = None  # resize target width for this bucket
+
+    @property
+    def rows(self) -> int:
+        return self.targets.shape[0]
 
 
 def _rgb_to_luminance(img: np.ndarray) -> np.ndarray:
@@ -130,6 +141,33 @@ def load_and_preprocess(
     return _bilinear_resize(img, cfg.image_height, img_w)
 
 
+def load_raw(path: str, cfg: Config):
+    """Device-preprocess decode: bytes -> raw pixels, NO host pixel math.
+
+    Returns (raw (h, w, c) uint8|float32, target_width) or None on decode
+    failure.  Luminance/resize happen later on-device
+    (aocr.preprocess.preprocess_varsize)."""
+    try:
+        if path.endswith(".npy"):
+            arr = np.load(path)
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            raw = arr.astype(np.float32)
+            if raw.max() <= 1.0 + 1e-6:
+                raw = raw * 255.0
+        else:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                raw = np.asarray(im.convert("RGB"))  # (h, w, 3) uint8
+    except Exception:
+        return None
+    h, w = raw.shape[:2]
+    if h == 0 or w == 0:
+        return None
+    return raw, _target_width(w, h, cfg)
+
+
 class DataGen:
     """Width-bucketed batch generator over a `path label` manifest."""
 
@@ -152,6 +190,7 @@ class DataGen:
                     self.lines.append([parts[0], parts[1], None, None])
         self.cursor = 0
         self.buffer: Dict[int, List] = {}
+        self._device = cfg.device_preprocess
         # Multi-host lockstep requires identical target shapes on every
         # host each step: pad every batch's targets to max_decoder_l
         # instead of the batch max (aocr/parallel/multihost.py).
@@ -201,16 +240,39 @@ class DataGen:
         entries = self.buffer.pop(img_w)
         B = len(entries)
         cfg = self.cfg
-        images = np.empty((B, cfg.image_height, img_w, 1), np.float32)
-        labels, paths = [], []
-        for i, (img, label, path) in enumerate(entries):
-            images[i, :, :, 0] = img
-            labels.append(label)
-            paths.append(path)
+        labels = [e[1] for e in entries]
+        paths = [e[2] for e in entries]
         targets, targets_eval, nnz = vocab.encode_batch(
             labels, pad_to=self._pad_targets_to
         )
+        if self._device:
+            return Batch(None, targets, targets_eval, nnz, paths,
+                         *self._pack_raw([e[0] for e in entries]),
+                         out_w=img_w)
+        images = np.empty((B, cfg.image_height, img_w, 1), np.float32)
+        for i, (img, _label, _path) in enumerate(entries):
+            images[i, :, :, 0] = img
         return Batch(images, targets, targets_eval, nnz, paths)
+
+    @staticmethod
+    def _round_up(n: int, m: int) -> int:
+        return ((n + m - 1) // m) * m
+
+    def _pack_raw(self, raws: List[np.ndarray]):
+        """Pad raw images (bottom/right, zeros) into one (B, Hp, Wp, 3)
+        buffer + (B, 2) true sizes.  Buffer dims round up to multiples of
+        (16, 64) so the device-preprocess jit cache stays small."""
+        sizes = np.array([r.shape[:2] for r in raws], np.int32)
+        hp = self._round_up(int(sizes[:, 0].max()), 16)
+        wp = self._round_up(int(sizes[:, 1].max()), 64)
+        any_float = any(r.dtype != np.uint8 for r in raws)
+        dt = np.float32 if any_float else np.uint8
+        buf = np.zeros((len(raws), hp, wp, 3), dt)
+        for i, r in enumerate(raws):
+            if r.shape[-1] == 1:
+                r = np.repeat(r, 3, axis=-1)  # luma of replicated gray = gray
+            buf[i, : r.shape[0], : r.shape[1]] = r[..., :3]
+        return buf, sizes
 
     def _schedule_lookahead(self) -> None:
         """Submit decodes for upcoming records to the thread pool (PIL
@@ -224,7 +286,8 @@ class DataGen:
             if needs_decode and id(rec) not in self._pending:
                 path = os.path.join(self.data_base_dir, rec[0])
                 self._pending[id(rec)] = self._pool.submit(
-                    load_and_preprocess, path, self.cfg
+                    load_raw if self._device else load_and_preprocess,
+                    path, self.cfg,
                 )
 
     def _load_record(self, rec) -> Optional[np.ndarray]:
@@ -234,7 +297,8 @@ class DataGen:
         if fut is not None:
             img = fut.result()
         else:
-            img = load_and_preprocess(
+            loader = load_raw if self._device else load_and_preprocess
+            img = loader(
                 os.path.join(self.data_base_dir, rec[0]), self.cfg
             )
         if img is None:
@@ -276,18 +340,23 @@ class DataGen:
                     rec[2] = img
                 else:
                     rec[2] = self._UNCACHED
-            elif isinstance(rec[2], np.ndarray):
-                img = rec[2]
             elif rec[2] is self._UNCACHED:
                 if self._pool is not None:
                     self._schedule_lookahead()
                 img = self._load_record(rec)
+            else:  # cached: ndarray (host mode) or (raw, width) tuple
+                img = rec[2]
             if img is None:
                 self.cursor += 1
                 continue
-            img_w = img.shape[1]
+            if self._device:
+                payload, img_w = img  # (raw pixels, target width)
+            else:
+                payload, img_w = img, img.shape[1]
             self.cursor += 1
-            self.buffer.setdefault(img_w, []).append((img, rec[1], rec[0]))
+            self.buffer.setdefault(img_w, []).append(
+                (payload, rec[1], rec[0])
+            )
             if len(self.buffer[img_w]) == batch_size:
                 return self._emit(img_w)
         # cursor exhausted: flush partial buckets one per call

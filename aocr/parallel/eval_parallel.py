@@ -131,9 +131,11 @@ def pad_rows(n_shards: int, *arrays, total_rows: Optional[int] = None):
         return (B,) + arrays
     out = []
     for a in arrays:
-        if a.dtype.kind == "f":  # images: repeat last row
-            filler = np.repeat(np.asarray(a[-1:]), pad, 0)
+        xp = jnp if isinstance(a, jax.Array) else np
+        if a.dtype.kind == "f":  # images: repeat last row (stays on device
+            # for -device_preprocess batches)
+            filler = xp.repeat(a[-1:], pad, 0)
         else:  # targets: PAD rows (zero loss)
-            filler = np.full((pad,) + a.shape[1:], vocab.PAD, a.dtype)
-        out.append(np.concatenate([np.asarray(a), filler], 0))
+            filler = xp.full((pad,) + a.shape[1:], vocab.PAD, a.dtype)
+        out.append(xp.concatenate([a, filler], 0))
     return (B,) + tuple(out)

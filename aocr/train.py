@@ -189,6 +189,10 @@ class Trainer:
                 "-multihost requires fixed-width batches "
                 "(keep_aspect_ratio=False)"
             )
+            assert not self.cfg.device_preprocess, (
+                "-multihost and -device_preprocess do not compose yet "
+                "(global array assembly needs host-side pixel batches)"
+            )
             self.local_bs = multihost.local_batch_size(
                 self.cfg.batch_size, pc
             )
@@ -204,6 +208,18 @@ class Trainer:
 
     # ------------------------------------------------------------ steps
 
+    def _images(self, batch: data.Batch):
+        """Materialize the batch's pixels on device: pass-through for
+        host-preprocessed batches; raw batches run the jitted
+        luminance+resize program (-device_preprocess)."""
+        if batch.raw is not None:
+            from aocr import preprocess
+
+            return preprocess.preprocess_varsize(
+                batch.raw, batch.sizes, self.cfg.image_height, batch.out_w
+            )
+        return jnp.asarray(batch.images)
+
     def step_train(self, batch: data.Batch, lr: float, valid_rows=None):
         """One SGD step.  Returns the token-sum NLL as a *device scalar* —
         the caller decides when to sync (the train loop pipelines one step:
@@ -211,9 +227,9 @@ class Trainer:
         idles waiting on the host).  valid_rows marks how many leading rows
         are real (lockstep dummy batches pass 0)."""
         self._rng, sub = jax.random.split(self._rng)
-        im, tg, te = batch.images, batch.targets, batch.targets_eval
+        im, tg, te = self._images(batch), batch.targets, batch.targets_eval
         if valid_rows is None:
-            valid_rows = im.shape[0]
+            valid_rows = batch.rows
         if self.mesh is not None:
             from aocr.parallel import mesh as mesh_lib
 
@@ -230,7 +246,8 @@ class Trainer:
                 # the mask keeps them out of BN moments and the loss/grad
                 # normalization count (all-reduced inside the step, so
                 # multi-host epoch tails stay correct too)
-                im = np.concatenate([im, np.repeat(im[-1:], pad, 0)], 0)
+                xp = jnp if isinstance(im, jax.Array) else np
+                im = xp.concatenate([im, xp.repeat(im[-1:], pad, 0)], 0)
                 ztg = np.full((pad, tg.shape[1]), vocab.PAD, tg.dtype)
                 tg = np.concatenate([tg, ztg], 0)
                 te = np.concatenate([te, ztg], 0)
@@ -286,7 +303,7 @@ class Trainer:
 
             n = self.mesh.shape[mesh_lib.DATA_AXIS]
             real_b, im, tg, te = eval_parallel.pad_rows(
-                n, batch.images, targets, targets_eval,
+                n, self._images(batch), targets, targets_eval,
                 total_rows=self.local_bs if self._lockstep else None,
             )
             real_b = min(real_b, valid_rows)
@@ -309,7 +326,7 @@ class Trainer:
                 self._write_visualize_rows(batch.img_paths, preds, golds,
                                            scores, gold_scores)
         else:
-            images = jnp.asarray(batch.images)
+            images = self._images(batch)
             out = decode.beam_decode(
                 self.params, self.batch_stats, images, cfg,
                 beam_size=cfg.beam_size, max_len=T,
@@ -394,11 +411,11 @@ class Trainer:
 
             for b, real, g_nnz, g_rows in multihost.lockstep(
                     it, self._dummy_batch,
-                    lambda bb: (bb.num_nonzeros, bb.images.shape[0])):
-                yield b, (b.images.shape[0] if real else 0), g_nnz, g_rows
+                    lambda bb: (bb.num_nonzeros, bb.rows)):
+                yield b, (b.rows if real else 0), g_nnz, g_rows
         else:
             for b in it:
-                yield b, b.images.shape[0], b.num_nonzeros, b.images.shape[0]
+                yield b, b.rows, b.num_nonzeros, b.rows
 
     # ------------------------------------------------------- validation
 
@@ -432,7 +449,7 @@ class Trainer:
             val_loss += loss
             val_nnz += batch.num_nonzeros
             val_acc += acc
-            val_samples += batch.images.shape[0]
+            val_samples += batch.rows
             b += 1
         return val_loss, val_nnz, val_acc, val_samples
 
