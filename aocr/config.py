@@ -98,8 +98,12 @@ class Config:
     # --- TPU-native extensions (no reference equivalent) ---
     # Compute dtype for convs/matmuls; params always float32.
     compute_dtype: str = "float32"  # or "bfloat16"
-    # Use Pallas-fused recurrent cells where available.
-    use_pallas: bool = False
+    # Pallas-fused greedy decode tail (attention+projector+argmax in one
+    # kernel, ops/pallas/decode_step.py).  Default on: beats the XLA
+    # decomposition in both the 50-step worst case and the early-exit
+    # regime on v5e with bit-identical transcripts.  -no_use_pallas
+    # disables (e.g. for non-TPU backends the flag is a no-op anyway).
+    use_pallas: bool = True
     # Cache decoded images in RAM after first touch (the reference caches
     # unconditionally, data_gen.lua:80; disable for datasets larger than
     # host memory).

@@ -98,6 +98,11 @@ def _apply_trie_and_topk(
     return scores, idx, None
 
 
+# Tests set this to exercise the fused Pallas greedy path on CPU
+# (interpret mode); on TPU the path activates via cfg.use_pallas.
+_PALLAS_GREEDY_INTERPRET = False
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_len", "use_trie"))
 def greedy_decode(
     params: dict,
@@ -112,6 +117,13 @@ def greedy_decode(
     K=1 (argmax == top-1, parent backtracking is the identity), but with no
     beam state gathers/replication in the scan body — the hot loop is just
     the decoder cell + argmax.
+
+    With cfg.use_pallas (default; no trie), everything after the LSTM
+    stack — attention, projector, freeze, argmax — runs as ONE Pallas
+    kernel per step (ops/pallas/decode_step.py): context is read from HBM
+    once per step with no intermediate round-trips, and selection is
+    f32-stable.  Measured on v5e at B=512: +16% on the 50-step worst case,
+    +8% in the early-exit regime, 100% token agreement with the XLA path.
     """
     V = cfg.target_vocab_size
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -125,20 +137,55 @@ def greedy_decode(
     dec_params = params["decoder"]
     proj = params["projector"]
 
+    use_fused = (cfg.use_pallas and not use_trie
+                 and (jax.default_backend() == "tpu"
+                      or _PALLAS_GREEDY_INTERPRET))
+    if use_fused:
+        from aocr.ops.pallas import decode_step as _pds
+
+        pw_pad, pb_pad = _pds.pad_projector(proj["w"].astype(cd), proj["b"])
+        wa_cd = dec_params["w_a"].astype(cd)
+        wc_cd = dec_params["w_c"].astype(cd)
+        # Scan-major context for the kernel: cancels against the encoder's
+        # output transpose, so the custom call's layout demand does not
+        # propagate into (and un-fuse) the encoder scans — that relayout
+        # cost ~1.7 ms/call before this.
+        ctx_lbh = jnp.swapaxes(context, 0, 1)
+
+        def fused_step(state, prev):
+            cs, hs, h_top = decoder.lstm_stack(
+                dec_params, state, prev, input_feed=cfg.input_feed,
+                compute_dtype=cd,
+            )
+            h_tilde, tok, delta = _pds.fused_decode_tail(
+                h_top, ctx_lbh, prev, wa_cd, wc_cd, pw_pad, pb_pad,
+                interpret=_PALLAS_GREEDY_INTERPRET,
+            )
+            new_state = decoder.DecoderState(
+                attn=h_tilde.astype(cd), cs=cs, hs=hs
+            )
+            return new_state, tok, delta
+
     state = decoder.init_state(dec_init, cfg.decoder_num_layers)
     go = jnp.full((B,), vocab.GO, jnp.int32)
-    state, h_tilde = decoder.step(
-        dec_params, state, go, context, input_feed=cfg.input_feed,
-        compute_dtype=cd, use_pallas=cfg.use_pallas,
-    )
-    logp = head.apply(proj, h_tilde, compute_dtype=cd)  # (B, V)
-    if use_trie:
-        NEG = jnp.float32(-1e30)
-        logp = jnp.where(trie_table[0][None, :] >= 0, logp, NEG)
-    tokens0 = jnp.argmax(logp, axis=1).astype(jnp.int32)
-    scores0 = jnp.max(logp, axis=1)
-    nodes0 = (jnp.maximum(trie_table[0][tokens0], 0) if use_trie
-              else jnp.zeros((B,), jnp.int32))
+    if use_fused:
+        # GO is neither PAD nor EOS, so the kernel's freeze rule is a no-op
+        # at t=1 — identical to the XLA first step below.
+        state, tokens0, scores0 = fused_step(state, go)
+        nodes0 = jnp.zeros((B,), jnp.int32)
+    else:
+        state, h_tilde = decoder.step(
+            dec_params, state, go, context, input_feed=cfg.input_feed,
+            compute_dtype=cd,
+        )
+        logp = head.apply(proj, h_tilde, compute_dtype=cd)  # (B, V)
+        if use_trie:
+            NEG = jnp.float32(-1e30)
+            logp = jnp.where(trie_table[0][None, :] >= 0, logp, NEG)
+        tokens0 = jnp.argmax(logp, axis=1).astype(jnp.int32)
+        scores0 = jnp.max(logp, axis=1)
+        nodes0 = (jnp.maximum(trie_table[0][tokens0], 0) if use_trie
+                  else jnp.zeros((B,), jnp.int32))
 
     # lax.while_loop instead of a fixed-length scan: iteration stops the
     # moment every sequence has emitted EOS (the reference always runs all
@@ -156,27 +203,30 @@ def greedy_decode(
 
     def w_body(carry):
         t, state, score, prev, nodes, buf = carry
-        st, h_t = decoder.step(
-            dec_params, state, prev, context,
-            input_feed=cfg.input_feed, compute_dtype=cd,
-            use_pallas=cfg.use_pallas,
-        )
-        lp = head.apply(proj, h_t, compute_dtype=cd)
-        froz = (prev == vocab.PAD) | (prev == vocab.EOS)
-        lp = lp.at[:, vocab.PAD].set(
-            jnp.where(froz, 0.0, lp[:, vocab.PAD])
-        )
-        if use_trie:
-            NEG = jnp.float32(-1e30)
-            ok = trie_table[nodes] >= 0
-            ok = ok.at[:, vocab.PAD].set(True)
-            lp = jnp.where(ok, lp, NEG)
-        tok = jnp.argmax(lp, axis=1).astype(jnp.int32)
-        score = score + jnp.max(lp, axis=1)
-        if use_trie:
-            stepped = trie_table[nodes, tok]
-            nodes = jnp.where(tok == vocab.PAD, nodes,
-                              jnp.maximum(stepped, 0))
+        if use_fused:
+            st, tok, delta = fused_step(state, prev)
+            score = score + delta
+        else:
+            st, h_t = decoder.step(
+                dec_params, state, prev, context,
+                input_feed=cfg.input_feed, compute_dtype=cd,
+            )
+            lp = head.apply(proj, h_t, compute_dtype=cd)
+            froz = (prev == vocab.PAD) | (prev == vocab.EOS)
+            lp = lp.at[:, vocab.PAD].set(
+                jnp.where(froz, 0.0, lp[:, vocab.PAD])
+            )
+            if use_trie:
+                NEG = jnp.float32(-1e30)
+                ok = trie_table[nodes] >= 0
+                ok = ok.at[:, vocab.PAD].set(True)
+                lp = jnp.where(ok, lp, NEG)
+            tok = jnp.argmax(lp, axis=1).astype(jnp.int32)
+            score = score + jnp.max(lp, axis=1)
+            if use_trie:
+                stepped = trie_table[nodes, tok]
+                nodes = jnp.where(tok == vocab.PAD, nodes,
+                                  jnp.maximum(stepped, 0))
         buf = lax.dynamic_update_slice(buf, tok[None], (t, 0))
         return (t + 1, st, score, tok, nodes, buf)
 
@@ -240,7 +290,7 @@ def beam_decode(
     go = jnp.full((B,), vocab.GO, jnp.int32)
     state, h_tilde = decoder.step(
         dec_params, state, go, context, input_feed=cfg.input_feed,
-        compute_dtype=cd, use_pallas=cfg.use_pallas,
+        compute_dtype=cd,
     )
     logp = head.apply(proj, h_tilde, compute_dtype=cd)  # (B, V)
 
@@ -299,7 +349,6 @@ def beam_decode(
                 beam_context,
                 input_feed=cfg.input_feed,
                 compute_dtype=cd,
-                use_pallas=cfg.use_pallas,
             )
             lp = head.apply(proj, h_t, compute_dtype=cd)  # (B*K, V)
             lp = lp.reshape(B, K, V)

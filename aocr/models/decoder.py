@@ -106,21 +106,21 @@ def _dropout(x, rate, rng, train):
     return jnp.where(mask, x / keep, 0.0)
 
 
-def step(
+def lstm_stack(
     params: dict,
     state: DecoderState,
     tokens: jax.Array,
-    context: jax.Array,
     *,
     input_feed: bool,
-    ctx_mask: Optional[jax.Array] = None,
     dropout: float = 0.0,
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
-    use_pallas: bool = False,
-) -> Tuple[DecoderState, jax.Array]:
-    """One decode step from token ids.  Returns (new_state, h_tilde (B,H))."""
+) -> Tuple[Tuple[jax.Array, ...], Tuple[jax.Array, ...], jax.Array]:
+    """Embedding + (input-feed concat) + stacked LSTM layers — everything
+    in a decode step *before* the attention head.  Returns (cs, hs, h_top).
+    Split out so the Pallas fused decode tail (ops/pallas/decode_step.py)
+    can take over from h_top."""
     emb = params["embedding"][tokens]  # (B, E)
     x = jnp.concatenate([emb, state.attn], axis=-1) if input_feed else emb
     cs, hs = [], []
@@ -134,20 +134,38 @@ def step(
         cs.append(c)
         hs.append(h)
         x = h
-    if use_pallas and ctx_mask is None and jax.default_backend() == "tpu":
-        from aocr.ops.pallas import attention as _pattn
+    return tuple(cs), tuple(hs), hs[-1]
 
-        h_tilde = _pattn.fused_attention(
-            hs[-1], context,
-            params["w_a"].astype(compute_dtype),
-            params["w_c"].astype(compute_dtype),
-        )
-    else:
-        h_tilde, _alpha = attention(params, hs[-1], context, ctx_mask,
-                                    compute_dtype)
+
+def step(
+    params: dict,
+    state: DecoderState,
+    tokens: jax.Array,
+    context: jax.Array,
+    *,
+    input_feed: bool,
+    ctx_mask: Optional[jax.Array] = None,
+    dropout: float = 0.0,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[DecoderState, jax.Array]:
+    """One decode step from token ids.  Returns (new_state, h_tilde (B,H)).
+
+    The Pallas-fused greedy tail (ops/pallas/decode_step.py) replaces
+    attention+projector+argmax wholesale in decode.greedy_decode; this
+    XLA step remains the beam-search and fallback path."""
+    stack_rng = tail_rng = None
     if dropout > 0.0 and train:
-        dropout_rng, k = jax.random.split(dropout_rng)
-        h_tilde = _dropout(h_tilde, dropout, k, train)
+        stack_rng, tail_rng = jax.random.split(dropout_rng)
+    cs, hs = lstm_stack(
+        params, state, tokens, input_feed=input_feed, dropout=dropout,
+        train=train, dropout_rng=stack_rng, compute_dtype=compute_dtype,
+    )[:2]
+    h_tilde, _alpha = attention(params, hs[-1], context, ctx_mask,
+                                compute_dtype)
+    if dropout > 0.0 and train:
+        h_tilde = _dropout(h_tilde, dropout, tail_rng, train)
     new_state = DecoderState(attn=h_tilde, cs=tuple(cs), hs=tuple(hs))
     return new_state, h_tilde
 

@@ -1,0 +1,186 @@
+"""Pallas-fused greedy decode tail: attention + projector + freeze + argmax.
+
+One kernel per batch tile computes everything after the LSTM stack in a
+greedy decode step (reference per-step path: attention
+src/model/LSTM.lua:124-162, projector output_projector.lua:3-8, the
+finished-row freeze model.lua:448-449, and the argmax pick):
+
+    q       = h_top @ W_a                       (MXU)
+    scores  = sum_h context * q                 (VPU, f32)
+    alpha   = softmax_L(scores)                 (VPU, f32)
+    ctx     = sum_l alpha * context             (VPU, f32)
+    h~      = tanh([ctx ; h_top] @ W_c)         (MXU)
+    logits  = h~ @ W_p + b_p                    (MXU, f32 accumulate)
+    logp    = log_softmax(logits)               (VPU, f32)
+    logp[PAD] := 0 where prev in {PAD, EOS}     (freeze)
+    token   = argmax(logp); delta = max(logp)
+
+Why fuse exactly this: the per-step xplane trace (docs/performance.md)
+shows attention dominating the decode step despite ~1% of the FLOPs — it
+is HBM-bound on the loop-invariant context.  The kernel reads context
+ONCE per step (XLA's decomposition materializes q/scores/alpha/ctx/
+concat/h~/logits through HBM between fusions), keeps every intermediate
+in VMEM, and does the softmax/argmax chain in f32 so near-tie picks are
+bit-stable (the r1 opt-in attention kernel's bf16 reduction order could
+flip them).
+
+The projector weight is padded to 128 lanes outside the kernel with a
+-1e30 bias on the padding, so the padded columns vanish from both the
+log-softmax and the argmax.
+
+Weights use constant index maps, so Mosaic keeps them VMEM-resident
+across the batch-tile grid instead of re-streaming per tile.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aocr import vocab
+
+B_TILE = 128
+LANE = 128
+
+
+def _kernel(h_ref, ctx_ref, prev_ref, wa_ref, wc_ref, pw_ref, pb_ref,
+            htld_ref, tok_ref, delta_ref):
+    h = h_ref[:]  # (Bt, H) bf16/f32
+    # context arrives scan-major (L, Bt, H): this is the layout the
+    # encoder's lax.scan naturally produces, so requesting it keeps the
+    # custom-call boundary from forcing a relayout that un-fuses the
+    # encoder's hs-stacking (measured: +1.7 ms/call with (B, L, H)).
+    context = ctx_ref[:]  # (L, Bt, H)
+    prec = (jax.lax.Precision.HIGHEST if h.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    q = jnp.dot(h, wa_ref[:], precision=prec,
+                preferred_element_type=jnp.float32)  # (Bt, H) f32
+    scores = jnp.sum(context.astype(jnp.float32) * q[None, :, :], axis=-1)
+    # softmax over L: transpose the small (L, Bt) tile so the reduction
+    # runs along lanes (Mosaic rejects the sublane-axis broadcast here)
+    sb = scores.T  # (Bt, L)
+    m = jnp.max(sb, axis=-1, keepdims=True)
+    e = jnp.exp(sb - m)
+    alpha = (e / jnp.sum(e, axis=-1, keepdims=True)).T  # (L, Bt)
+    ctx = jnp.sum(alpha[:, :, None] * context.astype(jnp.float32), axis=0)
+    H = h.shape[-1]
+    wc = wc_ref[:]
+    pre = (
+        jnp.dot(ctx.astype(wc.dtype), wc[:H], precision=prec,
+                preferred_element_type=jnp.float32)
+        + jnp.dot(h, wc[H:], precision=prec,
+                  preferred_element_type=jnp.float32)
+    )
+    h_tilde = jnp.tanh(pre)  # (Bt, H) f32
+    htld_ref[:] = h_tilde
+    logits = jnp.dot(h_tilde.astype(pw_ref.dtype), pw_ref[:],
+                     precision=prec,
+                     preferred_element_type=jnp.float32) + pb_ref[:]
+    # log-softmax in f32; padded vocab columns carry a -1e30 bias, so they
+    # contribute nothing here and never win the argmax
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+    logp = logits - lse  # (Bt, Vp) f32
+    prev = prev_ref[:, 0]  # (Bt,) int32
+    frozen = (prev == vocab.PAD) | (prev == vocab.EOS)
+    col = jax.lax.broadcasted_iota(jnp.int32, logp.shape, 1)
+    logp = jnp.where((col == vocab.PAD) & frozen[:, None], 0.0, logp)
+    tok_ref[:, 0] = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+    delta_ref[:, 0] = jnp.max(logp, axis=-1)
+
+
+def pad_projector(pw: jax.Array, pb: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Pad (H, V) projector weight + (V,) bias to 128 lanes; padding gets a
+    -1e30 bias so it is invisible to log-softmax and argmax.  Call once
+    outside the decode loop."""
+    H, V = pw.shape
+    vp = ((V + LANE - 1) // LANE) * LANE
+    pw_p = jnp.pad(pw, ((0, 0), (0, vp - V)))
+    pb_p = jnp.pad(pb.astype(jnp.float32), (0, vp - V),
+                   constant_values=-1e30).reshape(1, vp)
+    return pw_p, pb_p
+
+
+def fused_decode_tail(
+    h_top: jax.Array,  # (B, H)
+    context_lbh: jax.Array,  # (L, B, H) — scan-major; pass
+    #   jnp.swapaxes(context, 0, 1): it cancels against the encoder's own
+    #   output transpose, so no data actually moves
+    prev_tokens: jax.Array,  # (B,) int32
+    w_a: jax.Array,  # (H, H)
+    w_c: jax.Array,  # (2H, H)
+    pw_padded: jax.Array,  # (H, Vp) from pad_projector
+    pb_padded: jax.Array,  # (1, Vp) from pad_projector
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Returns (h_tilde (B, H) f32, tokens (B,) int32, score_delta (B,) f32).
+
+    score_delta is the picked token's log-prob with the freeze rule applied
+    (0 for frozen rows), i.e. exactly what the greedy loop adds to its
+    cumulative scores.
+    """
+    L, B0, H = context_lbh.shape
+    pad_rows = (-B0) % B_TILE if B0 > B_TILE else 0
+    if B0 < B_TILE:
+        bt = B0
+    else:
+        bt = B_TILE
+        if pad_rows:
+            h_top = jnp.pad(h_top, ((0, pad_rows), (0, 0)))
+            context_lbh = jnp.pad(context_lbh,
+                                  ((0, 0), (0, pad_rows), (0, 0)))
+            prev_tokens = jnp.pad(prev_tokens, (0, pad_rows))
+    B = h_top.shape[0]
+    vp = pw_padded.shape[1]
+    dt = w_a.dtype
+    grid = (B // bt,)
+    h_tilde, tok, delta = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, bt, H), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * H, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, vp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * B * H * H + 4 * B * L * H + 4 * B * H * H
+                   + 2 * B * H * vp),
+            bytes_accessed=(B * L * H * context_lbh.dtype.itemsize
+                            + B * H * 6 + 3 * H * H * dt.itemsize
+                            + H * vp * pw_padded.dtype.itemsize),
+            transcendentals=B * (L + H + vp),
+        ),
+        interpret=interpret,
+    )(
+        h_top.astype(dt), context_lbh.astype(dt),
+        prev_tokens.reshape(-1, 1).astype(jnp.int32),
+        w_a, w_c, pw_padded.astype(dt), pb_padded,
+    )
+    return h_tilde[:B0], tok[:B0, 0], delta[:B0, 0]

@@ -1,0 +1,86 @@
+"""Fused Pallas greedy decode tail (attention+projector+freeze+argmax)
+vs the XLA decomposition — interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aocr import decode, vocab
+from aocr.config import Config
+from aocr.models import decoder, head, model
+from aocr.ops.pallas import decode_step as pds
+from tests import synth
+
+H, L = 64, 12
+
+
+def _xla_tail(dec_params, proj, h_top, context, prev):
+    h_tilde, _ = decoder.attention(dec_params, h_top, context)
+    logp = head.apply(proj, h_tilde)
+    froz = (prev == vocab.PAD) | (prev == vocab.EOS)
+    logp = logp.at[:, vocab.PAD].set(
+        jnp.where(froz, 0.0, logp[:, vocab.PAD]))
+    return (h_tilde, jnp.argmax(logp, axis=1).astype(jnp.int32),
+            jnp.max(logp, axis=1))
+
+
+@pytest.mark.parametrize("B", [8, 64, 100])
+def test_fused_tail_matches_xla(np_rng, B):
+    V = 39
+    dec_params = {
+        "w_a": jnp.asarray(np_rng.uniform(-0.1, 0.1, (H, H)), jnp.float32),
+        "w_c": jnp.asarray(np_rng.uniform(-0.1, 0.1, (2 * H, H)),
+                           jnp.float32),
+    }
+    proj = {"w": jnp.asarray(np_rng.uniform(-0.3, 0.3, (H, V)), jnp.float32),
+            "b": jnp.asarray(np_rng.uniform(-0.1, 0.1, (V,)), jnp.float32)}
+    h_top = jnp.asarray(np_rng.uniform(-1, 1, (B, H)), jnp.float32)
+    context = jnp.asarray(np_rng.uniform(-1, 1, (B, L, H)), jnp.float32)
+    # mix of live / EOS-frozen / PAD-frozen rows
+    prev = jnp.asarray(np_rng.choice(
+        [vocab.GO, vocab.EOS, vocab.PAD, 5, 17], size=(B,)), jnp.int32)
+
+    pw, pb = pds.pad_projector(proj["w"], proj["b"])
+    got_h, got_tok, got_delta = pds.fused_decode_tail(
+        h_top, jnp.swapaxes(context, 0, 1), prev,
+        dec_params["w_a"], dec_params["w_c"],
+        pw, pb, interpret=True)
+    want_h, want_tok, want_delta = _xla_tail(dec_params, proj, h_top,
+                                             context, prev)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_tok), np.asarray(want_tok))
+    np.testing.assert_allclose(np.asarray(got_delta),
+                               np.asarray(want_delta), rtol=1e-5, atol=1e-6)
+    # frozen rows pick PAD with delta exactly 0
+    frozen = np.isin(np.asarray(prev), [vocab.PAD, vocab.EOS])
+    assert (np.asarray(got_tok)[frozen] == vocab.PAD).all()
+    np.testing.assert_array_equal(np.asarray(got_delta)[frozen], 0.0)
+
+
+def test_fused_greedy_decode_matches_xla():
+    """Whole greedy decode through the fused path (interpret mode) must
+    produce identical transcripts and near-identical scores."""
+    cfg = Config(input_feed=True, encoder_num_hidden=32,
+                 target_embedding_size=8, max_decoder_l=8,
+                 image_width=32).validate()
+    cfg_pallas = cfg.replace(use_pallas=True)
+    ms = model.init(jax.random.PRNGKey(3), cfg)
+    imgs = np.stack([synth.render_word(w, 32, 32)
+                     for w in ["ab", "cd", "e1"]])[..., None]
+    imgs = jnp.asarray(imgs.astype(np.float32))
+
+    labels_ref, scores_ref = decode.greedy_decode(
+        ms.params, ms.batch_stats, imgs, cfg, cfg.max_decoder_l)
+    decode._PALLAS_GREEDY_INTERPRET = True
+    try:
+        labels_p, scores_p = decode.greedy_decode(
+            ms.params, ms.batch_stats, imgs, cfg_pallas, cfg.max_decoder_l)
+    finally:
+        decode._PALLAS_GREEDY_INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(labels_p),
+                                  np.asarray(labels_ref))
+    np.testing.assert_allclose(np.asarray(scores_p), np.asarray(scores_ref),
+                               rtol=1e-5, atol=1e-5)

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""A/B the fused Pallas greedy decode tail vs pure XLA on the real TPU.
+
+Measures the bench.py methodology (REP decodes serialized inside one jit,
+dispatch+fetch floor subtracted, min over iters) for:
+- the 50-step worst case (random weights never emit EOS)
+- an early-exit proxy (max_len=10, the trained-model step count)
+
+Usage: python tools/ab_pallas.py [batch ...]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REP = 10
+ITERS = 5
+
+
+def measure(fn, images, floor_ms):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def rep(images):
+        def body(carry, _):
+            im = carry
+            labels, scores = fn(im)
+            return im + scores.sum() * 1e-9, labels.sum()
+
+        _, sums = jax.lax.scan(body, images, None, length=REP)
+        return sums.sum()
+
+    np.asarray(rep(images))  # compile+warm
+    best = float("inf")
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        np.asarray(rep(images))
+        dt = (time.perf_counter() - t0) * 1000
+        best = min(best, (dt - floor_ms) / REP)
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from aocr import decode
+    from aocr.config import Config
+    from aocr.models import model
+
+    batches = [int(a) for a in sys.argv[1:]] or [512, 1024]
+    cfg = Config(input_feed=True, compute_dtype="bfloat16").validate()
+    cfg_p = cfg.replace(use_pallas=True)
+    ms = model.init(jax.random.PRNGKey(cfg.seed), cfg)
+    rng = np.random.RandomState(0)
+
+    @jax.jit
+    def trivial(x):
+        return x + 1.0
+
+    np.asarray(trivial(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        np.asarray(trivial(jnp.float32(0)))
+    floor_ms = (time.perf_counter() - t0) / 10 * 1000
+    print(f"floor {floor_ms:.1f} ms")
+
+    for B in batches:
+        images = jnp.asarray(
+            rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32))
+        for T, label in ((50, "worst50"), (10, "early10")):
+            r = {}
+            for name, c in (("xla", cfg), ("pallas", cfg_p)):
+                fn = lambda im, c=c: decode.greedy_decode(
+                    ms.params, ms.batch_stats, im, c, T)
+                r[name] = measure(fn, images, floor_ms)
+            speedup = r["xla"] / r["pallas"]
+            print(f"B={B} {label}: xla {r['xla']:.2f} ms "
+                  f"({B / r['xla'] * 1000:.0f} img/s)  "
+                  f"pallas {r['pallas']:.2f} ms "
+                  f"({B / r['pallas'] * 1000:.0f} img/s)  "
+                  f"pallas/xla speedup {speedup:.3f}x")
+        # transcript agreement on this batch (f32-stable argmax may
+        # legitimately differ on random-weight near-ties; report only)
+        la, _ = decode.greedy_decode(ms.params, ms.batch_stats, images,
+                                     cfg, 50)
+        lp, _ = decode.greedy_decode(ms.params, ms.batch_stats, images,
+                                     cfg_p, 50)
+        same = float((np.asarray(la) == np.asarray(lp)).mean())
+        print(f"B={B} token agreement pallas vs xla: {same * 100:.2f}%")
+
+
+if __name__ == "__main__":
+    main()
