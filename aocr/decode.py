@@ -313,9 +313,11 @@ def beam_decode(
     else:
         nodes = jnp.zeros((B, K), jnp.int32)
 
-    # Expand decoder state and context to B*K rows.
+    # Expand decoder state to B*K rows.  The context is NOT expanded: the
+    # in-loop attention runs grouped against the original (B, L, H) array
+    # (decoder.attention_grouped), saving K x the context HBM traffic the
+    # reference's beam_replicate materializes (model.lua:322-359).
     state = jax.tree.map(lambda x: _expand_beams(x, K), state)
-    beam_context = _expand_beams(context, K)
 
     carry0 = BeamCarry(
         state=state, scores=scores, prev_tokens=tokens0, nodes=nodes,
@@ -342,14 +344,17 @@ def beam_decode(
         t, carry, tok_buf, par_buf, refills, min_valid = loop
 
         def run(carry: BeamCarry):
-            st, h_t = decoder.step(
+            cs, hs, h_top = decoder.lstm_stack(
                 dec_params,
                 carry.state,
                 carry.prev_tokens.reshape(-1),
-                beam_context,
                 input_feed=cfg.input_feed,
                 compute_dtype=cd,
             )
+            h_t = decoder.attention_grouped(
+                dec_params, h_top.reshape(B, K, -1), context, cd
+            ).reshape(B * K, -1)
+            st = decoder.DecoderState(attn=h_t, cs=cs, hs=hs)
             lp = head.apply(proj, h_t, compute_dtype=cd)  # (B*K, V)
             lp = lp.reshape(B, K, V)
             # Freeze finished beams: PAD column log-prob := 0.

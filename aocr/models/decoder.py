@@ -98,6 +98,29 @@ def attention(
     return h_tilde, alpha
 
 
+def attention_grouped(
+    params: dict,
+    h_top: jax.Array,  # (B, K, H) — K query rows per context row
+    context: jax.Array,  # (B, L, H)
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Luong-general attention for beam search WITHOUT expanding context.
+
+    The reference replicates the context to (B*K, L, ...) rows
+    (beam_replicate, model.lua:322-359); materializing that repeat costs
+    K x the context HBM traffic per decode step.  Batched einsums against
+    the original (B, L, H) context compute exactly the same math.
+    Returns h_tilde (B, K, H)."""
+    cd = compute_dtype
+    query = einsum("bkh,hj->bkj", h_top.astype(cd), params["w_a"].astype(cd))
+    scores = einsum("blh,bkh->bkl", context.astype(cd), query.astype(cd))
+    alpha = jax.nn.softmax(scores, axis=-1)  # (B, K, L)
+    ctx = einsum("bkl,blh->bkh", alpha.astype(cd), context.astype(cd))
+    cat = jnp.concatenate([ctx, h_top], axis=-1)  # (B, K, 2H)
+    return jnp.tanh(einsum("bkj,jh->bkh", cat.astype(cd),
+                           params["w_c"].astype(cd)))
+
+
 def _dropout(x, rate, rng, train):
     if not train or rate <= 0.0 or rng is None:
         return x
