@@ -110,6 +110,28 @@ class AttentionOCR:
                 images = images[..., None]
             assert images.ndim == 4, f"bad image batch shape {images.shape}"
             return [(list(range(images.shape[0])), jnp.asarray(images))]
+        if self.cfg.device_preprocess and images and isinstance(
+                images[0], str):
+            # serving fast path: host decodes bytes only; luminance +
+            # resize run jitted on device (aocr.preprocess)
+            from aocr import preprocess
+
+            raws, widths = [], []
+            for item in images:
+                r = data.load_raw(item, self.cfg)
+                if r is None:
+                    raise ValueError(f"cannot decode image {item}")
+                raws.append(r[0])
+                widths.append(r[1])
+            by_width: dict = {}
+            for i, w in enumerate(widths):
+                by_width.setdefault(w, []).append(i)
+            groups = []
+            for w, idx in sorted(by_width.items()):
+                buf, sizes = data.pack_raw([raws[i] for i in idx])
+                groups.append((idx, preprocess.preprocess_varsize(
+                    buf, sizes, self.cfg.image_height, w)))
+            return groups
         arrs = []
         for item in images:
             if isinstance(item, str):

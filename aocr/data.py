@@ -168,6 +168,25 @@ def load_raw(path: str, cfg: Config):
     return raw, _target_width(w, h, cfg)
 
 
+def pack_raw(raws: List[np.ndarray]):
+    """Pad raw images (bottom/right, zeros) into one (B, Hp, Wp, 3)
+    buffer + (B, 2) true sizes for preprocess.preprocess_varsize.  Buffer
+    dims round up to multiples of (16, 64) so the device-preprocess jit
+    cache stays small."""
+    up = lambda n, m: ((n + m - 1) // m) * m
+    sizes = np.array([r.shape[:2] for r in raws], np.int32)
+    hp = up(int(sizes[:, 0].max()), 16)
+    wp = up(int(sizes[:, 1].max()), 64)
+    any_float = any(r.dtype != np.uint8 for r in raws)
+    dt = np.float32 if any_float else np.uint8
+    buf = np.zeros((len(raws), hp, wp, 3), dt)
+    for i, r in enumerate(raws):
+        if r.shape[-1] == 1:
+            r = np.repeat(r, 3, axis=-1)  # luma of replicated gray = gray
+        buf[i, : r.shape[0], : r.shape[1]] = r[..., :3]
+    return buf, sizes
+
+
 class DataGen:
     """Width-bucketed batch generator over a `path label` manifest."""
 
@@ -254,25 +273,8 @@ class DataGen:
             images[i, :, :, 0] = img
         return Batch(images, targets, targets_eval, nnz, paths)
 
-    @staticmethod
-    def _round_up(n: int, m: int) -> int:
-        return ((n + m - 1) // m) * m
-
     def _pack_raw(self, raws: List[np.ndarray]):
-        """Pad raw images (bottom/right, zeros) into one (B, Hp, Wp, 3)
-        buffer + (B, 2) true sizes.  Buffer dims round up to multiples of
-        (16, 64) so the device-preprocess jit cache stays small."""
-        sizes = np.array([r.shape[:2] for r in raws], np.int32)
-        hp = self._round_up(int(sizes[:, 0].max()), 16)
-        wp = self._round_up(int(sizes[:, 1].max()), 64)
-        any_float = any(r.dtype != np.uint8 for r in raws)
-        dt = np.float32 if any_float else np.uint8
-        buf = np.zeros((len(raws), hp, wp, 3), dt)
-        for i, r in enumerate(raws):
-            if r.shape[-1] == 1:
-                r = np.repeat(r, 3, axis=-1)  # luma of replicated gray = gray
-            buf[i, : r.shape[0], : r.shape[1]] = r[..., :3]
-        return buf, sizes
+        return pack_raw(raws)
 
     def _schedule_lookahead(self) -> None:
         """Submit decodes for upcoming records to the thread pool (PIL

@@ -102,3 +102,23 @@ def test_serving_flow_with_device_preprocess(ocr, np_rng):
     images = preprocess.preprocess_batch(raw, 32, 32)
     words, scores = ocr.recognize(np.asarray(images))
     assert len(words) == 2 and scores.shape == (2,)
+
+
+def test_recognize_paths_device_preprocess(ocr, tmp_path, np_rng):
+    """Path-based recognize() with cfg.device_preprocess must agree with
+    the host-preprocessed path on real PNGs."""
+    from PIL import Image
+
+    paths = []
+    for i in range(3):
+        img = np_rng.randint(0, 256, (40, 130, 3)).astype(np.uint8)
+        p = str(tmp_path / f"{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    cfg_dev = CFG.replace(device_preprocess=True, image_width=32)
+    ocr_dev = AttentionOCR(cfg_dev, ocr.params, ocr.batch_stats)
+    words_dev, scores_dev = ocr_dev.recognize(paths)
+    words_host, scores_host = ocr.recognize(paths)
+    assert words_dev == words_host
+    np.testing.assert_allclose(scores_dev, scores_host, rtol=1e-3,
+                               atol=1e-3)
