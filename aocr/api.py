@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aocr import checkpoint, data, decode, vocab
-from aocr.config import Config, config_from_dict
+from aocr.config import Config
 from aocr.models import model as model_lib
 from aocr.utils import trie as trie_lib
 
@@ -61,15 +61,23 @@ class AttentionOCR:
         if os.path.isdir(path):
             path = checkpoint.final_path(path)
         ckpt = checkpoint.load(path, allow_pickle=allow_pickle)
-        saved_cfg = config_from_dict(ckpt["config"])
-        if cfg is not None:
-            # structure comes from the checkpoint; runtime knobs from cfg
-            saved_cfg = saved_cfg.replace(
-                beam_size=cfg.beam_size,
-                max_decoder_l=cfg.max_decoder_l,
-                compute_dtype=cfg.compute_dtype,
-                use_pallas=cfg.use_pallas,
-            )
+        # Structure hyperparameters always come from the checkpoint;
+        # sequence bounds / image geometry come from the checkpoint unless
+        # the caller's cfg overrides them (reference model.lua:75-77);
+        # runtime perf knobs (dtype, kernels, beam size, batching) come
+        # from the caller or current defaults — so e.g. an old checkpoint
+        # cannot pin a stale use_pallas=False.
+        from aocr.train import _STRUCT_FIELDS
+
+        geometry = ("max_decoder_l", "max_encoder_l", "image_height",
+                    "image_width", "keep_aspect_ratio", "max_aspect_ratio",
+                    "min_aspect_ratio")
+        saved = ckpt["config"]
+        base = cfg if cfg is not None else Config()
+        fields = _STRUCT_FIELDS + (geometry if cfg is None else ())
+        saved_cfg = base.replace(
+            **{k: saved[k] for k in fields if k in saved}
+        )
         return cls(
             saved_cfg,
             jax.tree.map(jnp.asarray, ckpt["params"]),
