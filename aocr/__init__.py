@@ -10,10 +10,14 @@ trie-constrained) beam search.
 TPU-first design: XLA convolutions in NHWC, `lax.scan` recurrences with
 hoisted input projections (one big MXU matmul instead of per-step small ones),
 fully on-device greedy/beam decoding, `jax.sharding` data parallelism over an
-ICI mesh, and optional Pallas-fused recurrent cells.
+ICI mesh (plus GSPMD tensor parallelism, sharded evaluation, and
+multi-host lockstep training), and a Pallas-fused greedy decode tail
+(attention + projector + argmax in one kernel, default on TPU).
+Reference Torch7 checkpoints import via `aocr.torch_import` /
+tools/import_torch.py.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from aocr.config import Config  # noqa: F401
 

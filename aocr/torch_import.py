@@ -263,6 +263,22 @@ def import_checkpoint(path: str) -> Dict[str, Any]:
     }
 
 
+def _cli(argv=None) -> int:
+    """Console-script entry (`aocr-import-torch`); same surface as
+    tools/import_torch.py."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Convert a reference Torch7 checkpoint into a native "
+                    "v2 checkpoint directory")
+    p.add_argument("t7_path")
+    p.add_argument("model_dir")
+    args = p.parse_args(argv)
+    out = import_to_model_dir(args.t7_path, args.model_dir)
+    print(f"Imported {args.t7_path} -> {out}")
+    return 0
+
+
 def import_to_model_dir(t7_path: str, model_dir: str) -> str:
     """Convert a torch checkpoint into a native v2 checkpoint published as
     <model_dir>/final-model (usable with -load_model / AttentionOCR.load)."""
