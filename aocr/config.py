@@ -104,6 +104,12 @@ class Config:
     # regime on v5e with bit-identical transcripts.  -no_use_pallas
     # disables (e.g. for non-TPU backends the flag is a no-op anyway).
     use_pallas: bool = True
+    # Which fused greedy strategy use_pallas selects: "auto" runs the
+    # whole-decode-loop kernel (ops/pallas/greedy_loop.py) when its VMEM
+    # footprint fits and falls back to the per-step fused tail
+    # (ops/pallas/decode_step.py) otherwise; "loop"/"tail" force one for
+    # A/B measurement (tools/ab_pallas.py).
+    pallas_greedy: str = "auto"  # "auto" | "loop" | "tail"
     # Cache decoded images in RAM after first touch (the reference caches
     # unconditionally, data_gen.lua:80; disable for datasets larger than
     # host memory).
@@ -162,6 +168,7 @@ class Config:
         assert self.target_vocab_size >= 4
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.optimizer in ("sgd", "adadelta")
+        assert self.pallas_greedy in ("auto", "loop", "tail")
         # Reference assert (optim_sgd.lua:35): Nesterov momentum requires a
         # momentum and zero dampening.
         effective_damp = self.momentum if self.dampening < 0 else self.dampening

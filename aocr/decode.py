@@ -141,6 +141,37 @@ def greedy_decode(
                  and (jax.default_backend() == "tpu"
                       or _PALLAS_GREEDY_INTERPRET))
     if use_fused:
+        # Preferred: the ENTIRE decode loop as one Pallas kernel — weights,
+        # context, and decoder state VMEM-resident across all max_len steps,
+        # per-tile early exit (ops/pallas/greedy_loop.py).  Falls back to
+        # the per-step fused tail when the footprint would not fit VMEM.
+        from aocr.ops.pallas import greedy_loop as _pgl
+
+        H = context.shape[2]
+        L = context.shape[1]
+        vp = ((V + _pgl.LANE - 1) // _pgl.LANE) * _pgl.LANE
+        fits = (
+            cfg.pallas_greedy in ("auto", "loop")
+            and H % 128 == 0
+            and _pgl.vmem_bytes(
+                L, H, max_len, cfg.decoder_num_layers, cfg.input_feed,
+                vp, vp, jnp.dtype(cd).itemsize,
+            ) <= _pgl.VMEM_BUDGET
+        )
+        if fits:
+            tables = _pgl.build_tables(
+                dec_params, proj, cfg.target_embedding_size,
+                cfg.input_feed, cd,
+            )
+            c0, h0 = dec_init
+            labels, scores = _pgl.fused_greedy_loop(
+                jnp.swapaxes(context, 0, 1), c0, h0, tables,
+                cfg.decoder_num_layers, cfg.input_feed, max_len,
+                interpret=_PALLAS_GREEDY_INTERPRET,
+            )
+            return labels, scores
+
+    if use_fused:
         from aocr.ops.pallas import decode_step as _pds
 
         pw_pad, pb_pad = _pds.pad_projector(proj["w"].astype(cd), proj["b"])

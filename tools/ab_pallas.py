@@ -54,8 +54,10 @@ def main():
     from aocr.models import model
 
     batches = [int(a) for a in sys.argv[1:]] or [512, 1024]
-    cfg = Config(input_feed=True, compute_dtype="bfloat16").validate()
-    cfg_p = cfg.replace(use_pallas=True)
+    cfg = Config(input_feed=True, compute_dtype="bfloat16",
+                 use_pallas=False).validate()
+    cfg_t = cfg.replace(use_pallas=True, pallas_greedy="tail")
+    cfg_p = cfg.replace(use_pallas=True, pallas_greedy="loop")
     ms = model.init(jax.random.PRNGKey(cfg.seed), cfg)
     rng = np.random.RandomState(0)
 
@@ -75,16 +77,17 @@ def main():
             rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32))
         for T, label in ((50, "worst50"), (10, "early10")):
             r = {}
-            for name, c in (("xla", cfg), ("pallas", cfg_p)):
+            for name, c in (("xla", cfg), ("tail", cfg_t), ("loop", cfg_p)):
                 fn = lambda im, c=c: decode.greedy_decode(
                     ms.params, ms.batch_stats, im, c, T)
                 r[name] = measure(fn, images, floor_ms)
-            speedup = r["xla"] / r["pallas"]
-            print(f"B={B} {label}: xla {r['xla']:.2f} ms "
-                  f"({B / r['xla'] * 1000:.0f} img/s)  "
-                  f"pallas {r['pallas']:.2f} ms "
-                  f"({B / r['pallas'] * 1000:.0f} img/s)  "
-                  f"pallas/xla speedup {speedup:.3f}x")
+            parts = "  ".join(
+                f"{n} {v:.2f} ms ({B / v * 1000:.0f} img/s)"
+                for n, v in r.items()
+            )
+            print(f"B={B} {label}: {parts}  "
+                  f"loop/xla {r['xla'] / r['loop']:.3f}x  "
+                  f"loop/tail {r['tail'] / r['loop']:.3f}x")
         # transcript agreement on this batch (f32-stable argmax may
         # legitimately differ on random-weight near-ties; report only)
         la, _ = decode.greedy_decode(ms.params, ms.batch_stats, images,
