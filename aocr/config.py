@@ -51,6 +51,12 @@ class Config:
     encoder_num_layers: int = 1
     decoder_num_layers: int = 2
     target_vocab_size: int = 39  # 1 PAD + 1 GO + 1 EOS + 10 digits + 26 letters
+    # The reference's additive attention-combination variant
+    # (src/model/LSTM.lua:152-160: h~ = ctx + h instead of
+    # tanh(W_c [ctx; h])).  Its own code always passes simple=0
+    # (src/model/LSTM.lua:113), so this defaults off; the flag exists so
+    # the dead variant is reachable rather than unimplemented.
+    simple_attention: bool = False
 
     # --- Other (reference src/train.lua:56-63) ---
     phase: str = "test"
@@ -183,6 +189,7 @@ class Config:
 
 
 _BOOL_FLAGS = {
+    "simple_attention",
     "nesterov",
     "allow_pickle_ckpt",
     "multihost",

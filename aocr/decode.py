@@ -138,6 +138,7 @@ def greedy_decode(
     proj = params["projector"]
 
     use_fused = (cfg.use_pallas and not use_trie
+                 and not cfg.simple_attention
                  and (jax.default_backend() == "tpu"
                       or _PALLAS_GREEDY_INTERPRET))
     if use_fused:
@@ -207,7 +208,7 @@ def greedy_decode(
     else:
         state, h_tilde = decoder.step(
             dec_params, state, go, context, input_feed=cfg.input_feed,
-            compute_dtype=cd,
+            compute_dtype=cd, simple=cfg.simple_attention,
         )
         logp = head.apply(proj, h_tilde, compute_dtype=cd)  # (B, V)
         if use_trie:
@@ -241,6 +242,7 @@ def greedy_decode(
             st, h_t = decoder.step(
                 dec_params, state, prev, context,
                 input_feed=cfg.input_feed, compute_dtype=cd,
+                simple=cfg.simple_attention,
             )
             lp = head.apply(proj, h_t, compute_dtype=cd)
             froz = (prev == vocab.PAD) | (prev == vocab.EOS)
@@ -321,7 +323,7 @@ def beam_decode(
     go = jnp.full((B,), vocab.GO, jnp.int32)
     state, h_tilde = decoder.step(
         dec_params, state, go, context, input_feed=cfg.input_feed,
-        compute_dtype=cd,
+        compute_dtype=cd, simple=cfg.simple_attention,
     )
     logp = head.apply(proj, h_tilde, compute_dtype=cd)  # (B, V)
 
@@ -383,7 +385,8 @@ def beam_decode(
                 compute_dtype=cd,
             )
             h_t = decoder.attention_grouped(
-                dec_params, h_top.reshape(B, K, -1), context, cd
+                dec_params, h_top.reshape(B, K, -1), context, cd,
+                simple=cfg.simple_attention,
             ).reshape(B * K, -1)
             st = decoder.DecoderState(attn=h_t, cs=cs, hs=hs)
             lp = head.apply(proj, h_t, compute_dtype=cd)  # (B*K, V)

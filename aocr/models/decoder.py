@@ -84,8 +84,17 @@ def attention(
     context: jax.Array,
     ctx_mask: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    simple: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Luong-general attention.  Returns (h_tilde (B,H), alpha (B,L))."""
+    """Luong-general attention.  Returns (h_tilde (B,H), alpha (B,L)).
+
+    simple=True selects the reference's additive combination variant
+    (src/model/LSTM.lua:152-160): h_tilde = ctx + h_top, with no W_c
+    projection and no tanh.  The reference always builds the concat form
+    (`create_decoder_attn` is only ever called with simple=0,
+    src/model/LSTM.lua:113); the variant is exposed via
+    `-simple_attention` for completeness.
+    """
     cd = compute_dtype
     query = matmul(h_top.astype(cd), params["w_a"].astype(cd))  # (B, H)
     scores = einsum("blh,bh->bl", context.astype(cd), query.astype(cd))
@@ -93,6 +102,8 @@ def attention(
         scores = jnp.where(ctx_mask, scores, -1e30)
     alpha = jax.nn.softmax(scores, axis=-1)
     ctx = einsum("bl,blh->bh", alpha.astype(cd), context.astype(cd))
+    if simple:
+        return ctx + h_top.astype(ctx.dtype), alpha
     cat = jnp.concatenate([ctx, h_top], axis=-1)
     h_tilde = jnp.tanh(matmul(cat.astype(cd), params["w_c"].astype(cd)))
     return h_tilde, alpha
@@ -103,6 +114,7 @@ def attention_grouped(
     h_top: jax.Array,  # (B, K, H) — K query rows per context row
     context: jax.Array,  # (B, L, H)
     compute_dtype=jnp.float32,
+    simple: bool = False,
 ) -> jax.Array:
     """Luong-general attention for beam search WITHOUT expanding context.
 
@@ -116,6 +128,8 @@ def attention_grouped(
     scores = einsum("blh,bkh->bkl", context.astype(cd), query.astype(cd))
     alpha = jax.nn.softmax(scores, axis=-1)  # (B, K, L)
     ctx = einsum("bkl,blh->bkh", alpha.astype(cd), context.astype(cd))
+    if simple:  # additive variant, see attention()
+        return ctx + h_top.astype(ctx.dtype)
     cat = jnp.concatenate([ctx, h_top], axis=-1)  # (B, K, 2H)
     return jnp.tanh(einsum("bkj,jh->bkh", cat.astype(cd),
                            params["w_c"].astype(cd)))
@@ -172,6 +186,7 @@ def step(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
+    simple: bool = False,
 ) -> Tuple[DecoderState, jax.Array]:
     """One decode step from token ids.  Returns (new_state, h_tilde (B,H)).
 
@@ -186,7 +201,7 @@ def step(
         train=train, dropout_rng=stack_rng, compute_dtype=compute_dtype,
     )[:2]
     h_tilde, _alpha = attention(params, hs[-1], context, ctx_mask,
-                                compute_dtype)
+                                compute_dtype, simple=simple)
     if dropout > 0.0 and train:
         h_tilde = _dropout(h_tilde, dropout, tail_rng, train)
     new_state = DecoderState(attn=h_tilde, cs=tuple(cs), hs=tuple(hs))
@@ -206,6 +221,7 @@ def teacher_forced(
     dropout_rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    simple: bool = False,
 ) -> jax.Array:
     """Teacher-forced decode over targets (B, T) -> h_tildes (B, T, H).
 
@@ -267,7 +283,8 @@ def teacher_forced(
             cs.append(c)
             hs.append(h)
             x = h
-        h_tilde, _ = attention(params, hs[-1], context, ctx_mask, cd)
+        h_tilde, _ = attention(params, hs[-1], context, ctx_mask, cd,
+                               simple=simple)
         if dropout > 0.0 and train:
             sub, k = jax.random.split(sub)
             h_tilde = _dropout(h_tilde, dropout, k, train)

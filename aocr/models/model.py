@@ -110,6 +110,7 @@ def forward_loss(
         dropout_rng=dropout_rng,
         compute_dtype=cd,
         remat=cfg.remat,
+        simple=cfg.simple_attention,
     )
     log_probs = head.apply(params["projector"], h_tildes, compute_dtype=cd)
     nll = loss_lib.nll_sum(log_probs, targets_eval)

@@ -39,6 +39,26 @@ def test_attention_oracle(rng, dims):
     np.testing.assert_allclose(np.asarray(alpha).sum(-1), 1.0, rtol=1e-5)
 
 
+def test_attention_simple_variant(rng, dims):
+    """The `simple` additive combination (reference src/model/LSTM.lua:152-160):
+    h~ = ctx + h_top — same alphas, no W_c, no tanh.  Grouped form agrees."""
+    p = _params(rng, dims, False)
+    B, L, H = dims["B"], dims["L"], dims["H"]
+    h_top = jax.random.normal(jax.random.PRNGKey(1), (B, H))
+    context = jax.random.normal(jax.random.PRNGKey(2), (B, L, H))
+    h_simple, a_simple = decoder.attention(p, h_top, context, simple=True)
+    _, a_concat = decoder.attention(p, h_top, context)
+    np.testing.assert_allclose(a_simple, a_concat, rtol=1e-6)
+    ctx = np.einsum("bl,blh->bh", np.asarray(a_simple), np.asarray(context))
+    np.testing.assert_allclose(
+        np.asarray(h_simple), ctx + np.asarray(h_top), rtol=1e-4, atol=1e-5)
+    grouped = decoder.attention_grouped(
+        p, h_top[:, None, :], context, simple=True)
+    np.testing.assert_allclose(
+        np.asarray(grouped[:, 0]), np.asarray(h_simple),
+        rtol=1e-4, atol=1e-5)
+
+
 def test_attention_mask(rng, dims):
     p = _params(rng, dims, False)
     B, L, H = dims["B"], dims["L"], dims["H"]

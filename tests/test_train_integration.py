@@ -56,6 +56,31 @@ def test_overfit_reaches_exact_match(trained):
     assert trained["losses"][-1] < trained["losses"][0] * 0.2
 
 
+def test_simple_attention_end_to_end(trained):
+    """-simple_attention (the reference's always-dormant additive variant,
+    src/model/LSTM.lua:109-113,152-160) must run through train + greedy +
+    beam paths and actually change the decode function."""
+    cfg_s = CFG.replace(simple_attention=True)
+    im = trained["images"]
+    params, stats = trained["params"], trained["stats"]
+    loss, _, _ = jax.jit(
+        lambda p, s: model.forward_loss(
+            p, s, im, jnp.zeros((4, 8), jnp.int32),
+            jnp.zeros((4, 8), jnp.int32), cfg_s)
+    )(params, stats)
+    assert np.isfinite(float(loss))
+    g1, s1 = decode.beam_decode(params, stats, im, cfg_s,
+                                beam_size=1, max_len=8)
+    b1, _ = decode.beam_decode(params, stats, im, cfg_s,
+                               beam_size=2, max_len=8)
+    assert np.asarray(g1).shape == (4, 8) and np.asarray(b1).shape == (4, 8)
+    # weights were trained with the concat form, so the additive form must
+    # yield different scores (it bypasses W_c entirely)
+    _, s_concat = decode.beam_decode(params, stats, im, CFG,
+                                     beam_size=1, max_len=8)
+    assert not np.allclose(np.asarray(s1), np.asarray(s_concat))
+
+
 def test_loss_monotone_trend(trained):
     losses = trained["losses"]
     assert losses[-1] < 12.0  # low NLL after overfit (trajectory is seed-sensitive)
