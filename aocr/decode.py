@@ -98,9 +98,10 @@ def _apply_trie_and_topk(
     return scores, idx, None
 
 
-# Tests set this to exercise the fused Pallas greedy path on CPU
-# (interpret mode); on TPU the path activates via cfg.use_pallas.
+# Tests set these to exercise the fused Pallas greedy/beam paths on CPU
+# (interpret mode); on TPU the paths activate via cfg.use_pallas.
 _PALLAS_GREEDY_INTERPRET = False
+_PALLAS_BEAM_INTERPRET = False
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "use_trie"))
@@ -352,6 +353,41 @@ def beam_decode(
     # reference's beam_replicate materializes (model.lua:322-359).
     state = jax.tree.map(lambda x: _expand_beams(x, K), state)
 
+    # Fused beam tail (ops/pallas/beam_step.py): grouped attention +
+    # projector + freeze + score-add + top-K in one kernel per batch tile,
+    # reading the loop-invariant context once per step.  The trie path
+    # keeps the XLA tail (validity masks + refill bookkeeping).
+    H = context.shape[2]
+    L = context.shape[1]
+    use_fused_beam = (
+        cfg.use_pallas and not use_trie and not cfg.simple_attention
+        and (jax.default_backend() == "tpu" or _PALLAS_BEAM_INTERPRET)
+        and H % 128 == 0
+        # Measured on v5e (docs/performance.md): the fused tail wins at
+        # B>=512 (+8-12%) but is a wash at B=256, where the per-call fixed
+        # costs (weight DMA per step) eat the context-traffic saving.  B is
+        # static under jit, so gate on it — except in interpret-mode tests.
+        and (B >= 512 or _PALLAS_BEAM_INTERPRET)
+    )
+    if use_fused_beam:
+        from aocr.ops.pallas import beam_step as _pbs
+        from aocr.ops.pallas import decode_step as _pds
+
+        vp = ((V + _pbs.LANE - 1) // _pbs.LANE) * _pbs.LANE
+        itm = jnp.dtype(cd).itemsize
+        fused_vmem = (
+            2 * L * _pbs.B_TILE * H * itm          # context (double-buffered)
+            + _pbs.B_TILE * K * H * (itm + 4)       # h_top in, h_tilde out
+            + 3 * H * H * itm + H * vp * itm        # weights
+            + _pbs.B_TILE * K * vp * 4              # top-K buffer
+        )
+        use_fused_beam = fused_vmem <= _pbs.VMEM_BUDGET
+    if use_fused_beam:
+        pwb_pad, pbb_pad = _pds.pad_projector(proj["w"].astype(cd), proj["b"])
+        wab_cd = dec_params["w_a"].astype(cd)
+        wcb_cd = dec_params["w_c"].astype(cd)
+        ctx_lbh = jnp.swapaxes(context, 0, 1)  # scan-major, see greedy path
+
     carry0 = BeamCarry(
         state=state, scores=scores, prev_tokens=tokens0, nodes=nodes,
         lengths=jnp.ones((B, K), jnp.int32),
@@ -384,28 +420,41 @@ def beam_decode(
                 input_feed=cfg.input_feed,
                 compute_dtype=cd,
             )
-            h_t = decoder.attention_grouped(
-                dec_params, h_top.reshape(B, K, -1), context, cd,
-                simple=cfg.simple_attention,
-            ).reshape(B * K, -1)
-            st = decoder.DecoderState(attn=h_t, cs=cs, hs=hs)
-            lp = head.apply(proj, h_t, compute_dtype=cd)  # (B*K, V)
-            lp = lp.reshape(B, K, V)
-            # Freeze finished beams: PAD column log-prob := 0.
             froz = (carry.prev_tokens == vocab.PAD) | (carry.prev_tokens == vocab.EOS)
-            lp = lp.at[:, :, vocab.PAD].set(
-                jnp.where(froz, 0.0, lp[:, :, vocab.PAD])
-            )
-            total = (carry.scores[:, :, None] + lp).reshape(B, K * V)
-            if use_trie:
-                child_ok = trie_table[carry.nodes] >= 0  # (B, K, V)
-                ok = child_ok.at[:, :, vocab.PAD].set(True)  # PAD always allowed
-                valid = ok.reshape(B, K * V)
+            if use_fused_beam:
+                # (B*K, H) is row-major identical to (B, K*H): no transpose
+                # at the kernel boundary.
+                htld, new_scores, parents, toks = _pbs.fused_beam_tail(
+                    ctx_lbh, h_top.reshape(B, K * H), carry.prev_tokens,
+                    carry.scores, wab_cd, wcb_cd, pwb_pad, pbb_pad, K, V,
+                    interpret=_PALLAS_BEAM_INTERPRET,
+                )
+                st = decoder.DecoderState(
+                    attn=htld.reshape(B * K, H), cs=cs, hs=hs
+                )
+                nvalid = None
             else:
-                valid = None
-            new_scores, raw, nvalid = _apply_trie_and_topk(total, valid, K)
-            parents = raw // V  # (B, K)
-            toks = raw % V
+                h_t = decoder.attention_grouped(
+                    dec_params, h_top.reshape(B, K, -1), context, cd,
+                    simple=cfg.simple_attention,
+                ).reshape(B * K, -1)
+                st = decoder.DecoderState(attn=h_t, cs=cs, hs=hs)
+                lp = head.apply(proj, h_t, compute_dtype=cd)  # (B*K, V)
+                lp = lp.reshape(B, K, V)
+                # Freeze finished beams: PAD column log-prob := 0.
+                lp = lp.at[:, :, vocab.PAD].set(
+                    jnp.where(froz, 0.0, lp[:, :, vocab.PAD])
+                )
+                total = (carry.scores[:, :, None] + lp).reshape(B, K * V)
+                if use_trie:
+                    child_ok = trie_table[carry.nodes] >= 0  # (B, K, V)
+                    ok = child_ok.at[:, :, vocab.PAD].set(True)  # PAD always allowed
+                    valid = ok.reshape(B, K * V)
+                else:
+                    valid = None
+                new_scores, raw, nvalid = _apply_trie_and_topk(total, valid, K)
+                parents = raw // V  # (B, K)
+                toks = raw % V
             new_state = jax.tree.map(
                 lambda x: _gather_beams(x, parents, K), st
             )

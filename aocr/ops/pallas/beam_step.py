@@ -1,0 +1,191 @@
+"""Pallas-fused beam-search step tail: grouped attention + projector +
+freeze + score accumulation + top-K, one kernel per batch tile.
+
+The beam loop's per-step cost splits into the (B*K)-row LSTM matmuls
+(MXU-bound, already at roofline in XLA) and everything after them:
+grouped attention (reference replicates the context per beam,
+model.lua:322-359; here it stays (B, L, H)), the projector + log-softmax
+(output_projector.lua:3-8), the finished-beam freeze (model.lua:448-449),
+the score broadcast-add, and the top-K over K*V candidates
+(model.lua:450-452).  XLA materializes each of those intermediates
+through HBM and re-reads the context twice per step; this kernel computes
+the whole tail with the context read ONCE per tile and every
+intermediate in VMEM, and returns exactly what the XLA decomposition
+feeds the beam bookkeeping: (h_tilde, new_scores, parents, tokens).
+
+Layout trick: the (B*K, H) top hidden state is row-major identical to
+(B, K*H), so the kernel consumes K*H-wide rows aligned with the batch
+tiling — no transpose or replication at the boundary — and slices beam k
+as lanes [k*H:(k+1)*H].  h_tilde is returned in the same packed layout.
+
+Top-K runs as K iterative argmax+mask passes over the (Bt, K*Vp) total
+buffer in f32 — identical selection (including first-index tie-breaks)
+to lax.top_k.  Projector padding columns carry a -1e30 bias so they can
+never be selected.
+
+The trie-constrained path keeps the XLA tail (its validity masks and
+refill bookkeeping don't fit the single-tile shape).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from aocr import vocab
+
+B_TILE = 128
+LANE = 128
+VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _make_kernel(K: int, V: int):
+    def kernel(ctx_ref, h_ref, prev_ref, sc_ref, wa_ref, wc_ref, pw_ref,
+               pb_ref, htld_ref, nsc_ref, par_ref, tok_ref, buf_ref):
+        H = wa_ref.shape[0]
+        vp = pw_ref.shape[-1]
+        bt = h_ref.shape[0]
+        cd = wa_ref.dtype
+        prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        context = ctx_ref[:]  # (L, bt, H) — read once, reused by all K beams
+        col_v = jax.lax.broadcasted_iota(jnp.int32, (bt, vp), 1)
+        for k in range(K):
+            h = h_ref[:, k * H:(k + 1) * H]  # (bt, H)
+            q = jnp.dot(h.astype(cd), wa_ref[:], precision=prec,
+                        preferred_element_type=jnp.float32)
+            scores = jnp.sum(
+                context.astype(jnp.float32) * q[None, :, :], axis=-1
+            )  # (L, bt)
+            sb = scores.T  # lane-axis softmax (Mosaic constraint)
+            m = jnp.max(sb, axis=-1, keepdims=True)
+            e = jnp.exp(sb - m)
+            alpha = (e / jnp.sum(e, axis=-1, keepdims=True)).T
+            cv = jnp.sum(
+                alpha[:, :, None] * context.astype(jnp.float32), axis=0
+            )  # (bt, H)
+            wc = wc_ref[:]
+            pre = (
+                jnp.dot(cv.astype(cd), wc[:H], precision=prec,
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(h.astype(cd), wc[H:], precision=prec,
+                          preferred_element_type=jnp.float32)
+            )
+            h_tilde = jnp.tanh(pre)
+            htld_ref[:, k * H:(k + 1) * H] = h_tilde
+            logits = jnp.dot(h_tilde.astype(cd), pw_ref[:], precision=prec,
+                             preferred_element_type=jnp.float32) + pb_ref[:]
+            m2 = jnp.max(logits, axis=-1, keepdims=True)
+            lse = m2 + jnp.log(
+                jnp.sum(jnp.exp(logits - m2), axis=-1, keepdims=True))
+            logp = logits - lse  # (bt, vp) f32
+            prev_k = prev_ref[:, k:k + 1]  # (bt, 1)
+            frozen = (prev_k == vocab.PAD) | (prev_k == vocab.EOS)
+            logp = jnp.where((col_v == vocab.PAD) & frozen, 0.0, logp)
+            buf_ref[:, k * vp:(k + 1) * vp] = sc_ref[:, k:k + 1] + logp
+
+        # iterative top-K over (bt, K*vp): argmax + mask, K passes —
+        # same first-index tie-break as lax.top_k
+        col_kv = jax.lax.broadcasted_iota(jnp.int32, (bt, K * vp), 1)
+        for j in range(K):
+            total = buf_ref[:]
+            best = jnp.max(total, axis=-1)  # (bt,)
+            idx = jnp.argmax(total, axis=-1).astype(jnp.int32)
+            nsc_ref[:, j] = best
+            par_ref[:, j] = idx // vp
+            tok_ref[:, j] = idx % vp
+            if j + 1 < K:
+                buf_ref[:] = jnp.where(col_kv == idx[:, None],
+                                       jnp.float32(-jnp.inf), total)
+
+    return kernel
+
+
+def fused_beam_tail(
+    context_lbh: jax.Array,  # (L, B, H) scan-major
+    h_top_packed: jax.Array,  # (B, K*H) == row-major view of (B*K, H)
+    prev_tokens: jax.Array,  # (B, K) int32
+    scores: jax.Array,  # (B, K) f32
+    w_a: jax.Array,
+    w_c: jax.Array,
+    pw_padded: jax.Array,  # (H, Vp) from decode_step.pad_projector
+    pb_padded: jax.Array,  # (1, Vp)
+    K: int,
+    V: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (h_tilde (B, K*H) f32, new_scores (B, K) f32,
+    parents (B, K) int32, tokens (B, K) int32) — exactly the quantities the
+    XLA beam tail produces (grouped attention -> ... -> lax.top_k)."""
+    L, B0, H = context_lbh.shape
+    if B0 <= B_TILE:
+        bt = B0
+        pad = 0
+    else:
+        bt = B_TILE
+        pad = (-B0) % B_TILE
+        if pad:
+            context_lbh = jnp.pad(context_lbh, ((0, 0), (0, pad), (0, 0)))
+            h_top_packed = jnp.pad(h_top_packed, ((0, pad), (0, 0)))
+            # padding rows: frozen PAD beams with -inf-free scores; they are
+            # sliced away below, any selection is fine
+            prev_tokens = jnp.pad(prev_tokens, ((0, pad), (0, 0)))
+            scores = jnp.pad(scores, ((0, pad), (0, 0)))
+    B = B0 + pad
+    vp = pw_padded.shape[1]
+    dt = w_a.dtype
+    grid = (B // bt,)
+    kernel = _make_kernel(K, V)
+    htld, nsc, par, tok = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, bt, H), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, K * H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * H, H), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, vp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, K * H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, K * H), jnp.float32),
+            jax.ShapeDtypeStruct((B, K), jnp.float32),
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+            jax.ShapeDtypeStruct((B, K), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bt, K * vp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_BUDGET,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=K * (2 * B * H * H + 4 * B * L * H + 4 * B * H * H
+                       + 2 * B * H * vp),
+            bytes_accessed=(B * L * H * context_lbh.dtype.itemsize
+                            + B * K * H * 8),
+            transcendentals=K * B * (L + H + vp),
+        ),
+        interpret=interpret,
+    )(
+        context_lbh, h_top_packed.astype(dt),
+        prev_tokens.astype(jnp.int32), scores.astype(jnp.float32),
+        w_a, w_c, pw_padded.astype(dt), pb_padded,
+    )
+    return htld[:B0], nsc[:B0], par[:B0], tok[:B0]

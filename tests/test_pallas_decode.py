@@ -67,9 +67,11 @@ def test_fused_greedy_loop_matches_xla(np_rng):
     frozen-tile early exit."""
     from aocr.ops.pallas import greedy_loop as pgl
 
+    # use_pallas must DIFFER between the two configs: Config is the jit
+    # static key, and an equal config would silently reuse the XLA trace.
     cfg = Config(input_feed=True, encoder_num_hidden=64,
                  target_embedding_size=8, max_decoder_l=8,
-                 image_width=32).validate()  # decoder hidden = 128
+                 image_width=32, use_pallas=False).validate()  # dec hidden 128
     cfg_pallas = cfg.replace(use_pallas=True)
     ms = model.init(jax.random.PRNGKey(5), cfg)
     words = ["ab", "cd", "e1", "xyz", "0", "qq"]
@@ -130,12 +132,80 @@ def test_fused_greedy_loop_matches_xla(np_rng):
                                np.asarray(want_score), rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("K", [2, 5])
+def test_fused_beam_tail_matches_xla(K):
+    """beam_decode with the fused beam-step kernel (interpret mode) vs the
+    XLA tail: identical transcripts/parents and near-identical scores —
+    including frozen-beam freeze and top-K tie-break order."""
+    cfg = Config(input_feed=True, encoder_num_hidden=64,
+                 target_embedding_size=8, max_decoder_l=8,
+                 image_width=32, use_pallas=False).validate()
+    cfg_pallas = cfg.replace(use_pallas=True)
+    ms = model.init(jax.random.PRNGKey(9), cfg)
+    words = ["ab", "cd", "e1", "xyz", "0", "qq", "m"]
+    imgs = np.stack([synth.render_word(w, 32, 32) for w in words])[..., None]
+    imgs = jnp.asarray(imgs.astype(np.float32))
+
+    labels_ref, scores_ref = decode.beam_decode(
+        ms.params, ms.batch_stats, imgs, cfg, K, cfg.max_decoder_l)
+    decode._PALLAS_BEAM_INTERPRET = True
+    try:
+        labels_p, scores_p = decode.beam_decode(
+            ms.params, ms.batch_stats, imgs, cfg_pallas, K,
+            cfg.max_decoder_l)
+    finally:
+        decode._PALLAS_BEAM_INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(labels_p),
+                                  np.asarray(labels_ref))
+    np.testing.assert_allclose(np.asarray(scores_p), np.asarray(scores_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("num_layers,input_feed", [(1, False), (3, True)])
+def test_fused_greedy_loop_layer_variants(np_rng, num_layers, input_feed):
+    """greedy_loop handles arbitrary decoder depths and no-input-feed
+    (the kernel body is generated per static (layers, input_feed))."""
+    from aocr.ops.pallas import greedy_loop as pgl
+
+    V, Hk, L, T, B = 39, 128, 4, 5, 9
+    E = 8
+    dec_params = decoder.init_params(
+        jax.random.PRNGKey(11), V, E, Hk, num_layers, input_feed)
+    proj = head.init_params(jax.random.PRNGKey(12), Hk, V)
+    context = jnp.asarray(np_rng.uniform(-1, 1, (B, L, Hk)), jnp.float32)
+    c0 = jnp.asarray(np_rng.uniform(-1, 1, (B, Hk)), jnp.float32)
+    h0 = jnp.asarray(np_rng.uniform(-1, 1, (B, Hk)), jnp.float32)
+
+    state = decoder.init_state((c0, h0), num_layers)
+    prev = jnp.full((B,), vocab.GO, jnp.int32)
+    want_toks, want_score = [], jnp.zeros((B,))
+    for _ in range(T):
+        state, h_tilde = decoder.step(
+            dec_params, state, prev, context, input_feed=input_feed)
+        logp = head.apply(proj, h_tilde)
+        froz = (prev == vocab.PAD) | (prev == vocab.EOS)
+        logp = logp.at[:, vocab.PAD].set(
+            jnp.where(froz, 0.0, logp[:, vocab.PAD]))
+        prev = jnp.argmax(logp, axis=1).astype(jnp.int32)
+        want_score = want_score + jnp.max(logp, axis=1)
+        want_toks.append(prev)
+    want = jnp.stack(want_toks, axis=1)
+
+    tables = pgl.build_tables(dec_params, proj, E, input_feed, jnp.float32)
+    got, got_score = pgl.fused_greedy_loop(
+        jnp.swapaxes(context, 0, 1), c0, h0, tables, num_layers,
+        input_feed, T, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(got_score),
+                               np.asarray(want_score), rtol=1e-5, atol=1e-4)
+
+
 def test_fused_greedy_decode_matches_xla():
     """Whole greedy decode through the fused path (interpret mode) must
     produce identical transcripts and near-identical scores."""
     cfg = Config(input_feed=True, encoder_num_hidden=32,
                  target_embedding_size=8, max_decoder_l=8,
-                 image_width=32).validate()
+                 image_width=32, use_pallas=False).validate()
     cfg_pallas = cfg.replace(use_pallas=True)
     ms = model.init(jax.random.PRNGKey(3), cfg)
     imgs = np.stack([synth.render_word(w, 32, 32)

@@ -53,7 +53,11 @@ def main():
     from aocr.config import Config
     from aocr.models import model
 
-    batches = [int(a) for a in sys.argv[1:]] or [512, 1024]
+    args = sys.argv[1:]
+    beam_mode = bool(args) and args[0] == "beam"
+    if beam_mode:
+        args = args[1:]
+    batches = [int(a) for a in args] or ([256] if beam_mode else [512, 1024])
     cfg = Config(input_feed=True, compute_dtype="bfloat16",
                  use_pallas=False).validate()
     cfg_t = cfg.replace(use_pallas=True, pallas_greedy="tail")
@@ -71,6 +75,31 @@ def main():
         np.asarray(trivial(jnp.float32(0)))
     floor_ms = (time.perf_counter() - t0) / 10 * 1000
     print(f"floor {floor_ms:.1f} ms")
+
+    if beam_mode:
+        K = 5
+        for B in batches:
+            images = jnp.asarray(
+                rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32))
+            for T, label in ((50, "worst50"), (10, "early10")):
+                r = {}
+                for name, c in (("xla", cfg), ("fused", cfg_p)):
+                    fn = lambda im, c=c: decode.beam_decode(
+                        ms.params, ms.batch_stats, im, c, K, T)
+                    r[name] = measure(fn, images, floor_ms)
+                print(f"beam{K} B={B} {label}: "
+                      f"xla {r['xla']:.2f} ms ({B / r['xla'] * 1000:.0f} img/s)  "
+                      f"fused {r['fused']:.2f} ms "
+                      f"({B / r['fused'] * 1000:.0f} img/s)  "
+                      f"speedup {r['xla'] / r['fused']:.3f}x")
+            la, _ = decode.beam_decode(ms.params, ms.batch_stats, images,
+                                       cfg, K, 50)
+            lp, _ = decode.beam_decode(ms.params, ms.batch_stats, images,
+                                       cfg_p, K, 50)
+            same = float((np.asarray(la) == np.asarray(lp)).mean())
+            print(f"beam{K} B={B} token agreement fused vs xla: "
+                  f"{same * 100:.2f}%")
+        return
 
     for B in batches:
         images = jnp.asarray(
