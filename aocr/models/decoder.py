@@ -293,5 +293,6 @@ def teacher_forced(
 
     rng0 = dropout_rng if (dropout > 0.0 and train) else None
     scan_body = jax.checkpoint(body) if remat else body
-    (_, _), h_tildes = lax.scan(scan_body, (state0, rng0), emb_proj)
+    (_, _), h_tildes = lax.scan(scan_body, (state0, rng0), emb_proj,
+                                unroll=lstm.SCAN_UNROLL)
     return jnp.swapaxes(h_tildes, 0, 1)  # (B, T, H)

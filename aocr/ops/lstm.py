@@ -23,6 +23,14 @@ from jax import lax
 
 from aocr.ops.mm import matmul
 
+# lax.scan unroll factor for the recurrent loops (encoder directions and
+# the teacher-forced decoder).  Unrolling trades compiled-code size for
+# fewer loop iterations and cross-step fusion opportunities in both the
+# forward and the autodiff-generated backward scan.  Module-level so
+# experiments (tools/) can sweep it; the shipped default is what measured
+# fastest on v5e (see docs/performance.md).
+SCAN_UNROLL = 1
+
 
 def init_lstm_layer(rng: jax.Array, input_size: int, num_hidden: int) -> dict:
     """Torch nn.Linear-style init for i2h and h2h: uniform(+-1/sqrt(fan_in))."""
@@ -103,5 +111,6 @@ def unidirectional_scan(
         c, h = gate_math(gates, c)
         return (c, h), h
 
-    (c_f, h_f), hs = lax.scan(body, (c0, h0), x_proj, reverse=reverse)
+    (c_f, h_f), hs = lax.scan(body, (c0, h0), x_proj, reverse=reverse,
+                              unroll=SCAN_UNROLL)
     return jnp.swapaxes(hs, 0, 1), (c_f, h_f)

@@ -103,6 +103,47 @@ def test_dp_eval_with_trie(setup):
     assert int(out.refills) >= 0 and int(out.min_valid) >= 0
 
 
+@pytest.mark.parametrize("beam_size", [1, 2])
+def test_dp_eval_composes_with_pallas_kernels(beam_size):
+    """The Pallas decode kernels (whole-greedy-loop / fused beam tail) must
+    compose with shard_map — the configuration real multi-chip eval runs.
+    Interpret mode on a 4-device CPU mesh vs the single-device XLA path."""
+    cfg = Config(
+        batch_size=8, input_feed=True, encoder_num_hidden=64,  # H = 128
+        target_embedding_size=8, image_width=32, max_decoder_l=8,
+        beam_size=beam_size, use_pallas=True,
+    ).validate()
+    cfg_xla = cfg.replace(use_pallas=False)
+    labels = ["ab", "cd", "ef", "gh", "ij", "kl"]
+    imgs = np.stack([synth.render_word(l, 32, 32) for l in labels])[..., None]
+    targets, targets_eval, _ = vocab.encode_batch(
+        labels, pad_to=cfg.max_decoder_l)
+    ms = model.init(jax.random.PRNGKey(2), cfg)
+    st = dict(images=imgs.astype(np.float32), targets=targets,
+              targets_eval=targets_eval, params=ms.params,
+              stats=ms.batch_stats)
+    ref_labels, ref_scores, ref_nll, _ = _single_device_reference(st, cfg_xla)
+
+    mesh = mesh_lib.make_mesh(num_data=4)
+    step = eval_parallel.make_dp_eval_step(cfg, mesh, use_trie=False)
+    real_b, im, tg, te = eval_parallel.pad_rows(
+        4, st["images"], st["targets"], st["targets_eval"])
+    mask = (np.arange(im.shape[0]) < real_b).astype(np.float32)
+    im, tg, te, mk = mesh_lib.shard_batch(mesh, im, tg, te, mask)
+    decode._PALLAS_GREEDY_INTERPRET = True
+    decode._PALLAS_BEAM_INTERPRET = True
+    try:
+        out = step(st["params"], st["stats"], im, tg, te, row_mask=mk)
+    finally:
+        decode._PALLAS_GREEDY_INTERPRET = False
+        decode._PALLAS_BEAM_INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(out.labels)[:real_b],
+                                  ref_labels)
+    np.testing.assert_allclose(np.asarray(out.scores)[:real_b], ref_scores,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(out.nll), ref_nll, rtol=1e-5)
+
+
 def test_trainer_sharded_eval_cli(tmp_path):
     """-num_shards shards the validation sweep and the test phase (the
     Trainer routes step_eval through the mesh)."""
