@@ -82,6 +82,11 @@ def init_batch_stats() -> dict:
 
 
 def _max_pool(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
+    # reduce_window, NOT reshape+max: the pools are non-overlapping so a
+    # reshape+max computes the same forward, but its VJP measured *slower*
+    # than reduce_window's SelectAndScatter on v5e (cnn+enc fwd+bwd 19.7 vs
+    # 15.3 ms at B=400, tools/profile_train.py) — XLA:TPU handles the
+    # scatter fine here and the 6-D equality-select does not fuse.
     wh, ww = window
     return lax.reduce_window(
         x,

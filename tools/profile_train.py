@@ -50,9 +50,15 @@ def main():
     from bench import flops_per_sample
     fwd_gf = flops_per_sample(cfg, decode_steps=int(tg.shape[1])) / 1e9
 
-    for unroll in (1, 2, 4):
-        lstm.SCAN_UNROLL = unroll
+    from aocr import loss as loss_lib
+    from aocr.models import decoder as dec_lib, head
 
+    def gsum(g):
+        # consume EVERY grad leaf — using only one leaf lets XLA dead-code-
+        # eliminate most of the backward pass (measured: 5.8 vs ~16 ms)
+        return sum(jnp.sum(v.astype(jnp.float32)) for v in jax.tree.leaves(g))
+
+    def make_probes():
         def fwd_only(x):
             nll, _, _ = model.forward_loss(
                 ms.params, ms.batch_stats, images, tg, te, cfg, train=True,
@@ -65,27 +71,56 @@ def main():
                     p, ms.batch_stats, images, tg, te, cfg, train=True,
                     dropout_rng=None)
                 return nll / B
-            g = jax.grad(loss)(ms.params)
-            return x + g["projector"]["b"][0] * 1e-12
+            return x + gsum(jax.grad(loss)(ms.params)) * 1e-12
 
-        step = train_step.make_train_step(cfg)
-        opt0 = optim.sgd_init(ms.params)
+        def fwd_bwd_decoder_only(x):
+            # stop_gradient after encode: decoder/projector bwd only
+            def loss(p):
+                ctx, dec_init, _ = model.encode(
+                    p, ms.batch_stats, images, cfg, train=True)
+                ctx = jax.lax.stop_gradient(ctx)
+                dec_init = jax.lax.stop_gradient(dec_init)
+                cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+                    else jnp.float32
+                h = dec_lib.teacher_forced(
+                    p["decoder"], dec_init, tg, ctx,
+                    input_feed=cfg.input_feed, compute_dtype=cd)
+                lp = head.apply(p["projector"], h, compute_dtype=cd)
+                return loss_lib.nll_sum(lp, te) / B
+            return x + gsum(jax.grad(loss)(ms.params)) * 1e-12
 
-        def full(carry):
-            params, stats, opt = carry
-            out = step(params, stats, opt, images, tg, te,
-                       jnp.float32(0.1), jax.random.PRNGKey(0))
-            return (out.params, out.batch_stats, out.opt_state)
+        def fwd_bwd_encoder_only(x):
+            # loss on the encoder output: CNN+encoder fwd+bwd only
+            def loss(p):
+                ctx, dec_init, _ = model.encode(
+                    p, ms.batch_stats, images, cfg, train=True)
+                return jnp.sum(ctx.astype(jnp.float32)) / B
+            return x + gsum(jax.grad(loss)(ms.params)) * 1e-12
 
-        t_f = measure(jax.jit(fwd_only), jnp.float32(0), rep=8,
-                      floor_ms=floor)
-        t_fb = measure(jax.jit(fwd_bwd), jnp.float32(0), rep=8,
-                       floor_ms=floor)
+        return fwd_only, fwd_bwd, fwd_bwd_decoder_only, fwd_bwd_encoder_only
+
+    step = train_step.make_train_step(cfg)
+    opt0 = optim.sgd_init(ms.params)
+
+    def full(carry):
+        params, stats, opt = carry
+        out = step(params, stats, opt, images, tg, te,
+                   jnp.float32(0.1), jax.random.PRNGKey(0))
+        return (out.params, out.batch_stats, out.opt_state)
+
+    for unroll in (1,) if os.environ.get("AOCR_PROF_NO_SWEEP") else (1, 2, 4):
+        lstm.SCAN_UNROLL = unroll
+        f, fb, fbd, fbe = make_probes()
+        t_f = measure(jax.jit(f), jnp.float32(0), rep=8, floor_ms=floor)
+        t_fb = measure(jax.jit(fb), jnp.float32(0), rep=8, floor_ms=floor)
+        t_fbd = measure(jax.jit(fbd), jnp.float32(0), rep=8, floor_ms=floor)
+        t_fbe = measure(jax.jit(fbe), jnp.float32(0), rep=8, floor_ms=floor)
         t_full = measure(full, (ms.params, ms.batch_stats, opt0), rep=8,
                          floor_ms=floor)
         mfu = B / t_full * 1000 * 3 * fwd_gf / 197e3
-        print(f"unroll={unroll}: fwd {t_f:.2f} ms | fwd+bwd {t_fb:.2f} ms | "
-              f"full step {t_full:.2f} ms ({B / t_full * 1000:.0f} img/s, "
+        print(f"unroll={unroll}: fwd {t_f:.2f} | fwd+bwd {t_fb:.2f} "
+              f"(dec-only {t_fbd:.2f}, cnn+enc-only {t_fbe:.2f}) | "
+              f"full {t_full:.2f} ms ({B / t_full * 1000:.0f} img/s, "
               f"~{mfu * 100:.0f}% MFU)", flush=True)
 
 
