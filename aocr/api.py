@@ -63,10 +63,14 @@ class AttentionOCR:
         ckpt = checkpoint.load(path, allow_pickle=allow_pickle)
         # Structure hyperparameters always come from the checkpoint;
         # sequence bounds / image geometry come from the checkpoint unless
-        # the caller's cfg overrides them (reference model.lua:75-77);
-        # runtime perf knobs (dtype, kernels, beam size, batching) come
-        # from the caller or current defaults — so e.g. an old checkpoint
-        # cannot pin a stale use_pallas=False.
+        # the caller's cfg *explicitly changed them from the defaults*
+        # (reference model.lua:75-77 lets the CLI override them); runtime
+        # perf knobs (dtype, kernels, beam size, batching) come from the
+        # caller or current defaults — so e.g. an old checkpoint cannot pin
+        # a stale use_pallas=False.  Passing cfg=Config(beam_size=5) thus
+        # keeps the checkpoint's geometry; the one undetectable case is a
+        # caller explicitly passing a geometry field's default value — use
+        # ocr.cfg.replace(...) afterwards for that.
         from aocr.train import _STRUCT_FIELDS
 
         geometry = ("max_decoder_l", "max_encoder_l", "image_height",
@@ -74,7 +78,11 @@ class AttentionOCR:
                     "min_aspect_ratio")
         saved = ckpt["config"]
         base = cfg if cfg is not None else Config()
-        fields = _STRUCT_FIELDS + (geometry if cfg is None else ())
+        defaults = Config()
+        fields = list(_STRUCT_FIELDS) + [
+            k for k in geometry
+            if cfg is None or getattr(cfg, k) == getattr(defaults, k)
+        ]
         saved_cfg = base.replace(
             **{k: saved[k] for k in fields if k in saved}
         )

@@ -228,11 +228,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         opts = [f"-{name}", f"--{name}"]
         if name in _BOOL_FLAGS:
             if f.default:
-                # default-on booleans are disabled with -no_<name>
+                # default-on booleans are disabled with -no_<name>; the
+                # affirmative form stays accepted as a no-op so scripts
+                # written when the default was off (e.g. -use_pallas in
+                # v0.1) keep working
                 p.add_argument(
                     f"-no_{name}", f"--no_{name}", dest=name,
                     action="store_false", default=f.default,
                 )
+                p.add_argument(*opts, dest=name, action="store_true")
             else:
                 p.add_argument(*opts, action="store_true", default=f.default)
         elif f.type in ("float", float) or isinstance(f.default, float):

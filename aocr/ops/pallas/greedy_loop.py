@@ -51,6 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aocr import vocab
+from aocr.ops.mm import matmul
+from aocr.ops.pallas.decode_step import pad_projector
 
 B_TILE = 128
 LANE = 128
@@ -201,9 +203,12 @@ def build_tables(dec_params: dict, proj: dict, embedding_size: int,
     layer0 = dec_params["layers"][0]
     E = embedding_size
     emb = dec_params["embedding"].astype(cd)
+    # mm.matmul, not bare jnp.dot: with compute_dtype=float32 the matmul
+    # policy (aocr/ops/mm.py) requests HIGHEST so this precomputed table
+    # matches the per-step XLA path bit-for-bit instead of going through
+    # TPU's default bf16 passes.
     eg = (
-        jnp.dot(emb, layer0["wi"][:E].astype(cd),
-                preferred_element_type=jnp.float32)
+        matmul(emb, layer0["wi"][:E].astype(cd))
         + layer0["bi"] + layer0["bh"]
     )  # (V, 4H) f32
     V = eg.shape[0]
@@ -221,10 +226,8 @@ def build_tables(dec_params: dict, proj: dict, embedding_size: int,
         b = (layer["bi"] + layer["bh"]).reshape(1, -1).astype(jnp.float32)
         extra.extend([w, b])
     H = layer0["wh"].shape[0]
-    vp = ((proj["w"].shape[1] + LANE - 1) // LANE) * LANE
-    pw = jnp.pad(proj["w"], ((0, 0), (0, vp - proj["w"].shape[1])))
-    pb = jnp.pad(proj["b"].astype(jnp.float32), (0, vp - proj["b"].shape[0]),
-                 constant_values=-1e30).reshape(1, vp)
+    pw, pb = pad_projector(proj["w"], proj["b"])  # shared with decode_step
+    vp = pw.shape[1]
     return {
         "eg": eg, "wfh0": wfh0, "extra": tuple(extra),
         "wa": dec_params["w_a"].astype(cd),

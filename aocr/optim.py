@@ -53,6 +53,12 @@ class SGDState(NamedTuple):
     eval_counter: jax.Array  # scalar int32 step counter (per-group counters
     # in the reference always advance in lockstep, so one scalar suffices)
     momentum_buf: Optional[dict]  # matches params tree when momentum > 0
+    # True until the buffer's first momentum update.  The reference keys
+    # "first use" on the buffer not existing yet (optim_sgd.lua:60-63:
+    # `if not state.dfdx then ... copy(dfdx)`), NOT on the step counter —
+    # they differ when momentum is enabled on a resumed checkpoint whose
+    # eval_counter is already > 0.
+    buf_fresh: jax.Array = True
 
 
 class SGDHyper(NamedTuple):
@@ -81,7 +87,8 @@ def sgd_init(params: dict, hyper: SGDHyper = SGDHyper()) -> SGDState:
     buf = None
     if hyper.momentum > 0:
         buf = jax.tree.map(jnp.zeros_like, params)
-    return SGDState(eval_counter=jnp.zeros((), jnp.int32), momentum_buf=buf)
+    return SGDState(eval_counter=jnp.zeros((), jnp.int32), momentum_buf=buf,
+                    buf_fresh=jnp.asarray(True))
 
 
 def sgd_update(
@@ -98,14 +105,16 @@ def sgd_update(
             lambda g, p: g + hyper.weight_decay * p, grads, params
         )
     new_buf = state.momentum_buf
+    new_fresh = state.buf_fresh
     if hyper.momentum > 0:
-        first = state.eval_counter == 0
+        first = state.buf_fresh
         new_buf = jax.tree.map(
             lambda b, g: jnp.where(first, g, hyper.momentum * b
                                    + (1.0 - hyper.dampening) * g),
             state.momentum_buf,
             grads,
         )
+        new_fresh = jnp.asarray(False)
         if hyper.nesterov:
             grads = jax.tree.map(
                 lambda g, b: g + hyper.momentum * b, grads, new_buf
@@ -115,7 +124,8 @@ def sgd_update(
     clr = lr / (1.0 + state.eval_counter.astype(jnp.float32)
                 * hyper.learning_rate_decay)
     new_params = jax.tree.map(lambda p, g: p - clr * g, params, grads)
-    return new_params, SGDState(state.eval_counter + 1, new_buf), norms
+    return new_params, SGDState(state.eval_counter + 1, new_buf,
+                                new_fresh), norms
 
 
 class AdadeltaState(NamedTuple):

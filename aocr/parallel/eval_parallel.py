@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from aocr import decode, eval as eval_lib, vocab
+from aocr import decode, eval as eval_lib, train_step, vocab
 from aocr.config import Config
 from aocr.models import model
 from aocr.parallel.mesh import DATA_AXIS
@@ -67,17 +67,15 @@ def make_dp_eval_step(cfg: Config, mesh: Mesh, use_trie: bool):
             return_refills=True,
         )
         labels, scores, (refills, min_valid) = out
-        # Teacher-forced gold pass (same math as train_step.eval_loss_step;
-        # XLA CSEs the duplicated encode with the decode's).
+        # Teacher-forced gold pass (shared helper with
+        # train_step.eval_loss_step; XLA CSEs the duplicated encode with
+        # the decode's).
         nll, _, log_probs = model.forward_loss(
             params, batch_stats, images, targets, targets_eval, cfg,
             train=False,
         )
-        picked = jnp.take_along_axis(
-            log_probs, targets_eval[..., None], axis=-1
-        ).squeeze(-1)
-        mask = (targets_eval != vocab.PAD).astype(log_probs.dtype)
-        gold_scores = jnp.sum(picked * mask, axis=1)
+        gold_scores = train_step.gold_scores_from_logprobs(
+            log_probs, targets_eval)
         nll = jax.lax.psum(nll, DATA_AXIS)
         refills = jax.lax.psum(refills, DATA_AXIS)
         min_valid = jax.lax.pmin(min_valid, DATA_AXIS)

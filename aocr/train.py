@@ -68,7 +68,7 @@ class ValDrivenLR:
 _STRUCT_FIELDS = (
     "dropout", "encoder_num_hidden", "encoder_num_layers",
     "decoder_num_layers", "target_vocab_size", "target_embedding_size",
-    "input_feed", "cnn_feature_size",
+    "input_feed", "cnn_feature_size", "simple_attention",
 )
 
 
@@ -110,6 +110,7 @@ class Trainer:
                 self.opt_state = optim.adadelta_init(self.params)
         else:
             buf = None
+            saved_buf = None
             if self.cfg.momentum > 0:
                 saved_buf = self.optim_meta.get("momentum_buf")
                 buf = (jax.tree.map(jnp.asarray, saved_buf)
@@ -120,6 +121,10 @@ class Trainer:
                     self.optim_meta.get("eval_counter", 0), jnp.int32
                 ),
                 momentum_buf=buf,
+                # a buffer restored from the checkpoint is warm; a freshly
+                # zeroed one must take buf = grad on its first use
+                # (reference optim_sgd.lua:60-63)
+                buf_fresh=jnp.asarray(saved_buf is None),
             )
         self.mesh = None
         if self.cfg.num_model_shards > 1:

@@ -91,6 +91,21 @@ def make_train_step(cfg: Config):
     )
 
 
+def gold_scores_from_logprobs(
+    log_probs: jax.Array, targets_eval: jax.Array
+) -> jax.Array:
+    """Per-sample summed gold log-prob over non-PAD target tokens — the
+    reference's score_gold (model.lua:589-627).  Shared by the single-device
+    eval step and the sharded eval path so their semantics stay locked."""
+    from aocr import vocab as _v
+
+    picked = jnp.take_along_axis(
+        log_probs, targets_eval[..., None], axis=-1
+    ).squeeze(-1)
+    mask = (targets_eval != _v.PAD).astype(log_probs.dtype)
+    return jnp.sum(picked * mask, axis=1)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def eval_loss_step(
     params: dict,
@@ -104,11 +119,4 @@ def eval_loss_step(
     nll, _, log_probs = model.forward_loss(
         params, batch_stats, images, targets, targets_eval, cfg, train=False
     )
-    from aocr import vocab as _v
-
-    picked = jnp.take_along_axis(
-        log_probs, targets_eval[..., None], axis=-1
-    ).squeeze(-1)
-    mask = (targets_eval != _v.PAD).astype(log_probs.dtype)
-    gold_scores = jnp.sum(picked * mask, axis=1)
-    return nll, gold_scores
+    return nll, gold_scores_from_logprobs(log_probs, targets_eval)

@@ -45,6 +45,25 @@ def test_save_load_roundtrip(ocr, tmp_path):
     np.testing.assert_allclose(s1, s2, rtol=1e-5)
 
 
+def test_load_preserves_geometry_and_variant(tmp_path):
+    """load() with a cfg override must keep the checkpoint's image geometry
+    (changing e.g. beam_size must not reset image_width to the default),
+    and structure-changing flags like simple_attention must be restored —
+    both silently produced garbage transcripts before."""
+    cfg = CFG.replace(image_width=48, keep_aspect_ratio=True,
+                      simple_attention=True)
+    ocr = AttentionOCR.create(cfg)
+    ocr.save(str(tmp_path))
+    loaded = AttentionOCR.load(str(tmp_path), cfg=Config(beam_size=5))
+    assert loaded.cfg.image_width == 48
+    assert loaded.cfg.keep_aspect_ratio is True
+    assert loaded.cfg.simple_attention is True
+    assert loaded.cfg.beam_size == 5
+    # an explicit geometry override still wins
+    loaded2 = AttentionOCR.load(str(tmp_path), cfg=Config(image_width=64))
+    assert loaded2.cfg.image_width == 64
+
+
 def test_dictionary_constraint(ocr):
     imgs = np.stack([synth.render_word("ab", 32, 32)])
     ocr.use_dictionary(["zz"])

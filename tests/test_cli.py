@@ -126,6 +126,18 @@ def test_sgd_hyper_flags_reach_optimizer(workdir):
     main(args + ["-load_model"])
 
 
+def test_default_on_bool_flags_accept_both_forms():
+    """A boolean whose default flipped to on (use_pallas in v0.2) must keep
+    accepting the old affirmative flag as a no-op, not become an argparse
+    error."""
+    from aocr.config import parse_args
+
+    assert parse_args(["-use_pallas"]).use_pallas is True
+    assert parse_args(["-no_use_pallas"]).use_pallas is False
+    assert parse_args(["-cache_images"]).cache_images is True
+    assert parse_args(["-simple_attention"]).simple_attention is True
+
+
 def test_val_driven_lr_schedule():
     """Reference LR semantics (train.lua:87-89,164-168): decay only when val
     loss increases, floor clamp, resume-above-floor."""

@@ -55,6 +55,31 @@ def test_sgd_momentum_nesterov():
     np.testing.assert_allclose(p2["g"]["w"], [-2.9], rtol=1e-6)
 
 
+def test_momentum_first_use_keyed_on_buffer_not_counter():
+    """Enabling momentum on a RESUMED run (eval_counter > 0, fresh zero
+    buffer) must still take buf := grad on the first momentum step — the
+    reference keys first-use on the buffer not existing yet
+    (optim_sgd.lua:60-63), not on the step counter."""
+    params = {"g": {"w": jnp.array([0.0])}}
+    grads = {"g": {"w": jnp.array([1.0])}}
+    hyper = optim.SGDHyper(momentum=0.9, dampening=0.0)
+    st = optim.SGDState(
+        eval_counter=jnp.asarray(100, jnp.int32),  # resumed mid-training
+        momentum_buf=jax.tree.map(jnp.zeros_like, params),
+        buf_fresh=jnp.asarray(True),
+    )
+    p1, st1, _ = optim.sgd_update(params, grads, st, jnp.float32(1.0), hyper)
+    np.testing.assert_allclose(p1["g"]["w"], [-1.0], rtol=1e-6)  # buf := g
+    assert not bool(st1.buf_fresh)
+    # and a restored (warm) buffer must NOT be overwritten with g
+    st_warm = st._replace(momentum_buf={"g": {"w": jnp.array([2.0])}},
+                          buf_fresh=jnp.asarray(False))
+    p2, _, _ = optim.sgd_update(params, grads, st_warm, jnp.float32(1.0),
+                                hyper)
+    # buf = 0.9*2 + 1 = 2.8
+    np.testing.assert_allclose(p2["g"]["w"], [-2.8], rtol=1e-6)
+
+
 def test_sgd_lr_annealing():
     params = {"g": {"w": jnp.array([0.0])}}
     grads = {"g": {"w": jnp.array([1.0])}}
