@@ -373,15 +373,7 @@ def beam_decode(
         from aocr.ops.pallas import beam_step as _pbs
         from aocr.ops.pallas import decode_step as _pds
 
-        vp = ((V + _pbs.LANE - 1) // _pbs.LANE) * _pbs.LANE
-        itm = jnp.dtype(cd).itemsize
-        fused_vmem = (
-            2 * L * _pbs.B_TILE * H * itm          # context (double-buffered)
-            + _pbs.B_TILE * K * H * (itm + 4)       # h_top in, h_tilde out
-            + 3 * H * H * itm + H * vp * itm        # weights
-            + _pbs.B_TILE * K * vp * 4              # top-K buffer
-        )
-        use_fused_beam = fused_vmem <= _pbs.VMEM_BUDGET
+        use_fused_beam = _pbs.fits_vmem(L, H, K, V, jnp.dtype(cd).itemsize)
     if use_fused_beam:
         pwb_pad, pbb_pad = _pds.pad_projector(proj["w"].astype(cd), proj["b"])
         wab_cd = dec_params["w_a"].astype(cd)

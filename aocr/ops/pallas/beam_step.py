@@ -43,6 +43,25 @@ LANE = 128
 VMEM_BUDGET = 100 * 1024 * 1024
 
 
+def fits_vmem(L: int, H: int, K: int, V: int, itemsize: int) -> bool:
+    """Whether the fused beam tail fits the VMEM budget for this shape.
+
+    The accounting below sums the obvious buffers; Mosaic's real scoped
+    allocation measured ~2x it (L=79/K=5 needed 101.8 MB where these terms
+    sum to 52 MB — pipelining double-buffers the outputs and f32 staging
+    too), so the gate doubles the estimate and keeps a 16 MB margin.
+    Shapes that fail here (wide-aspect contexts) use the XLA tail instead
+    of failing VMEM allocation at compile time."""
+    vp = ((V + LANE - 1) // LANE) * LANE
+    est = (
+        2 * L * B_TILE * H * itemsize           # context (double-buffered)
+        + B_TILE * K * H * (itemsize + 4)        # h_top in, h_tilde out
+        + 3 * H * H * itemsize + H * vp * itemsize  # weights
+        + B_TILE * K * vp * 4                    # top-K buffer
+    )
+    return 2 * est <= VMEM_BUDGET - 16 * 1024 * 1024
+
+
 def _make_kernel(K: int, V: int):
     def kernel(ctx_ref, h_ref, prev_ref, sc_ref, wa_ref, wc_ref, pw_ref,
                pb_ref, htld_ref, nsc_ref, par_ref, tok_ref, buf_ref):

@@ -132,6 +132,16 @@ def test_fused_greedy_loop_matches_xla(np_rng):
                                np.asarray(want_score), rtol=1e-5, atol=1e-4)
 
 
+def test_beam_vmem_gate():
+    """The fused beam tail must reject shapes whose real Mosaic allocation
+    exceeds VMEM (measured: L=79, K=5, bf16 needs 101.8 MB against the
+    100 MB limit) and accept the standard L=24 case."""
+    from aocr.ops.pallas import beam_step as pbs
+
+    assert pbs.fits_vmem(24, 1024, 5, 39, 2)      # width-100 crops: fused
+    assert not pbs.fits_vmem(79, 1024, 5, 39, 2)  # max aspect: XLA tail
+
+
 @pytest.mark.parametrize("K", [2, 5])
 def test_fused_beam_tail_matches_xla(K):
     """beam_decode with the fused beam-step kernel (interpret mode) vs the
