@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from aocr.ops.mm import matmul
+from aocr.ops.mm import einsum, matmul
 
 # lax.scan unroll factor for the recurrent loops (encoder directions and
 # the teacher-forced decoder).  Unrolling trades compiled-code size for
@@ -79,7 +79,7 @@ def lstm_step(
     return gate_math(gates, c_prev)
 
 
-def unidirectional_scan(
+def _scan_ad(
     layer: dict,
     xs: jax.Array,
     c0: jax.Array,
@@ -87,16 +87,7 @@ def unidirectional_scan(
     reverse: bool = False,
     compute_dtype=jnp.float32,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
-    """Run an LSTM layer over a sequence.
-
-    xs: (B, L, D) inputs; returns (hs (B, L, H) in *original* time order,
-    (c_final, h_final)).  With reverse=True the recurrence runs L..1 (the
-    reference's backward encoder, src/model/model.lua:305-316) and h_final is
-    the state after consuming timestep 1.
-
-    The input projection for all L steps is one batched matmul; the scan body
-    is h2h + gate math only.
-    """
+    """Plain-autodiff LSTM scan (see unidirectional_scan)."""
     B, L, _D = xs.shape
     x_proj = (
         matmul(xs.astype(compute_dtype), layer["wi"].astype(compute_dtype))
@@ -114,3 +105,152 @@ def unidirectional_scan(
     (c_f, h_f), hs = lax.scan(body, (c0, h0), x_proj, reverse=reverse,
                               unroll=SCAN_UNROLL)
     return jnp.swapaxes(hs, 0, 1), (c_f, h_f)
+
+
+def _split_gates(gates: jax.Array) -> Tuple[jax.Array, ...]:
+    i, f, o, g = jnp.split(gates, 4, axis=-1)
+    return (jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o),
+            jnp.tanh(g))
+
+
+_SCAN_VJP_CACHE: dict = {}
+
+
+def _scan_custom(reverse: bool, cd):
+    """Build (and cache) the custom-VJP LSTM scan for a static
+    (reverse, compute_dtype).
+
+    Why not plain autodiff: lax.scan's transpose carries the WEIGHT
+    gradients through every backward step — the profiled train step spent
+    its single largest slice (while.26, docs/performance.md) accumulating
+    a (H, 4H) f32 dWh inside the loop, one (B,H)x(B,4H) outer-product
+    matmul plus a 16 MB read-modify-write per timestep.  Here the backward
+    scan carries ONLY the recurrent (dh, dc) chain and stacks per-step
+    pre-activation gate grads; all weight/bias/input gradients then come
+    from three large batched matmuls over the whole sequence — the same
+    math, MXU-shaped.  Gate activations are not stored: they recompute
+    from the saved hs in one batched matmul (cheap remat, less residual
+    HBM traffic than storing (L, B, 4H))."""
+    key = (reverse, jnp.dtype(cd).name)
+    if key in _SCAN_VJP_CACHE:
+        return _SCAN_VJP_CACHE[key]
+
+    @jax.custom_vjp
+    def scan_fn(layer, xs, c0, h0):
+        return _scan_ad(layer, xs, c0, h0, reverse, cd)
+
+    def fwd(layer, xs, c0, h0):
+        out = _scan_ad(layer, xs, c0, h0, reverse, cd)
+        hs, (_c_f, _h_f) = out
+        return out, (layer, xs, c0, h0, hs)
+
+    def bwd(res, cotangents):
+        layer, xs, c0, h0, hs = res
+        dhs, (dc_f, dh_f) = cotangents
+        hs_t = jnp.swapaxes(hs, 0, 1)  # (L, B, H) scan-major
+        if reverse:
+            # step t consumed state from t+1; the initial state feeds t=L-1
+            h_prev = jnp.concatenate([hs_t[1:], h0[None]], axis=0)
+        else:
+            h_prev = jnp.concatenate([h0[None], hs_t[:-1]], axis=0)
+        # Recompute all gate pre-activations in two batched matmuls
+        # (the selective-remat trade: ~fwd-cost recompute, no stored gates).
+        gates_pre = (
+            matmul(xs.astype(cd), layer["wi"].astype(cd))
+            + layer["bi"] + layer["bh"]
+        )
+        gates_pre = jnp.swapaxes(gates_pre, 0, 1) + matmul(
+            h_prev.astype(cd), layer["wh"].astype(cd)
+        )  # (L, B, 4H) f32
+        i_, f_, o_, g_ = _split_gates(gates_pre)
+        # c states recompute forward-elementwise is sequential; instead
+        # derive c from hs: h = o * tanh(c) -> tanh(c) = h / o.  o is a
+        # sigmoid, safely bounded away from 0 in practice, but dividing is
+        # ill-conditioned when o ~ 0 — so recompute c by a cheap
+        # elementwise scan (no matmuls).
+        def c_body(c_prev, ifg):
+            i_t, f_t, g_t = ifg
+            c_t = f_t * c_prev + i_t * g_t
+            return c_t, c_t
+
+        _, cs_t = lax.scan(c_body, c0.astype(jnp.float32),
+                           (i_, f_, g_), reverse=reverse)
+        if reverse:
+            c_prev_t = jnp.concatenate([cs_t[1:], c0[None].astype(jnp.float32)],
+                                       axis=0)
+        else:
+            c_prev_t = jnp.concatenate([c0[None].astype(jnp.float32),
+                                        cs_t[:-1]], axis=0)
+        dhs_t = jnp.swapaxes(dhs, 0, 1).astype(jnp.float32)  # (L, B, H)
+        wh_cd = layer["wh"].astype(cd)
+
+        def body(carry, per_t):
+            dh, dc = carry
+            i_t, f_t, o_t, g_t, c_t, cp_t, dy_t = per_t
+            dh = dh + dy_t
+            tc = jnp.tanh(c_t)
+            do = dh * tc
+            dc = dc + dh * o_t * (1.0 - tc * tc)
+            di = dc * g_t
+            dg = dc * i_t
+            df = dc * cp_t
+            dc_prev = dc * f_t
+            dgates = jnp.concatenate([
+                di * i_t * (1.0 - i_t),
+                df * f_t * (1.0 - f_t),
+                do * o_t * (1.0 - o_t),
+                dg * (1.0 - g_t * g_t),
+            ], axis=-1)  # (B, 4H) f32
+            dh_prev = matmul(dgates.astype(cd), wh_cd.T)
+            return (dh_prev, dc_prev), dgates
+
+        carry0 = (dh_f.astype(jnp.float32), dc_f.astype(jnp.float32))
+        (dh0, dc0), dgates_t = lax.scan(
+            body, carry0, (i_, f_, o_, g_, cs_t, c_prev_t, dhs_t),
+            reverse=not reverse,
+        )
+        # Weight/bias/input grads: batched over the whole sequence.
+        dg_cd = dgates_t.astype(cd)
+        dwh = einsum("lbh,lbg->hg", h_prev.astype(cd), dg_cd)
+        dwi = einsum("lbd,lbg->dg",
+                     jnp.swapaxes(xs, 0, 1).astype(cd), dg_cd)
+        db = jnp.sum(dgates_t, axis=(0, 1))
+        dxs = jnp.swapaxes(einsum("lbg,dg->lbd", dg_cd,
+                                  layer["wi"].astype(cd)), 0, 1)
+        dlayer = {"wi": dwi.astype(layer["wi"].dtype),
+                  "wh": dwh.astype(layer["wh"].dtype),
+                  "bi": db.astype(layer["bi"].dtype),
+                  "bh": db.astype(layer["bh"].dtype)}
+        return (dlayer, dxs.astype(xs.dtype), dc0.astype(c0.dtype),
+                dh0.astype(h0.dtype))
+
+    scan_fn.defvjp(fwd, bwd)
+    _SCAN_VJP_CACHE[key] = scan_fn
+    return scan_fn
+
+
+def unidirectional_scan(
+    layer: dict,
+    xs: jax.Array,
+    c0: jax.Array,
+    h0: jax.Array,
+    reverse: bool = False,
+    compute_dtype=jnp.float32,
+    custom_grad: bool = True,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Run an LSTM layer over a sequence.
+
+    xs: (B, L, D) inputs; returns (hs (B, L, H) in *original* time order,
+    (c_final, h_final)).  With reverse=True the recurrence runs L..1 (the
+    reference's backward encoder, src/model/model.lua:305-316) and h_final is
+    the state after consuming timestep 1.
+
+    The input projection for all L steps is one batched matmul; the scan body
+    is h2h + gate math only.  With custom_grad (default) the backward pass
+    uses the hand-written VJP that keeps weight-gradient accumulation out of
+    the backward scan (see _scan_custom); custom_grad=False is the plain
+    autodiff path kept for gradient-parity tests.
+    """
+    if custom_grad:
+        return _scan_custom(reverse, compute_dtype)(layer, xs, c0, h0)
+    return _scan_ad(layer, xs, c0, h0, reverse, compute_dtype)

@@ -5,6 +5,7 @@ h'=o*tanh(c'))."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aocr.ops import lstm
 
@@ -73,3 +74,36 @@ def test_reverse_scan_order(rng):
     np.testing.assert_allclose(hs_rev, hs_flip[:, ::-1], rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(cf, cf2, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(hf, hf2, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_custom_vjp_scan_matches_autodiff(rng, reverse):
+    """The hand-written scan VJP (batched weight grads outside the backward
+    loop, ops/lstm._scan_custom) must produce the same gradients as plain
+    autodiff for every input — including the final-state cotangents."""
+    np_rng = np.random.RandomState(3)
+    B, L, D, H = 3, 5, 4, 8
+    layer = lstm.init_lstm_layer(jax.random.PRNGKey(0), D, H)
+    xs = jnp.asarray(np_rng.uniform(-1, 1, (B, L, D)), jnp.float32)
+    c0 = jnp.asarray(np_rng.uniform(-1, 1, (B, H)), jnp.float32)
+    h0 = jnp.asarray(np_rng.uniform(-1, 1, (B, H)), jnp.float32)
+    w_h = jnp.asarray(np_rng.uniform(-1, 1, (B, L, H)), jnp.float32)
+    w_f = jnp.asarray(np_rng.uniform(-1, 1, (B, H)), jnp.float32)
+
+    def loss(layer, xs, c0, h0, custom):
+        hs, (cf, hf) = lstm.unidirectional_scan(
+            layer, xs, c0, h0, reverse=reverse, custom_grad=custom)
+        return (jnp.sum(hs * w_h) + jnp.sum(hf * w_f)
+                + jnp.sum(jnp.tanh(cf)))
+
+    ga = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2, 3))(
+        layer, xs, c0, h0)
+    gc = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2, 3))(
+        layer, xs, c0, h0)
+    jax.tree.map(
+        lambda a, c: np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=2e-5, atol=2e-6),
+        ga, gc)
+    np.testing.assert_allclose(float(loss(layer, xs, c0, h0, True)),
+                               float(loss(layer, xs, c0, h0, False)),
+                               rtol=1e-6)
