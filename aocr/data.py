@@ -99,12 +99,19 @@ def _target_width(w: int, h: int, cfg: Config) -> int:
 
 
 def load_and_preprocess(
-    path: str, cfg: Config
+    path, cfg: Config
 ) -> Optional[np.ndarray]:
     """Decode one image -> (32, W) float32 luminance in [0, 255], or None on
-    any decode failure (the reference's pcall-skip behavior)."""
+    any decode failure (the reference's pcall-skip behavior).
+
+    path: a filesystem path, or raw encoded image bytes (serving ingest,
+    aocr.serve) — PIL decodes either."""
     try:
-        if path.endswith(".npy"):
+        if isinstance(path, (bytes, bytearray)):
+            import io
+
+            path = io.BytesIO(path)
+        if isinstance(path, str) and path.endswith(".npy"):
             arr = np.load(path)
             if arr.ndim == 3:
                 arr = _rgb_to_luminance(arr)
