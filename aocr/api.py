@@ -71,11 +71,9 @@ class AttentionOCR:
         # keeps the checkpoint's geometry; the one undetectable case is a
         # caller explicitly passing a geometry field's default value — use
         # ocr.cfg.replace(...) afterwards for that.
-        from aocr.train import _STRUCT_FIELDS
+        from aocr.config import GEOMETRY_FIELDS as geometry
+        from aocr.config import STRUCT_FIELDS as _STRUCT_FIELDS
 
-        geometry = ("max_decoder_l", "max_encoder_l", "image_height",
-                    "image_width", "keep_aspect_ratio", "max_aspect_ratio",
-                    "min_aspect_ratio")
         saved = ckpt["config"]
         base = cfg if cfg is not None else Config()
         defaults = Config()

@@ -188,6 +188,24 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
+# Config fields that define the trained model's STRUCTURE: they are saved
+# in every checkpoint and always restored on load (the reference restores
+# them from the serialized modules, model.lua:63-77).  Owned here, next to
+# the dataclass, so the inference path (aocr.api) does not have to import
+# the training stack for them.
+STRUCT_FIELDS = (
+    "dropout", "encoder_num_hidden", "encoder_num_layers",
+    "decoder_num_layers", "target_vocab_size", "target_embedding_size",
+    "input_feed", "cnn_feature_size", "simple_attention",
+)
+
+# Sequence bounds / image geometry: restored from the checkpoint unless
+# explicitly overridden (reference model.lua:75-77 lets the CLI override).
+GEOMETRY_FIELDS = (
+    "max_decoder_l", "max_encoder_l", "image_height", "image_width",
+    "keep_aspect_ratio", "max_aspect_ratio", "min_aspect_ratio",
+)
+
 _BOOL_FLAGS = {
     "simple_attention",
     "nesterov",

@@ -138,8 +138,14 @@ def greedy_decode(
     dec_params = params["decoder"]
     proj = params["projector"]
 
+    # All Pallas paths require a lane-aligned hidden size on real TPUs
+    # (the kernels split wc at H on the sublane axis and tile (bt, H)
+    # blocks); only H=1024 is hardware-validated.  Interpret-mode tests
+    # run smaller H through the kernels on CPU.
     use_fused = (cfg.use_pallas and not use_trie
                  and not cfg.simple_attention
+                 and (context.shape[2] % 128 == 0
+                      or _PALLAS_GREEDY_INTERPRET)
                  and (jax.default_backend() == "tpu"
                       or _PALLAS_GREEDY_INTERPRET))
     if use_fused:
@@ -160,6 +166,15 @@ def greedy_decode(
                 vp, vp, jnp.dtype(cd).itemsize,
             ) <= _pgl.VMEM_BUDGET
         )
+        if cfg.pallas_greedy == "loop" and not fits:
+            # a forced 'loop' silently measuring the tail would corrupt
+            # A/B numbers (tools/ab_pallas.py) — say so
+            import warnings
+
+            warnings.warn(
+                "pallas_greedy='loop' requested but the whole-decode "
+                f"kernel does not fit (L={L}, H={H}, T={max_len}); "
+                "falling back to the per-step fused tail", stacklevel=2)
         if fits:
             tables = _pgl.build_tables(
                 dec_params, proj, cfg.target_embedding_size,

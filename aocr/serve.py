@@ -41,7 +41,8 @@ from aocr.config import Config
 
 
 class _Pending:
-    __slots__ = ("image", "beam_size", "event", "text", "score", "error")
+    __slots__ = ("image", "beam_size", "event", "text", "score", "error",
+                 "cancelled")
 
     def __init__(self, image: np.ndarray, beam_size: int):
         self.image = image
@@ -50,35 +51,80 @@ class _Pending:
         self.text: Optional[str] = None
         self.score: Optional[float] = None
         self.error: Optional[str] = None
+        self.cancelled = False
+
+
+class QueueFull(Exception):
+    """Raised by submit() when the pending queue exceeds its bound — the
+    HTTP layer turns it into 429 so overload sheds instead of piling up."""
 
 
 class BatchingRecognizer:
-    """Coalesce concurrent recognize() calls into device batches."""
+    """Coalesce concurrent recognize() calls into device batches.
+
+    Device batches use a fixed ladder of row counts (1, 8, 32, ...,
+    max_batch; groups pad up by repeating the last row and results are
+    sliced) so the jitted decode compiles a handful of shapes once instead
+    of one per arrival pattern — under jit, every distinct batch size is a
+    fresh multi-second XLA compile.  With the default fixed-width
+    preprocessing every image lands in one width bucket, so the ladder
+    covers all shapes; under -keep_aspect_ratio each distinct width still
+    compiles its own program (inherent to width bucketing)."""
 
     def __init__(self, ocr: AttentionOCR, max_batch: int = 64,
-                 batch_window_ms: float = 5.0):
+                 batch_window_ms: float = 5.0, max_queue: int = 1024,
+                 request_timeout_s: float = 120.0):
         self.ocr = ocr
         self.max_batch = max_batch
+        self.ladder = sorted({n for n in (1, 8, 32, max_batch)
+                              if n <= max_batch})
         self.window_s = batch_window_ms / 1000.0
+        self.max_queue = max_queue
+        self.request_timeout_s = request_timeout_s
         self.q: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batched_rows": 0,
-                      "errors": 0}
+                      "padded_rows": 0, "errors": 0, "timeouts": 0,
+                      "rejected": 0}
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
+    def _pad_to(self, n: int) -> int:
+        for step in self.ladder:
+            if n <= step:
+                return step
+        return self.max_batch
+
+    def warmup(self, beam_size: int):
+        """Pre-compile the decode for every ladder batch size (call once at
+        startup; the first compile of the full model can take minutes, far
+        longer than any sane request timeout)."""
+        h = self.ocr.cfg.image_height
+        w = self.ocr.cfg.image_width
+        dummy = np.zeros((h, w), np.float32)
+        for n in self.ladder:
+            self.ocr.recognize([dummy] * n, beam_size=beam_size)
+
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
 
-    def submit(self, image: np.ndarray, beam_size: int,
-               timeout_s: float = 30.0) -> _Pending:
+    def submit(self, image: np.ndarray, beam_size: int) -> _Pending:
+        if self.q.qsize() >= self.max_queue:
+            with self._lock:
+                self.stats["rejected"] += 1
+            raise QueueFull()
         p = _Pending(image, beam_size)
         with self._lock:
             self.stats["requests"] += 1
         self.q.put(p)
-        if not p.event.wait(timeout_s):
+        if not p.event.wait(self.request_timeout_s):
+            # mark dead so the batcher drops it instead of decoding work
+            # nobody will read; benign race if it completes right now
+            p.cancelled = True
+            with self._lock:
+                self.stats["timeouts"] += 1
             p.error = "timeout"
         return p
 
@@ -103,17 +149,23 @@ class BatchingRecognizer:
 
     def _run(self):
         while not self._stop.is_set():
-            batch = self._drain()
+            batch = [p for p in self._drain() if not p.cancelled]
             if not batch:
                 continue
             by_beam: dict = {}
             for p in batch:
                 by_beam.setdefault(p.beam_size, []).append(p)
             for beam, group in by_beam.items():
+                # pad to the ladder size by repeating the last image: one
+                # compiled shape per ladder step, results sliced below
+                n = len(group)
+                target = self._pad_to(n)
+                images = [p.image for p in group]
+                images += [images[-1]] * (target - n)
                 try:
-                    words, scores = self.ocr.recognize(
-                        [p.image for p in group], beam_size=beam)
-                    for p, w, s in zip(group, words, scores):
+                    words, scores = self.ocr.recognize(images,
+                                                       beam_size=beam)
+                    for p, w, s in zip(group, words[:n], scores[:n]):
                         p.text, p.score = w, float(s)
                 except Exception as e:  # surface per-request, keep serving
                     with self._lock:
@@ -122,7 +174,8 @@ class BatchingRecognizer:
                         p.error = f"{type(e).__name__}: {e}"
                 with self._lock:
                     self.stats["batches"] += 1
-                    self.stats["batched_rows"] += len(group)
+                    self.stats["batched_rows"] += n
+                    self.stats["padded_rows"] += target - n
                 for p in group:
                     p.event.set()
 
@@ -151,16 +204,23 @@ def make_handler(recognizer: BatchingRecognizer, cfg: Config):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if not self.path.startswith("/recognize"):
+            from urllib.parse import parse_qs, urlparse
+
+            parsed = urlparse(self.path)
+            if parsed.path != "/recognize":
                 self._json(404, {"error": "not found"})
                 return
             beam = cfg.beam_size
-            if "beam_size=" in self.path:
+            qs = parse_qs(parsed.query)
+            if "beam_size" in qs:
                 try:
-                    beam = int(self.path.split("beam_size=")[1]
-                               .split("&")[0])
+                    beam = int(qs["beam_size"][0])
                 except ValueError:
                     self._json(400, {"error": "bad beam_size"})
+                    return
+                if not 1 <= beam <= cfg.target_vocab_size:
+                    self._json(400, {"error": "beam_size out of range "
+                                     f"[1, {cfg.target_vocab_size}]"})
                     return
             length = int(self.headers.get("Content-Length", 0))
             if length <= 0:
@@ -171,7 +231,11 @@ def make_handler(recognizer: BatchingRecognizer, cfg: Config):
             if img is None:
                 self._json(400, {"error": "cannot decode image"})
                 return
-            p = recognizer.submit(img, beam)
+            try:
+                p = recognizer.submit(img, beam)
+            except QueueFull:
+                self._json(429, {"error": "queue full, retry later"})
+                return
             if p.error is not None:
                 self._json(500, {"error": p.error})
             else:
@@ -182,11 +246,20 @@ def make_handler(recognizer: BatchingRecognizer, cfg: Config):
 
 def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
           max_batch: int = 64, batch_window_ms: float = 5.0,
-          cfg: Optional[Config] = None,
+          cfg: Optional[Config] = None, warmup: bool = True,
+          max_queue: int = 1024, request_timeout_s: float = 120.0,
           ready_event: Optional[threading.Event] = None,
           server_box: Optional[list] = None):
     ocr = AttentionOCR.load(model_dir, cfg=cfg)
-    recognizer = BatchingRecognizer(ocr, max_batch, batch_window_ms)
+    recognizer = BatchingRecognizer(
+        ocr, max_batch, batch_window_ms, max_queue=max_queue,
+        request_timeout_s=request_timeout_s)
+    if warmup:
+        # compile every ladder shape before accepting traffic — the first
+        # full-model compile can take ~2 minutes on a fresh TPU cache,
+        # longer than any reasonable request timeout
+        print(f"warming up decode for batch sizes {recognizer.ladder} ...")
+        recognizer.warmup(ocr.cfg.beam_size)
     handler = make_handler(recognizer, ocr.cfg)
     httpd = ThreadingHTTPServer((host, port), handler)
     if server_box is not None:
@@ -211,10 +284,17 @@ def main(argv=None):
     p.add_argument("-batch_window_ms", "--batch_window_ms", type=float,
                    default=5.0)
     p.add_argument("-beam_size", "--beam_size", type=int, default=None)
+    p.add_argument("-no_warmup", "--no_warmup", dest="warmup",
+                   action="store_false", default=True)
+    p.add_argument("-max_queue", "--max_queue", type=int, default=1024)
+    p.add_argument("-request_timeout_s", "--request_timeout_s", type=float,
+                   default=120.0)
     args = p.parse_args(argv)
     cfg = Config(beam_size=args.beam_size) if args.beam_size else None
     serve(args.model_dir, args.host, args.port, args.max_batch,
-          args.batch_window_ms, cfg)
+          args.batch_window_ms, cfg, warmup=args.warmup,
+          max_queue=args.max_queue,
+          request_timeout_s=args.request_timeout_s)
 
 
 if __name__ == "__main__":

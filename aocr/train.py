@@ -65,11 +65,9 @@ class ValDrivenLR:
 
 # Structure fields restored from a checkpoint on load (reference
 # model.lua:63-77); everything else follows the CLI.
-_STRUCT_FIELDS = (
-    "dropout", "encoder_num_hidden", "encoder_num_layers",
-    "decoder_num_layers", "target_vocab_size", "target_embedding_size",
-    "input_feed", "cnn_feature_size", "simple_attention",
-)
+# moved to aocr.config (inference code needs it without importing the
+# training stack); aliased here for existing imports
+from aocr.config import STRUCT_FIELDS as _STRUCT_FIELDS  # noqa: E402
 
 
 class Trainer:
