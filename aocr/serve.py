@@ -261,7 +261,14 @@ def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
         print(f"warming up decode for batch sizes {recognizer.ladder} ...")
         recognizer.warmup(ocr.cfg.beam_size)
     handler = make_handler(recognizer, ocr.cfg)
-    httpd = ThreadingHTTPServer((host, port), handler)
+
+    class Server(ThreadingHTTPServer):
+        # the stdlib default listen backlog of 5 RSTs concurrent clients
+        # under load (measured: 74/512 connection resets at concurrency 32)
+        request_queue_size = 256
+        daemon_threads = True
+
+    httpd = Server((host, port), handler)
     if server_box is not None:
         server_box.append((httpd, recognizer))
     print(f"serving {model_dir} on {host}:{httpd.server_address[1]} "
