@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Load-test the micro-batching HTTP server (aocr.serve) end to end.
+
+Starts a server in-process (fresh random model unless -model_dir given),
+fires N single-image requests from C concurrent client threads, and
+reports request throughput plus the server's batching stats — the tool
+behind the serving numbers in docs/performance.md.
+
+Usage: python tools/serve_bench.py [-model_dir D] [-n 1024] [-c 64]
+       [-batch_window_ms 20] [-max_batch 64]
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    from PIL import Image
+
+    from aocr import serve as serve_mod
+    from aocr.api import AttentionOCR
+    from aocr.config import Config
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-model_dir", "--model_dir", default=None)
+    p.add_argument("-n", "--n", type=int, default=1024)
+    p.add_argument("-c", "--c", type=int, default=64)
+    p.add_argument("-max_batch", "--max_batch", type=int, default=64)
+    p.add_argument("-batch_window_ms", "--batch_window_ms", type=float,
+                   default=20.0)
+    args = p.parse_args(argv)
+
+    cfg = Config(input_feed=True, compute_dtype="bfloat16")
+    model_dir = args.model_dir
+    if model_dir is None:
+        model_dir = tempfile.mkdtemp(prefix="serve_bench_")
+        AttentionOCR.create(cfg).save(model_dir)
+        print(f"# random-weight model in {model_dir}", file=sys.stderr)
+
+    ready = threading.Event()
+    box = []
+    threading.Thread(
+        target=serve_mod.serve,
+        kwargs=dict(model_dir=model_dir, host="127.0.0.1", port=0,
+                    max_batch=args.max_batch,
+                    batch_window_ms=args.batch_window_ms, cfg=cfg,
+                    ready_event=ready, server_box=box),
+        daemon=True,
+    ).start()
+    assert ready.wait(1800), "server did not start"
+    httpd, rec = box[0]
+    port = httpd.server_address[1]
+    print(f"# server on :{port}, ladder {rec.ladder}", file=sys.stderr)
+
+    rng = np.random.RandomState(0)
+    buf = io.BytesIO()
+    Image.fromarray(
+        rng.uniform(0, 255, (cfg.image_height, cfg.image_width))
+        .astype(np.uint8)
+    ).save(buf, format="PNG")
+    body = buf.getvalue()
+
+    def post():
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/recognize", data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    post()  # single-request smoke outside the timed window
+    ok, errors = [], []
+    lock = threading.Lock()
+
+    def worker(k):
+        for _ in range(k):
+            try:
+                r = post()
+                with lock:
+                    ok.append(r)
+            except Exception as e:
+                with lock:
+                    errors.append(f"{type(e).__name__}: {e}")
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker, args=(args.n // args.c,))
+               for _ in range(args.c)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    with rec._lock:
+        stats = dict(rec.stats)
+    httpd.shutdown()
+    print(f"{len(ok)} ok / {len(errors)} errors in {dt:.2f}s = "
+          f"{len(ok) / dt:.0f} req/s; server stats: {stats}")
+    if errors:
+        print("sample errors:", errors[:3])
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
