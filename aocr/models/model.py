@@ -63,15 +63,18 @@ def encode(
     cfg: Config,
     train: bool = False,
     row_mask=None,
+    axis_name=None,
 ):
     """images (B, 32, W, 1) -> (context (B,L,2H), dec_init (c0,h0), new_stats).
 
     row_mask (B,) marks real rows when the batch was padded to a shardable
-    size; BatchNorm moments exclude masked-out rows."""
+    size; BatchNorm moments exclude masked-out rows.  axis_name (set under
+    shard_map) turns BatchNorm into sync-BN: moments reduce across the data
+    axis so sharded training sees the global-batch statistics."""
     cd = _compute_dtype(cfg)
     features, new_stats = cnn.apply(
         params["cnn"], batch_stats, images, train=train, compute_dtype=cd,
-        row_mask=row_mask,
+        row_mask=row_mask, axis_name=axis_name,
     )
     context, dec_init = encoder.apply(
         params["encoder_fw"], params["encoder_bw"], features, compute_dtype=cd
@@ -89,16 +92,20 @@ def forward_loss(
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
     row_mask=None,
+    axis_name=None,
 ) -> Tuple[jax.Array, dict, jax.Array]:
     """Teacher-forced forward pass.
 
     Returns (token-sum NLL scalar, new batch_stats, log_probs (B, T, V)).
     Matches the reference feval forward (src/model/model.lua:284-316,553-568,
-    643-645) up to the loss normalization noted in aocr/loss.py.
+    643-645) up to the loss normalization noted in aocr/loss.py.  This is
+    the ONE forward pipeline — the data-parallel step reuses it with
+    axis_name set (sync-BN) rather than keeping a copy that can drift.
     """
     cd = _compute_dtype(cfg)
     context, dec_init, new_stats = encode(params, batch_stats, images, cfg,
-                                          train, row_mask=row_mask)
+                                          train, row_mask=row_mask,
+                                          axis_name=axis_name)
     h_tildes = decoder.teacher_forced(
         params["decoder"],
         dec_init,

@@ -20,38 +20,9 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from aocr import optim
 from aocr.config import Config
-from aocr.models import cnn, decoder, encoder, head
+from aocr.models import model
 from aocr.train_step import TrainOutput
 from aocr.parallel.mesh import DATA_AXIS
-
-
-def _forward_loss_crossreplica_bn(
-    params, batch_stats, images, targets, targets_eval, cfg: Config,
-    dropout_rng, row_mask,
-):
-    """forward_loss with sync-BN over the data axis (see cnn._batch_norm).
-    """
-    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    # Sync-BN: batch moments are reduced across the data axis inside
-    # cnn.apply, so every shard normalizes with (and records) the exact
-    # global-batch statistics a single chip would compute; row_mask
-    # excludes rows padded in for shardability.
-    feats, new_stats = cnn.apply(
-        params["cnn"], batch_stats, images, train=True, compute_dtype=cd,
-        axis_name=DATA_AXIS, row_mask=row_mask,
-    )
-    context, dec_init = encoder.apply(
-        params["encoder_fw"], params["encoder_bw"], feats, compute_dtype=cd
-    )
-    h_tildes = decoder.teacher_forced(
-        params["decoder"], dec_init, targets, context,
-        input_feed=cfg.input_feed, dropout=cfg.dropout, train=True,
-        dropout_rng=dropout_rng, compute_dtype=cd, remat=cfg.remat,
-    )
-    log_probs = head.apply(params["projector"], h_tildes, compute_dtype=cd)
-    from aocr import loss as loss_lib
-
-    return loss_lib.nll_sum(log_probs, targets_eval), new_stats
 
 
 def make_dp_train_step(cfg: Config, mesh: Mesh):
@@ -79,9 +50,14 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
         )
 
         def loss_fn(p):
-            nll, new_stats = _forward_loss_crossreplica_bn(
-                p, batch_stats, images, targets, targets_eval, cfg, rng,
-                row_mask,
+            # the single shared forward pipeline with sync-BN (axis_name):
+            # batch moments reduce across the data axis inside cnn.apply,
+            # so every shard normalizes with (and records) the exact
+            # global-batch statistics a single chip would compute
+            nll, new_stats, _ = model.forward_loss(
+                p, batch_stats, images, targets, targets_eval, cfg,
+                train=True, dropout_rng=rng, row_mask=row_mask,
+                axis_name=DATA_AXIS,
             )
             return nll / real_bs, new_stats
 

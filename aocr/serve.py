@@ -96,15 +96,18 @@ class BatchingRecognizer:
                 return step
         return self.max_batch
 
-    def warmup(self, beam_size: int):
-        """Pre-compile the decode for every ladder batch size (call once at
-        startup; the first compile of the full model can take minutes, far
-        longer than any sane request timeout)."""
+    def warmup(self, beam_sizes):
+        """Pre-compile the decode for every (ladder batch size, beam size)
+        pair (call once at startup; the first compile of the full model can
+        take minutes, far longer than any sane request timeout — and an
+        un-warmed shape compiling on the single batcher thread would stall
+        every queued request past its timeout)."""
         h = self.ocr.cfg.image_height
         w = self.ocr.cfg.image_width
         dummy = np.zeros((h, w), np.float32)
-        for n in self.ladder:
-            self.ocr.recognize([dummy] * n, beam_size=beam_size)
+        for beam in beam_sizes:
+            for n in self.ladder:
+                self.ocr.recognize([dummy] * n, beam_size=beam)
 
     def close(self):
         self._stop.set()
@@ -180,7 +183,9 @@ class BatchingRecognizer:
                     p.event.set()
 
 
-def make_handler(recognizer: BatchingRecognizer, cfg: Config):
+def make_handler(recognizer: BatchingRecognizer, cfg: Config,
+                 allowed_beams=None):
+    allowed_beams = allowed_beams or {cfg.beam_size}
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -218,9 +223,14 @@ def make_handler(recognizer: BatchingRecognizer, cfg: Config):
                 except ValueError:
                     self._json(400, {"error": "bad beam_size"})
                     return
-                if not 1 <= beam <= cfg.target_vocab_size:
-                    self._json(400, {"error": "beam_size out of range "
-                                     f"[1, {cfg.target_vocab_size}]"})
+                if beam not in allowed_beams:
+                    # only pre-compiled beam sizes are served: an un-warmed
+                    # one would trigger a minutes-long XLA compile on the
+                    # batcher thread and time out everyone else's requests
+                    self._json(400, {
+                        "error": "beam_size not enabled on this server",
+                        "allowed": sorted(allowed_beams),
+                    })
                     return
             length = int(self.headers.get("Content-Length", 0))
             if length <= 0:
@@ -247,20 +257,23 @@ def make_handler(recognizer: BatchingRecognizer, cfg: Config):
 def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
           max_batch: int = 64, batch_window_ms: float = 5.0,
           cfg: Optional[Config] = None, warmup: bool = True,
-          max_queue: int = 1024, request_timeout_s: float = 120.0,
+          warmup_beams=(), max_queue: int = 1024,
+          request_timeout_s: float = 120.0,
           ready_event: Optional[threading.Event] = None,
           server_box: Optional[list] = None):
     ocr = AttentionOCR.load(model_dir, cfg=cfg)
     recognizer = BatchingRecognizer(
         ocr, max_batch, batch_window_ms, max_queue=max_queue,
         request_timeout_s=request_timeout_s)
+    allowed_beams = {ocr.cfg.beam_size} | set(warmup_beams)
     if warmup:
-        # compile every ladder shape before accepting traffic — the first
-        # full-model compile can take ~2 minutes on a fresh TPU cache,
-        # longer than any reasonable request timeout
-        print(f"warming up decode for batch sizes {recognizer.ladder} ...")
-        recognizer.warmup(ocr.cfg.beam_size)
-    handler = make_handler(recognizer, ocr.cfg)
+        # compile every (ladder, beam) shape before accepting traffic —
+        # the first full-model compile can take ~2 minutes on a fresh TPU
+        # cache, longer than any reasonable request timeout
+        print(f"warming up decode for batch sizes {recognizer.ladder} x "
+              f"beams {sorted(allowed_beams)} ...")
+        recognizer.warmup(sorted(allowed_beams))
+    handler = make_handler(recognizer, ocr.cfg, allowed_beams)
 
     class Server(ThreadingHTTPServer):
         # the stdlib default listen backlog of 5 RSTs concurrent clients
@@ -291,6 +304,9 @@ def main(argv=None):
     p.add_argument("-batch_window_ms", "--batch_window_ms", type=float,
                    default=5.0)
     p.add_argument("-beam_size", "--beam_size", type=int, default=None)
+    p.add_argument("-warmup_beams", "--warmup_beams", default="",
+                   help="extra beam sizes to pre-compile and allow, "
+                        "comma-separated (e.g. 1,5)")
     p.add_argument("-no_warmup", "--no_warmup", dest="warmup",
                    action="store_false", default=True)
     p.add_argument("-max_queue", "--max_queue", type=int, default=1024)
@@ -298,9 +314,10 @@ def main(argv=None):
                    default=120.0)
     args = p.parse_args(argv)
     cfg = Config(beam_size=args.beam_size) if args.beam_size else None
+    beams = tuple(int(b) for b in args.warmup_beams.split(",") if b)
     serve(args.model_dir, args.host, args.port, args.max_batch,
           args.batch_window_ms, cfg, warmup=args.warmup,
-          max_queue=args.max_queue,
+          warmup_beams=beams, max_queue=args.max_queue,
           request_timeout_s=args.request_timeout_s)
 
 

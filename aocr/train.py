@@ -83,7 +83,21 @@ class Trainer:
         if ckpt is not None:
             log.info(f"Loading model from {checkpoint.final_path(cfg.model_dir)}")
             saved = ckpt["config"]
-            cfg = cfg.replace(**{k: saved[k] for k in _STRUCT_FIELDS if k in saved})
+            # Structure always comes from the checkpoint; image geometry /
+            # sequence bounds come from the checkpoint UNLESS the CLI
+            # explicitly changed them from the defaults (the reference lets
+            # the CLI override max_*_l, model.lua:75-77) — otherwise
+            # `-phase test -load_model` on a model trained with e.g.
+            # -keep_aspect_ratio would silently preprocess at the wrong
+            # geometry.  Mirrors AttentionOCR.load.
+            from aocr.config import GEOMETRY_FIELDS
+
+            defaults = Config()
+            fields = list(_STRUCT_FIELDS) + [
+                k for k in GEOMETRY_FIELDS
+                if getattr(cfg, k) == getattr(defaults, k)
+            ]
+            cfg = cfg.replace(**{k: saved[k] for k in fields if k in saved})
             self.params = jax.tree.map(jnp.asarray, ckpt["params"])
             self.batch_stats = jax.tree.map(jnp.asarray, ckpt["batch_stats"])
             self.global_step = ckpt["global_step"]
@@ -330,8 +344,11 @@ class Trainer:
                                            scores, gold_scores)
         else:
             images = self._images(batch)
-            out = decode.beam_decode(
-                self.params, self.batch_stats, images, cfg,
+            # one jitted program for decode + gold pass: the CNN+encoder
+            # forward CSEs to a single execution (train_step.eval_decode_step)
+            out, nll, gold_scores = train_step.eval_decode_step(
+                self.params, self.batch_stats, images,
+                jnp.asarray(targets), jnp.asarray(targets_eval), cfg,
                 beam_size=cfg.beam_size, max_len=T,
                 trie_table=self.trie_table,
                 use_trie=use_trie,
@@ -341,10 +358,6 @@ class Trainer:
             scores = out[1]
             refills, min_valid = ((int(x) for x in out[2]) if use_trie
                                   else (0, 0))
-            nll, gold_scores = train_step.eval_loss_step(
-                self.params, self.batch_stats, images,
-                jnp.asarray(targets), jnp.asarray(targets_eval), cfg,
-            )
             nll = float(nll)
             word_err, preds, golds = eval_lib.eval_word_err_rate(
                 labels_np, targets_eval

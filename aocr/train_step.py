@@ -91,6 +91,40 @@ def make_train_step(cfg: Config):
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_len",
+                                   "use_trie", "return_refills"))
+def eval_decode_step(
+    params: dict,
+    batch_stats: dict,
+    images: jax.Array,
+    targets: jax.Array,
+    targets_eval: jax.Array,
+    cfg: Config,
+    beam_size: int,
+    max_len: int,
+    trie_table=None,
+    use_trie: bool = False,
+    return_refills: bool = False,
+):
+    """Beam decode + teacher-forced gold pass as ONE jitted program.
+
+    Running decode.beam_decode and eval_loss_step as separate programs
+    costs the full CNN + bi-encoder forward twice per eval batch (XLA
+    cannot CSE across jit boundaries); fused here the encode subgraphs
+    are identical and CSE to one — the single-device analogue of the
+    sharded eval's fused local_step (parallel/eval_parallel.py).
+    Returns (beam_decode output tuple, nll, gold_scores)."""
+    from aocr import decode
+
+    out = decode.beam_decode(
+        params, batch_stats, images, cfg, beam_size, max_len,
+        trie_table, use_trie, return_refills,
+    )
+    nll, gold = eval_loss_step(params, batch_stats, images, targets,
+                               targets_eval, cfg)
+    return out, nll, gold
+
+
 def gold_scores_from_logprobs(
     log_probs: jax.Array, targets_eval: jax.Array
 ) -> jax.Array:

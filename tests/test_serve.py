@@ -31,7 +31,7 @@ def server(tmp_path_factory):
     t = threading.Thread(
         target=serve_mod.serve,
         kwargs=dict(model_dir=d, host="127.0.0.1", port=0,
-                    batch_window_ms=80.0, cfg=CFG,
+                    batch_window_ms=80.0, cfg=CFG, warmup_beams=(2,),
                     ready_event=ready, server_box=box),
         daemon=True,
     )
@@ -98,7 +98,14 @@ def test_health_stats_and_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
-    # beam_size override still answers
+    # a warmed beam_size override answers; an un-warmed one is refused
+    # (it would compile on the batcher thread and stall all traffic)
     status, payload = _post(f"{base}/recognize?beam_size=2",
                             _png_bytes("zz"))
     assert status == 200 and isinstance(payload["text"], str)
+    req = urllib.request.Request(f"{base}/recognize?beam_size=7",
+                                 data=_png_bytes("zz"), method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e2:
+        urllib.request.urlopen(req, timeout=30)
+    assert e2.value.code == 400
+    assert json.loads(e2.value.read())["allowed"] == [1, 2]
