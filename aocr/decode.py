@@ -119,17 +119,34 @@ def greedy_decode(
     beam state gathers/replication in the scan body — the hot loop is just
     the decoder cell + argmax.
 
-    With cfg.use_pallas (default; no trie), everything after the LSTM
-    stack — attention, projector, freeze, argmax — runs as ONE Pallas
-    kernel per step (ops/pallas/decode_step.py): context is read from HBM
-    once per step with no intermediate round-trips, and selection is
-    f32-stable.  Measured on v5e at B=512: +16% on the 50-step worst case,
-    +8% in the early-exit regime, 100% token agreement with the XLA path.
+    With cfg.use_pallas (default; no trie), the whole decode runs as one
+    Pallas kernel — or the per-step fused tail as fallback — see
+    greedy_from_context.
     """
-    V = cfg.target_vocab_size
-    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     context, dec_init, _ = model.encode(params, batch_stats, images, cfg,
                                         train=False)
+    return greedy_from_context(params, context, dec_init, cfg, max_len,
+                               trie_table, use_trie)
+
+
+def greedy_from_context(
+    params: dict,
+    context: jax.Array,  # (B, L, H) from model.encode
+    dec_init: Tuple[jax.Array, jax.Array],
+    cfg: Config,
+    max_len: int,
+    trie_table: Optional[jax.Array] = None,
+    use_trie: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy decode from a precomputed encoder context.  Split out so
+    combined eval programs (train_step.eval_decode_step, the sharded eval)
+    run the CNN+encoder once and share it explicitly with the teacher-
+    forced gold pass.  (XLA's CSE does merge bit-identical duplicated
+    encodes, so this is robustness + tracing cost, not a device-time
+    change: explicit sharing cannot silently break if the two encode
+    call sites ever diverge by a cast or flag.)"""
+    V = cfg.target_vocab_size
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     # Cast the (loop-invariant) context to the compute dtype ONCE here —
     # casting inside the scan would re-materialize the (B, L, H) array
     # every decode step.
@@ -314,10 +331,29 @@ def beam_decode(
     aggregate of the reference's per-row 'Warning: valid beam size: %d'
     log (model.lua:421-436,489-499).
     """
+    context, dec_init, _ = model.encode(params, batch_stats, images, cfg,
+                                        train=False)
+    return beam_from_context(params, context, dec_init, cfg, beam_size,
+                             max_len, trie_table, use_trie, return_refills)
+
+
+def beam_from_context(
+    params: dict,
+    context: jax.Array,  # (B, L, H) from model.encode
+    dec_init: Tuple[jax.Array, jax.Array],
+    cfg: Config,
+    beam_size: int,
+    max_len: int,
+    trie_table: Optional[jax.Array] = None,
+    use_trie: bool = False,
+    return_refills: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """beam_decode from a precomputed encoder context (see
+    greedy_from_context for why the encode sharing must be explicit)."""
     K = min(beam_size, cfg.target_vocab_size)
     if K == 1:
-        out = greedy_decode(params, batch_stats, images, cfg, max_len,
-                            trie_table, use_trie)
+        out = greedy_from_context(params, context, dec_init, cfg, max_len,
+                                  trie_table, use_trie)
         if return_refills:
             # The greedy fast path always has PAD as a valid continuation,
             # so refills cannot occur (reference beam_size=1 behaves the
@@ -327,9 +363,7 @@ def beam_decode(
     V = cfg.target_vocab_size
     T = max_len
     cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-
-    context, dec_init, _ = model.encode(params, batch_stats, images, cfg, train=False)
-    context = context.astype(cd)  # once, outside the scan (see greedy_decode)
+    context = context.astype(cd)  # once, outside the scan (see greedy path)
     B = context.shape[0]
     dec_params = params["decoder"]
     proj = params["projector"]

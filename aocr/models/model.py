@@ -102,10 +102,33 @@ def forward_loss(
     the ONE forward pipeline — the data-parallel step reuses it with
     axis_name set (sync-BN) rather than keeping a copy that can drift.
     """
-    cd = _compute_dtype(cfg)
     context, dec_init, new_stats = encode(params, batch_stats, images, cfg,
                                           train, row_mask=row_mask,
                                           axis_name=axis_name)
+    nll, log_probs = loss_from_context(
+        params, context, dec_init, targets, targets_eval, cfg,
+        train=train, dropout_rng=dropout_rng,
+    )
+    return nll, new_stats, log_probs
+
+
+def loss_from_context(
+    params: dict,
+    context: jax.Array,
+    dec_init,
+    targets: jax.Array,
+    targets_eval: jax.Array,
+    cfg: Config,
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Teacher-forced decode + loss from a precomputed encoder context.
+
+    Split out so combined eval programs (train_step.eval_decode_step, the
+    sharded eval) run the CNN+encoder once and share its context with the
+    beam decode explicitly (see decode.greedy_from_context).
+    Returns (token-sum NLL, log_probs)."""
+    cd = _compute_dtype(cfg)
     h_tildes = decoder.teacher_forced(
         params["decoder"],
         dec_init,
@@ -121,7 +144,7 @@ def forward_loss(
     )
     log_probs = head.apply(params["projector"], h_tildes, compute_dtype=cd)
     nll = loss_lib.nll_sum(log_probs, targets_eval)
-    return nll, new_stats, log_probs
+    return nll, log_probs
 
 
 def num_params(params: dict) -> int:

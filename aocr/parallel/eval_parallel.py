@@ -59,19 +59,23 @@ def make_dp_eval_step(cfg: Config, mesh: Mesh, use_trie: bool):
 
     def local_step(params, batch_stats, images, targets, targets_eval,
                    trie_table, row_mask):
-        out = decode.beam_decode(
-            params, batch_stats, images, cfg,
+        # ONE CNN+bi-encoder forward, shared explicitly between the beam
+        # decode and the teacher-forced gold pass (XLA's CSE merged the
+        # previous duplicated encodes; explicit sharing doesn't rely on
+        # the call sites staying bit-identical — see
+        # decode.greedy_from_context).
+        context, dec_init, _ = model.encode(
+            params, batch_stats, images, cfg, train=False)
+        out = decode.beam_from_context(
+            params, context, dec_init, cfg,
             beam_size=K, max_len=T,
             trie_table=trie_table if use_trie else None,
             use_trie=use_trie,
             return_refills=True,
         )
         labels, scores, (refills, min_valid) = out
-        # Teacher-forced gold pass (shared helper with
-        # train_step.eval_loss_step; XLA CSEs the duplicated encode with
-        # the decode's).
-        nll, _, log_probs = model.forward_loss(
-            params, batch_stats, images, targets, targets_eval, cfg,
+        nll, log_probs = model.loss_from_context(
+            params, context, dec_init, targets, targets_eval, cfg,
             train=False,
         )
         gold_scores = train_step.gold_scores_from_logprobs(

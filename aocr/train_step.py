@@ -106,22 +106,28 @@ def eval_decode_step(
     use_trie: bool = False,
     return_refills: bool = False,
 ):
-    """Beam decode + teacher-forced gold pass as ONE jitted program.
+    """Beam decode + teacher-forced gold pass as ONE jitted program with
+    ONE CNN+bi-encoder forward, shared explicitly.
 
-    Running decode.beam_decode and eval_loss_step as separate programs
-    costs the full CNN + bi-encoder forward twice per eval batch (XLA
-    cannot CSE across jit boundaries); fused here the encode subgraphs
-    are identical and CSE to one — the single-device analogue of the
-    sharded eval's fused local_step (parallel/eval_parallel.py).
+    vs the Trainer's previous two separate jitted calls this saves a whole
+    program dispatch per eval batch (a full RPC round-trip on tunneled dev
+    setups) and the redundant encode: as one program XLA's CSE would merge
+    the bit-identical encodes anyway, but the explicit context handoff
+    doesn't depend on that and costs nothing.  Single-device analogue of
+    the sharded eval's local_step (parallel/eval_parallel.py).
     Returns (beam_decode output tuple, nll, gold_scores)."""
     from aocr import decode
 
-    out = decode.beam_decode(
-        params, batch_stats, images, cfg, beam_size, max_len,
+    context, dec_init, _ = model.encode(params, batch_stats, images, cfg,
+                                        train=False)
+    out = decode.beam_from_context(
+        params, context, dec_init, cfg, beam_size, max_len,
         trie_table, use_trie, return_refills,
     )
-    nll, gold = eval_loss_step(params, batch_stats, images, targets,
-                               targets_eval, cfg)
+    nll, log_probs = model.loss_from_context(
+        params, context, dec_init, targets, targets_eval, cfg, train=False,
+    )
+    gold = gold_scores_from_logprobs(log_probs, targets_eval)
     return out, nll, gold
 
 
