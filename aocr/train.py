@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aocr import checkpoint, data, decode, eval as eval_lib, optim, train_step, vocab
+from aocr import checkpoint, data, eval as eval_lib, optim, train_step, vocab
 from aocr.config import Config, parse_args
 from aocr.models import model
 from aocr.utils import trie as trie_lib
