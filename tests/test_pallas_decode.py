@@ -132,6 +132,33 @@ def test_fused_greedy_loop_matches_xla(np_rng):
                                np.asarray(want_score), rtol=1e-5, atol=1e-4)
 
 
+def test_from_context_seams_match_direct_decode():
+    """greedy_from_context / beam_from_context (the explicit-encode seams
+    used by the fused eval programs) must reproduce the direct
+    greedy_decode / beam_decode outputs bit-for-bit given the same
+    encoder context."""
+    from aocr.models import model as model_lib
+
+    cfg = Config(input_feed=True, encoder_num_hidden=32,
+                 target_embedding_size=8, max_decoder_l=8,
+                 image_width=32, use_pallas=False).validate()
+    ms = model.init(jax.random.PRNGKey(11), cfg)
+    imgs = np.stack([synth.render_word(w, 32, 32)
+                     for w in ["ab", "cd", "e1"]])[..., None]
+    imgs = jnp.asarray(imgs.astype(np.float32))
+    ctx, dec_init, _ = model_lib.encode(ms.params, ms.batch_stats, imgs,
+                                        cfg, train=False)
+    for K in (1, 3):
+        direct = decode.beam_decode(ms.params, ms.batch_stats, imgs, cfg,
+                                    K, cfg.max_decoder_l)
+        seam = decode.beam_from_context(ms.params, ctx, dec_init, cfg,
+                                        K, cfg.max_decoder_l)
+        np.testing.assert_array_equal(np.asarray(seam[0]),
+                                      np.asarray(direct[0]))
+        np.testing.assert_allclose(np.asarray(seam[1]),
+                                   np.asarray(direct[1]), rtol=1e-6)
+
+
 def test_beam_vmem_gate():
     """The fused beam tail must reject shapes whose real Mosaic allocation
     exceeds VMEM (measured: L=79, K=5, bf16 needs 101.8 MB against the
