@@ -63,23 +63,20 @@ class AttentionOCR:
         ckpt = checkpoint.load(path, allow_pickle=allow_pickle)
         # Structure hyperparameters always come from the checkpoint;
         # sequence bounds / image geometry come from the checkpoint unless
-        # the caller's cfg *explicitly changed them from the defaults*
-        # (reference model.lua:75-77 lets the CLI override them); runtime
-        # perf knobs (dtype, kernels, beam size, batching) come from the
-        # caller or current defaults — so e.g. an old checkpoint cannot pin
-        # a stale use_pallas=False.  Passing cfg=Config(beam_size=5) thus
-        # keeps the checkpoint's geometry; the one undetectable case is a
-        # caller explicitly passing a geometry field's default value — use
-        # ocr.cfg.replace(...) afterwards for that.
+        # the caller's cfg overrides them — changed from the defaults, or
+        # explicitly marked via cfg.with_explicit_geometry(...) so even a
+        # default-valued override wins (reference model.lua:75-77 CLI
+        # semantics); runtime perf knobs (dtype, kernels, beam size,
+        # batching) come from the caller or current defaults — so e.g. an
+        # old checkpoint cannot pin a stale use_pallas=False.
         from aocr.config import GEOMETRY_FIELDS as geometry
         from aocr.config import STRUCT_FIELDS as _STRUCT_FIELDS
 
         saved = ckpt["config"]
         base = cfg if cfg is not None else Config()
-        defaults = Config()
+        overrides = base.geometry_overrides()
         fields = list(_STRUCT_FIELDS) + [
-            k for k in geometry
-            if cfg is None or getattr(cfg, k) == getattr(defaults, k)
+            k for k in geometry if k not in overrides
         ]
         saved_cfg = base.replace(
             **{k: saved[k] for k in fields if k in saved}

@@ -160,8 +160,43 @@ class Config:
     max_aspect_ratio: float = 10.0
     min_aspect_ratio: float = 0.5
 
+    # Geometry fields (GEOMETRY_FIELDS) the caller EXPLICITLY set — even to
+    # their default values.  Checkpoint loading keeps the checkpoint's
+    # geometry unless a field was explicitly overridden (reference
+    # model.lua:75-77 CLI-override semantics); without this record an
+    # explicit `-image_width 100` (the default) would be indistinguishable
+    # from "not passed" and silently lose to the checkpoint.  parse_args
+    # fills it from argv; API callers use cfg.with_explicit_geometry(...)
+    # or rely on the changed-from-default heuristic.
+    explicit_geometry: tuple = ()
+
     # --- Derived (reference src/model/model.lua:84,88) ---
     cnn_feature_size: int = field(default=512)
+
+    def __post_init__(self):
+        # keep hashability when constructed from JSON dicts (lists)
+        if not isinstance(self.explicit_geometry, tuple):
+            object.__setattr__(self, "explicit_geometry",
+                               tuple(self.explicit_geometry))
+
+    def with_explicit_geometry(self, *names: str) -> "Config":
+        """Mark geometry fields as explicitly set so checkpoint loading
+        honors their current values even when they equal the defaults."""
+        for n in names:
+            assert n in GEOMETRY_FIELDS, f"{n} is not a geometry field"
+        return self.replace(
+            explicit_geometry=tuple(sorted(set(self.explicit_geometry)
+                                           | set(names)))
+        )
+
+    def geometry_overrides(self) -> set:
+        """Geometry fields whose caller-supplied values must win over a
+        checkpoint's: explicitly marked, or changed from the defaults."""
+        defaults = Config()
+        return set(self.explicit_geometry) | {
+            k for k in GEOMETRY_FIELDS
+            if getattr(self, k) != getattr(defaults, k)
+        }
 
     @property
     def decoder_num_hidden(self) -> int:
@@ -241,7 +276,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     for f in dataclasses.fields(Config):
         name = f.name
-        if name == "cnn_feature_size":
+        if name in ("cnn_feature_size", "explicit_geometry"):
             continue
         opts = [f"-{name}", f"--{name}"]
         if name in _BOOL_FLAGS:
@@ -267,8 +302,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def parse_args(argv: Optional[list] = None) -> Config:
+    import sys
+
     ns = build_arg_parser().parse_args(argv)
     kw = {k: v for k, v in vars(ns).items()}
+    # Record which geometry flags were explicitly present on the command
+    # line (even set to their defaults) so checkpoint loading lets them
+    # override the checkpoint's geometry, exactly like the reference CLI
+    # (model.lua:75-77).
+    tokens = list(sys.argv[1:] if argv is None else argv)
+    explicit = []
+    for name in GEOMETRY_FIELDS:
+        spellings = {f"-{name}", f"--{name}",
+                     f"-no_{name}", f"--no_{name}"}
+        if any(t.split("=", 1)[0] in spellings for t in tokens):
+            explicit.append(name)
+    kw["explicit_geometry"] = tuple(explicit)
     return Config(**kw).validate()
 
 

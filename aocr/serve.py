@@ -124,11 +124,15 @@ class BatchingRecognizer:
         self.q.put(p)
         if not p.event.wait(self.request_timeout_s):
             # mark dead so the batcher drops it instead of decoding work
-            # nobody will read; benign race if it completes right now
-            p.cancelled = True
+            # nobody will read — but the batcher may have completed p
+            # between wait() expiring and this line, so re-check the event
+            # under the lock and return the finished result if present
+            # instead of reporting a timeout for completed work.
             with self._lock:
-                self.stats["timeouts"] += 1
-            p.error = "timeout"
+                if not p.event.is_set():
+                    p.cancelled = True
+                    p.error = "timeout"
+                    self.stats["timeouts"] += 1
         return p
 
     def _drain(self) -> list:

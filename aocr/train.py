@@ -85,17 +85,17 @@ class Trainer:
             saved = ckpt["config"]
             # Structure always comes from the checkpoint; image geometry /
             # sequence bounds come from the checkpoint UNLESS the CLI
-            # explicitly changed them from the defaults (the reference lets
-            # the CLI override max_*_l, model.lua:75-77) — otherwise
-            # `-phase test -load_model` on a model trained with e.g.
-            # -keep_aspect_ratio would silently preprocess at the wrong
-            # geometry.  Mirrors AttentionOCR.load.
+            # passed the flag (even with its default value — parse_args
+            # records explicit flags) or changed it from the defaults (the
+            # reference lets the CLI override max_*_l, model.lua:75-77) —
+            # otherwise `-phase test -load_model` on a model trained with
+            # e.g. -keep_aspect_ratio would silently preprocess at the
+            # wrong geometry.  Mirrors AttentionOCR.load.
             from aocr.config import GEOMETRY_FIELDS
 
-            defaults = Config()
+            overrides = cfg.geometry_overrides()
             fields = list(_STRUCT_FIELDS) + [
-                k for k in GEOMETRY_FIELDS
-                if getattr(cfg, k) == getattr(defaults, k)
+                k for k in GEOMETRY_FIELDS if k not in overrides
             ]
             cfg = cfg.replace(**{k: saved[k] for k in fields if k in saved})
             self.params = jax.tree.map(jnp.asarray, ckpt["params"])
@@ -133,10 +133,17 @@ class Trainer:
                     self.optim_meta.get("eval_counter", 0), jnp.int32
                 ),
                 momentum_buf=buf,
-                # a buffer restored from the checkpoint is warm; a freshly
-                # zeroed one must take buf = grad on its first use
-                # (reference optim_sgd.lua:60-63)
-                buf_fresh=jnp.asarray(saved_buf is None),
+                # buf_fresh travels in the checkpoint: the zero-initialized
+                # buffer is always saved, so "buffer present" alone cannot
+                # distinguish a warm buffer from one saved before its first
+                # momentum update — with dampening > 0 that would apply
+                # (1-dampening)*g instead of g on the first resumed step
+                # (reference keys freshness on buffer existence,
+                # optim_sgd.lua:60-63).  Old checkpoints without the key
+                # fall back to the buffer-presence rule.
+                buf_fresh=jnp.asarray(bool(
+                    self.optim_meta.get("buf_fresh", saved_buf is None)
+                )),
             )
         self.mesh = None
         if self.cfg.num_model_shards > 1:
@@ -501,6 +508,9 @@ class Trainer:
             self.optim_meta["eval_counter"] = int(self.opt_state.eval_counter)
             if self.opt_state.momentum_buf is not None:
                 self.optim_meta["momentum_buf"] = self.opt_state.momentum_buf
+                self.optim_meta["buf_fresh"] = bool(
+                    np.asarray(self.opt_state.buf_fresh)
+                )
         elif isinstance(self.opt_state, optim.AdadeltaState):
             self.optim_meta["adadelta"] = {
                 "acc_grad": self.opt_state.acc_grad,

@@ -16,7 +16,15 @@ does not exist on a production co-located host.  block_until_ready() does
 not wait for execution on this stack, so every measurement fetches real
 data.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The TRAINING step (fwd+bwd+clip+SGD, B=400, T=11 — the reference's
+train.lua hot loop) is measured with the same protocol and reported in the
+same JSON line as extra keys (train_images_per_sec / train_step_ms /
+train_vs_r2), so a training-throughput regression is driver-visible even
+though the headline metric stays the greedy north star.  Set
+AOCR_BENCH_MODE=train to make training the primary metric (or =greedy to
+skip the train measurement).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -27,6 +35,9 @@ import time
 import numpy as np
 
 BASELINE_IPS = 10_000.0  # north-star target (BASELINE.json)
+# r2's measured training throughput (docs/performance.md): the regression
+# guard level for train_vs_r2.
+TRAIN_BASELINE_IPS = 15_900.0
 REP = 10
 V5E_PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (single chip)
 
@@ -64,6 +75,58 @@ def flops_per_sample(cfg, width: int = 100, decode_steps: int = 50) -> float:
     return total
 
 
+def measure_train(floor_ms: float, B: int = 400, T: int = 11):
+    """Full train-step throughput (fwd+bwd+clip@5+SGD) with the repeat-
+    inside-one-jit protocol: the scan threads params/opt-state through each
+    repetition, so the chain is serialized exactly like real training.
+    Returns (ms_per_step, images_per_sec, mfu)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aocr import optim, train_step, vocab
+    from aocr.config import Config
+    from aocr.models import model
+
+    cfg = Config(input_feed=True, compute_dtype="bfloat16",
+                 batch_size=B).validate()
+    ms = model.init(jax.random.PRNGKey(cfg.seed), cfg)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(
+        rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32))
+    words = ["".join(rng.choice(list("abcdefghij"), size=T - 1))
+             for _ in range(B)]
+    targets, targets_eval, _ = vocab.encode_batch(words)
+    tg, te = jnp.asarray(targets), jnp.asarray(targets_eval)
+    step = train_step.make_train_step(cfg.replace(prealloc=False))
+    opt0 = optim.sgd_init(ms.params)
+    drng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def rep_train(params, stats, opt):
+        def body(carry, _):
+            p, s, o = carry
+            out = step(p, s, o, images, tg, te, jnp.float32(0.1), drng)
+            return (out.params, out.batch_stats, out.opt_state), out.loss_sum
+        carry, losses = jax.lax.scan(
+            body, (params, stats, opt), None, length=REP)
+        return losses.sum()
+
+    np.asarray(rep_train(ms.params, ms.batch_stats, opt0))  # compile + warm
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        np.asarray(rep_train(ms.params, ms.batch_stats, opt0))
+    dt_ms = (time.perf_counter() - t0) / iters * 1000
+    per_step_ms = (dt_ms - floor_ms) / REP
+    ips = B / per_step_ms * 1000
+    # fwd+bwd ~ 3x the forward FLOPs (the standard MFU convention)
+    gflop = 3 * flops_per_sample(cfg, decode_steps=int(tg.shape[1])) / 1e9
+    mfu = ips * gflop * 1e9 / V5E_PEAK_FLOPS
+    print(f"# train B={B} T={int(tg.shape[1])}: {per_step_ms:.2f} ms/step -> "
+          f"{ips:.0f} img/s, ~{mfu * 100:.1f}% MFU", file=sys.stderr)
+    return per_step_ms, ips, mfu
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -72,6 +135,8 @@ def main():
     from aocr.config import Config
     from aocr.models import model
 
+    mode = os.environ.get("AOCR_BENCH_MODE", "both")
+    assert mode in ("both", "greedy", "train"), mode
     cfg = Config(input_feed=True, compute_dtype="bfloat16").validate()
     ms = model.init(jax.random.PRNGKey(cfg.seed), cfg)
     rng = np.random.RandomState(0)
@@ -92,6 +157,17 @@ def main():
         if os.environ.get("AOCR_BENCH_BATCH")
         else (512, 1024)
     )
+    if mode == "train":
+        step_ms, train_ips, train_mfu = measure_train(floor_ms)
+        print(json.dumps({
+            "metric": "train_step_throughput",
+            "value": round(train_ips, 1),
+            "unit": "word-images/sec/chip",
+            "vs_baseline": round(train_ips / TRAIN_BASELINE_IPS, 3),
+            "train_step_ms": round(step_ms, 2),
+            "train_mfu_pct": round(train_mfu * 100, 1),
+        }))
+        return
     best_ips = 0.0
     for B in batches:
         images = jnp.asarray(
@@ -130,12 +206,23 @@ def main():
           f"{best_ips * gflop / 1000:.2f} TFLOP/s -> MFU {mfu * 100:.2f}% "
           f"of v5e bf16 peak ({V5E_PEAK_FLOPS / 1e12:.0f} TF)", file=sys.stderr)
 
-    print(json.dumps({
+    line = {
         "metric": "greedy_decode_throughput",
         "value": round(best_ips, 1),
         "unit": "word-images/sec/chip",
         "vs_baseline": round(best_ips / BASELINE_IPS, 3),
-    }))
+    }
+    if mode == "both":
+        # training throughput rides in the same line so a train-step
+        # regression is visible to the driver (VERDICT r2 weak #3)
+        step_ms, train_ips, train_mfu = measure_train(floor_ms)
+        line.update(
+            train_images_per_sec=round(train_ips, 1),
+            train_step_ms=round(step_ms, 2),
+            train_mfu_pct=round(train_mfu * 100, 1),
+            train_vs_r2=round(train_ips / TRAIN_BASELINE_IPS, 3),
+        )
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

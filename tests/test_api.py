@@ -62,6 +62,14 @@ def test_load_preserves_geometry_and_variant(tmp_path):
     # an explicit geometry override still wins
     loaded2 = AttentionOCR.load(str(tmp_path), cfg=Config(image_width=64))
     assert loaded2.cfg.image_width == 64
+    # ... even when the override IS the default value, if explicitly marked
+    # (the previously-undetectable case: Config(image_width=100) on a
+    # checkpoint trained at another width)
+    loaded3 = AttentionOCR.load(
+        str(tmp_path),
+        cfg=Config(image_width=100).with_explicit_geometry("image_width"),
+    )
+    assert loaded3.cfg.image_width == 100
 
 
 def test_dictionary_constraint(ocr):

@@ -138,6 +138,63 @@ def test_default_on_bool_flags_accept_both_forms():
     assert parse_args(["-simple_attention"]).simple_attention is True
 
 
+def test_explicit_geometry_flags_recorded():
+    """parse_args must record geometry flags that were explicitly passed —
+    even with their default values — so checkpoint loading lets them
+    override the checkpoint's geometry (reference model.lua:75-77)."""
+    from aocr.config import Config, parse_args
+
+    cfg = parse_args(["-image_width", "100", "--max_decoder_l=50"])
+    assert "image_width" in cfg.explicit_geometry
+    assert "max_decoder_l" in cfg.explicit_geometry
+    assert "image_height" not in cfg.explicit_geometry
+    # both override channels feed geometry_overrides()
+    assert cfg.geometry_overrides() >= {"image_width", "max_decoder_l"}
+    assert parse_args([]).geometry_overrides() == set()
+    # boolean geometry flag counts as explicit too
+    cfg2 = parse_args(["-keep_aspect_ratio"])
+    assert "keep_aspect_ratio" in cfg2.explicit_geometry
+    # API helper marks fields and stays hashable (static jit arg)
+    c = Config(image_width=100).with_explicit_geometry("image_width")
+    assert c.geometry_overrides() == {"image_width"}
+    hash(c)
+
+
+def test_trainer_restores_buf_fresh_from_checkpoint(workdir, monkeypatch):
+    """A checkpoint saved BEFORE the first momentum update carries
+    buf_fresh=True; resuming must not treat the (always-present, zeroed)
+    buffer as warm — with dampening>0 that would scale the first resumed
+    step's gradient by (1-dampening) (reference keys freshness on buffer
+    existence, optim_sgd.lua:60-63)."""
+    import jax
+    from dataclasses import asdict
+
+    from aocr.config import Config
+    from aocr.models import model
+    from aocr.train import Trainer
+    from aocr.utils.logging_util import Logger
+
+    mdir = os.path.join(workdir, "model_fresh")
+    cfg = Config(
+        encoder_num_hidden=32, target_embedding_size=8, max_decoder_l=8,
+        image_width=32, input_feed=True, momentum=0.9, dampening=0.5,
+        model_dir=mdir, load_model=True, phase="train",
+    ).validate()
+    ms = model.init(jax.random.PRNGKey(0), cfg)
+    zero_buf = jax.tree.map(np.zeros_like, ms.params)
+    log = Logger(os.path.join(workdir, "log_fresh.txt"))
+    for saved_fresh, want in ((True, True), (False, False), (None, False)):
+        meta = {"learning_rate": 0.1, "eval_counter": 3,
+                "momentum_buf": zero_buf}
+        if saved_fresh is not None:
+            meta["buf_fresh"] = saved_fresh
+        checkpoint.save(mdir, ms.params, ms.batch_stats, asdict(cfg), 3, meta)
+        tr = Trainer(cfg, log)
+        assert bool(np.asarray(tr.opt_state.buf_fresh)) is want, (
+            f"saved buf_fresh={saved_fresh} restored as {not want}"
+        )
+
+
 def test_val_driven_lr_schedule():
     """Reference LR semantics (train.lua:87-89,164-168): decay only when val
     loss increases, floor clamp, resume-above-floor."""
