@@ -41,6 +41,7 @@ torch7 if ever needed.
 
 from __future__ import annotations
 
+import re
 import struct
 from typing import Any, BinaryIO, Dict, List, Optional
 
@@ -105,8 +106,15 @@ class TorchObject:
 
 
 class _Reader:
-    def __init__(self, f: BinaryIO):
+    def __init__(self, f: BinaryIO, long_size: int = 8):
+        # long_size: byte width of C `long` on the writing platform —
+        # 8 on 64-bit Linux (the overwhelmingly common case), 4 for
+        # streams written by 32-bit builds (tensor sizes/strides/offsets
+        # and storage lengths are C longs in torch7's File.c).
+        assert long_size in (4, 8), long_size
         self.f = f
+        self.long_size = long_size
+        self._long_fmt = "<q" if long_size == 8 else "<i"
         self.memo: Dict[int, Any] = {}
 
     def _read(self, n: int) -> bytes:
@@ -119,7 +127,7 @@ class _Reader:
         return struct.unpack("<i", self._read(4))[0]
 
     def read_long(self) -> int:
-        return struct.unpack("<q", self._read(8))[0]
+        return struct.unpack(self._long_fmt, self._read(self.long_size))[0]
 
     def read_double(self) -> float:
         return struct.unpack("<d", self._read(8))[0]
@@ -167,7 +175,12 @@ class _Reader:
             if idx in self.memo:
                 return self.memo[idx]
             version = self.read_rawstring()
-            if isinstance(version, str) and version.startswith("V "):
+            # torch7 matches the version tag with `^V (.*)$` + tonumber
+            # (File.lua): only 'V <number>' is a tag; any other string —
+            # including a classname that merely starts with "V " — IS the
+            # classname of a legacy versionless stream.
+            if (isinstance(version, str)
+                    and re.fullmatch(r"V [0-9]+", version)):
                 classname = self.read_rawstring()
             else:
                 classname = version  # legacy stream without version tag
@@ -237,9 +250,12 @@ def _as_list(tbl: dict) -> Optional[list]:
     return None
 
 
-def load(path: str) -> Any:
+def load(path: str, long_size: int = 8) -> Any:
+    """Read a .t7 file.  long_size=4 reads streams written by 32-bit
+    torch builds (where C `long` — tensor sizes/strides/offsets, storage
+    lengths — is 4 bytes)."""
     with open(path, "rb") as f:
-        return _Reader(f).read_object()
+        return _Reader(f, long_size=long_size).read_object()
 
 
 # ------------------------------------------------------------------ writer

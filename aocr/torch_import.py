@@ -219,11 +219,12 @@ _INT_KEYS = {"encoder_num_hidden", "encoder_num_layers", "decoder_num_layers",
              "max_decoder_l", "batch_size"}
 
 
-def import_checkpoint(path: str) -> Dict[str, Any]:
+def import_checkpoint(path: str, long_size: int = 8) -> Dict[str, Any]:
     """Read a reference torch.save checkpoint -> this framework's payload
     {params, batch_stats, config, global_step, optim_state} (numpy trees,
-    same shape as aocr.checkpoint.load's result)."""
-    payload = t7.load(path)
+    same shape as aocr.checkpoint.load's result).  long_size=4 reads
+    checkpoints written by 32-bit torch builds."""
+    payload = t7.load(path, long_size=long_size)
     assert isinstance(payload, list) and len(payload) == 4, (
         f"unexpected checkpoint layout: {type(payload)}"
     )
@@ -273,13 +274,18 @@ def _cli(argv=None) -> int:
                     "v2 checkpoint directory")
     p.add_argument("t7_path")
     p.add_argument("model_dir")
+    p.add_argument("--long_size", type=int, default=8, choices=(4, 8),
+                   help="C long width of the writing platform (4 for "
+                        "32-bit torch builds)")
     args = p.parse_args(argv)
-    out = import_to_model_dir(args.t7_path, args.model_dir)
+    out = import_to_model_dir(args.t7_path, args.model_dir,
+                              long_size=args.long_size)
     print(f"Imported {args.t7_path} -> {out}")
     return 0
 
 
-def import_to_model_dir(t7_path: str, model_dir: str) -> str:
+def import_to_model_dir(t7_path: str, model_dir: str,
+                        long_size: int = 8) -> str:
     """Convert a torch checkpoint into a native v2 checkpoint published as
     <model_dir>/final-model (usable with -load_model / AttentionOCR.load)."""
     from dataclasses import asdict
@@ -287,7 +293,7 @@ def import_to_model_dir(t7_path: str, model_dir: str) -> str:
     from aocr import checkpoint
     from aocr.config import config_from_dict
 
-    payload = import_checkpoint(t7_path)
+    payload = import_checkpoint(t7_path, long_size=long_size)
     cfg = config_from_dict(payload["config"])
     return checkpoint.save(
         model_dir,

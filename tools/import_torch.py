@@ -25,16 +25,21 @@ def main(argv=None) -> int:
     p.add_argument("model_dir", help="output model dir (final-model written)")
     p.add_argument("--summary", action="store_true",
                    help="print per-group parameter counts after import")
+    p.add_argument("--long_size", type=int, default=8, choices=(4, 8),
+                   help="C long width of the writing platform (4 for "
+                        "32-bit torch builds)")
     args = p.parse_args(argv)
 
     from aocr import torch_import
 
-    out = torch_import.import_to_model_dir(args.t7_path, args.model_dir)
+    out = torch_import.import_to_model_dir(args.t7_path, args.model_dir,
+                                           long_size=args.long_size)
     print(f"Imported {args.t7_path} -> {out}")
     if args.summary:
         import numpy as np
 
-        payload = torch_import.import_checkpoint(args.t7_path)
+        payload = torch_import.import_checkpoint(args.t7_path,
+                                                 long_size=args.long_size)
         for group, tree in payload["params"].items():
             import jax
 
