@@ -185,14 +185,29 @@ class Trainer:
                 self.cfg.dictionary_path, self.cfg.allow_digit_prefix
             ))
         self._eval_step = None
-        if (self.mesh is not None and self.cfg.num_shards > 1
-                and self.cfg.num_model_shards == 1):
-            from aocr.parallel import eval_parallel
+        self._eval_mesh = None
+        if self.mesh is not None:
+            from aocr.parallel import eval_parallel, mesh as mesh_lib
 
+            if self.cfg.num_model_shards == 1:
+                self._eval_mesh = self.mesh
+            else:
+                # Under DP x TP, evaluation shards over a FLAT data mesh of
+                # ALL nd*nm devices: decode is per-sample parallel, so
+                # batch-sharding every chip beats running TP's per-step
+                # collectives inside the decode loop.  The TP-sharded
+                # params are regathered to the eval layout by jit at each
+                # call (one ICI all-gather of the ~30M-param tree — small
+                # next to a full validation batch decode).
+                self._eval_mesh = mesh_lib.make_mesh(
+                    num_data=self.cfg.num_shards * self.cfg.num_model_shards
+                )
             self._eval_step = eval_parallel.make_dp_eval_step(
-                self.cfg, self.mesh, use_trie=self.trie_table is not None
+                self.cfg, self._eval_mesh,
+                use_trie=self.trie_table is not None
             )
-            log.info(f"Sharded evaluation over {self.cfg.num_shards} "
+            n_eval = self._eval_mesh.shape[mesh_lib.DATA_AXIS]
+            log.info(f"Sharded evaluation over {n_eval} "
                      f"devices (beam decode + gold pass per shard)")
         # Multi-host lockstep (aocr/parallel/multihost.py): fixed per-host
         # batch shapes + dummy-batch epoch drain so every process issues
@@ -325,15 +340,15 @@ class Trainer:
             # are only fetched when the visualizer needs transcripts.
             from aocr.parallel import eval_parallel, mesh as mesh_lib
 
-            n = self.mesh.shape[mesh_lib.DATA_AXIS]
+            n = self._eval_mesh.shape[mesh_lib.DATA_AXIS]
             real_b, im, tg, te = eval_parallel.pad_rows(
                 n, self._images(batch), targets, targets_eval,
                 total_rows=self.local_bs if self._lockstep else None,
             )
             real_b = min(real_b, valid_rows)
             mask = (np.arange(im.shape[0]) < real_b).astype(np.float32)
-            im, tg, te, mk = mesh_lib.shard_batch(self.mesh, im, tg, te,
-                                                  mask)
+            im, tg, te, mk = mesh_lib.shard_batch(self._eval_mesh, im, tg,
+                                                  te, mask)
             out = self._eval_step(self.params, self.batch_stats, im, tg, te,
                                   self.trie_table, mk)
             nll = float(out.nll)
