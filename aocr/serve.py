@@ -78,17 +78,52 @@ class BatchingRecognizer:
         self.max_batch = max_batch
         self.ladder = sorted({n for n in (1, 8, 32, max_batch)
                               if n <= max_batch})
+        # Width ladder under -keep_aspect_ratio: each distinct image width
+        # is a distinct jitted program (a multi-second XLA compile on the
+        # batcher thread mid-traffic).  Mirroring the batch ladder, widths
+        # pad UP to a fixed set of steps (background-value padding on the
+        # right) so the warmed shapes cover all traffic.  None when the
+        # fixed-width preprocessing already yields one width.
+        self.width_ladder = None
+        if ocr.cfg.keep_aspect_ratio:
+            h = ocr.cfg.image_height
+            lo = max(int(h * ocr.cfg.min_aspect_ratio), 8)
+            hi = int(h * ocr.cfg.max_aspect_ratio)
+            steps = [lo]
+            while steps[-1] < hi:
+                steps.append(min(int(steps[-1] * 1.5), hi))
+            self.width_ladder = steps
         self.window_s = batch_window_ms / 1000.0
         self.max_queue = max_queue
         self.request_timeout_s = request_timeout_s
         self.q: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batched_rows": 0,
                       "padded_rows": 0, "errors": 0, "timeouts": 0,
-                      "rejected": 0}
+                      "rejected": 0, "draining": False}
+        self._latencies: list = []  # ring buffer of recent seconds
+        self._lat_cap = 4096
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        self._draining = threading.Event()
+        self._idle = threading.Event()  # set when queue drained + no batch
+        self._idle.set()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
+
+    def pad_width(self, img: np.ndarray) -> np.ndarray:
+        """Pad an (H, W) image's width up to the next width-ladder step
+        with the background value (255 pre-normalization), so aspect-ratio
+        widths hit only pre-compiled shapes."""
+        if self.width_ladder is None:
+            return img
+        w = img.shape[1]
+        for step in self.width_ladder:
+            if w <= step:
+                if w == step:
+                    return img
+                return np.pad(img, ((0, 0), (0, step - w)),
+                              constant_values=255.0)
+        return img  # wider than the ladder top (clamped upstream)
 
     def _pad_to(self, n: int) -> int:
         for step in self.ladder:
@@ -97,28 +132,65 @@ class BatchingRecognizer:
         return self.max_batch
 
     def warmup(self, beam_sizes):
-        """Pre-compile the decode for every (ladder batch size, beam size)
-        pair (call once at startup; the first compile of the full model can
-        take minutes, far longer than any sane request timeout — and an
-        un-warmed shape compiling on the single batcher thread would stall
-        every queued request past its timeout)."""
+        """Pre-compile the decode for every (ladder batch size, [width,]
+        beam size) combination (call once at startup; the first compile of
+        the full model can take minutes, far longer than any sane request
+        timeout — and an un-warmed shape compiling on the single batcher
+        thread would stall every queued request past its timeout)."""
         h = self.ocr.cfg.image_height
-        w = self.ocr.cfg.image_width
-        dummy = np.zeros((h, w), np.float32)
+        widths = self.width_ladder or [self.ocr.cfg.image_width]
         for beam in beam_sizes:
-            for n in self.ladder:
-                self.ocr.recognize([dummy] * n, beam_size=beam)
+            for w in widths:
+                dummy = np.zeros((h, w), np.float32)
+                for n in self.ladder:
+                    self.ocr.recognize([dummy] * n, beam_size=beam)
 
-    def close(self):
+    def snapshot_stats(self) -> dict:
+        """Point-in-time counters + latency percentiles (public accessor —
+        HTTP handlers must not reach into the internal lock)."""
+        with self._lock:
+            out = dict(self.stats)
+            lats = list(self._latencies)
+        out["draining"] = self._draining.is_set()
+        if lats:
+            arr = np.sort(np.asarray(lats, np.float64))
+            pick = lambda q: float(arr[min(int(q * len(arr)), len(arr) - 1)])
+            out["latency_s"] = {
+                "count": len(arr),
+                "p50": round(pick(0.50), 4),
+                "p90": round(pick(0.90), 4),
+                "p99": round(pick(0.99), 4),
+                "max": round(float(arr[-1]), 4),
+            }
+        return out
+
+    def drain(self, timeout_s: float = 60.0) -> bool:
+        """Graceful shutdown, phase 1: refuse new submits (callers get
+        QueueFull -> 429/503), let the batcher finish everything already
+        queued.  Returns True when the queue fully drained."""
+        self._draining.set()
+        with self._lock:
+            self.stats["draining"] = True
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if self.q.empty() and self._idle.is_set():
+                return True
+            time.sleep(0.02)
+        return False
+
+    def close(self, drain_timeout_s: float = 0.0):
+        if drain_timeout_s > 0:
+            self.drain(drain_timeout_s)
         self._stop.set()
         self._thread.join(timeout=5)
 
     def submit(self, image: np.ndarray, beam_size: int) -> _Pending:
-        if self.q.qsize() >= self.max_queue:
+        if self._draining.is_set() or self.q.qsize() >= self.max_queue:
             with self._lock:
                 self.stats["rejected"] += 1
             raise QueueFull()
-        p = _Pending(image, beam_size)
+        t0 = time.monotonic()
+        p = _Pending(self.pad_width(image), beam_size)
         with self._lock:
             self.stats["requests"] += 1
         self.q.put(p)
@@ -133,9 +205,13 @@ class BatchingRecognizer:
                     p.cancelled = True
                     p.error = "timeout"
                     self.stats["timeouts"] += 1
+        with self._lock:
+            self._latencies.append(time.monotonic() - t0)
+            if len(self._latencies) > self._lat_cap:
+                del self._latencies[: self._lat_cap // 2]
         return p
 
-    def _drain(self) -> list:
+    def _drain_queue(self) -> list:
         """Block for one request, then collect until max_batch or the
         batching window closes."""
         try:
@@ -156,9 +232,11 @@ class BatchingRecognizer:
 
     def _run(self):
         while not self._stop.is_set():
-            batch = [p for p in self._drain() if not p.cancelled]
+            batch = [p for p in self._drain_queue() if not p.cancelled]
             if not batch:
+                self._idle.set()
                 continue
+            self._idle.clear()
             by_beam: dict = {}
             for p in batch:
                 by_beam.setdefault(p.beam_size, []).append(p)
@@ -207,8 +285,7 @@ def make_handler(recognizer: BatchingRecognizer, cfg: Config,
                 self._json(200, {"status": "ok",
                                  "model_params": True})
             elif self.path.startswith("/stats"):
-                with recognizer._lock:
-                    self._json(200, dict(recognizer.stats))
+                self._json(200, recognizer.snapshot_stats())
             else:
                 self._json(404, {"error": "not found"})
 
@@ -248,7 +325,10 @@ def make_handler(recognizer: BatchingRecognizer, cfg: Config,
             try:
                 p = recognizer.submit(img, beam)
             except QueueFull:
-                self._json(429, {"error": "queue full, retry later"})
+                if recognizer._draining.is_set():
+                    self._json(503, {"error": "server draining"})
+                else:
+                    self._json(429, {"error": "queue full, retry later"})
                 return
             if p.error is not None:
                 self._json(500, {"error": p.error})
@@ -290,6 +370,26 @@ def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
         server_box.append((httpd, recognizer))
     print(f"serving {model_dir} on {host}:{httpd.server_address[1]} "
           f"(max_batch={max_batch}, window={batch_window_ms}ms)")
+
+    # Graceful drain on SIGTERM/SIGINT: refuse new work (503), let the
+    # batcher flush everything queued (in-flight handlers get their
+    # results), then stop the accept loop.  Signal handlers only install
+    # on the main thread (tests run serve() on a worker thread).
+    import signal
+    import threading as _threading
+
+    def _graceful(signum, _frame):
+        print(f"signal {signum}: draining ...", flush=True)
+
+        def _worker():
+            recognizer.drain(timeout_s=request_timeout_s)
+            httpd.shutdown()
+
+        _threading.Thread(target=_worker, daemon=True).start()
+
+    if _threading.current_thread() is _threading.main_thread():
+        signal.signal(signal.SIGTERM, _graceful)
+        signal.signal(signal.SIGINT, _graceful)
     if ready_event is not None:
         ready_event.set()
     try:

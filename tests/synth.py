@@ -36,22 +36,71 @@ def render_word(label: str, height: int = 32, width: int = 100) -> np.ndarray:
     return img
 
 
+def distort(
+    img: np.ndarray,
+    rng: np.random.RandomState,
+    max_shift: int = 2,
+    max_shear: float = 0.15,
+    noise_std: float = 12.0,
+    blur: bool = True,
+) -> np.ndarray:
+    """Degrade a clean render: affine jitter (x/y shift + shear), additive
+    Gaussian noise, optional 3x3 box blur.  Models the gap between the
+    deterministic synthetic renders and noisy real-world crops (the r2
+    verdict's missing generalization evidence)."""
+    h, w = img.shape
+    out = img
+    # shear: per-row horizontal offset proportional to row index
+    shear = rng.uniform(-max_shear, max_shear)
+    if abs(shear) > 1e-6:
+        rows = []
+        for y in range(h):
+            off = int(round(shear * (y - h / 2)))
+            rows.append(np.roll(out[y], off))
+        out = np.stack(rows)
+    # translation jitter
+    dx = rng.randint(-max_shift, max_shift + 1)
+    dy = rng.randint(-max_shift, max_shift + 1)
+    out = np.roll(np.roll(out, dy, axis=0), dx, axis=1)
+    # blur then noise
+    if blur:
+        k = np.ones((3, 3), np.float32) / 9.0
+        padded = np.pad(out, 1, mode="edge")
+        out = sum(
+            padded[a:a + h, b:b + w] * k[a, b]
+            for a in range(3) for b in range(3)
+        )
+    if noise_std > 0:
+        out = out + rng.normal(0.0, noise_std, out.shape)
+    return np.clip(out, 0.0, 255.0).astype(np.float32)
+
+
 def make_dataset(
     tmpdir: str,
     labels: Sequence[str],
     manifest_name: str = "train.txt",
     height: int = 32,
     width: int = 100,
+    distort_rng: np.random.RandomState = None,
+    copies: int = 1,
 ) -> Tuple[str, List[str]]:
-    """Write .npy images + manifest into tmpdir.  Returns (manifest, paths)."""
+    """Write .npy images + manifest into tmpdir.  Returns (manifest, paths).
+
+    With distort_rng set, each of `copies` instances per label is an
+    independently distorted render (affine jitter + noise + blur)."""
     os.makedirs(os.path.join(tmpdir, "images"), exist_ok=True)
     paths = []
     lines = []
     for i, label in enumerate(labels):
-        rel = f"images/{i:04d}_{label}.npy"
-        np.save(os.path.join(tmpdir, rel), render_word(label, height, width))
-        paths.append(rel)
-        lines.append(f"{rel} {label}")
+        clean = render_word(label, height, width)
+        for c in range(copies):
+            rel = (f"images/{i:04d}_{label}.npy" if copies == 1
+                   else f"images/{i:04d}_{c}_{label}.npy")
+            img = (distort(clean, distort_rng) if distort_rng is not None
+                   else clean)
+            np.save(os.path.join(tmpdir, rel), img)
+            paths.append(rel)
+            lines.append(f"{rel} {label}")
     manifest = os.path.join(tmpdir, manifest_name)
     with open(manifest, "w") as f:
         f.write("\n".join(lines) + "\n")

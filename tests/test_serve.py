@@ -79,11 +79,14 @@ def test_recognize_and_batching(server):
         assert payload["score"] <= 0.0
     # batching actually coalesced rows: every request went through a batch,
     # and with an 80 ms window the 6 concurrent posts needed fewer batches
-    with recognizer._lock:
-        stats = dict(recognizer.stats)
+    stats = recognizer.snapshot_stats()
     assert stats["requests"] >= len(words)
     assert stats["batched_rows"] >= len(words)
     assert stats["batches"] < stats["batched_rows"]
+    # latency percentiles accumulate (public accessor, no lock reaching)
+    lat = stats["latency_s"]
+    assert lat["count"] >= len(words)
+    assert 0 <= lat["p50"] <= lat["p99"] <= lat["max"]
 
 
 def test_health_stats_and_errors(server):
@@ -109,3 +112,82 @@ def test_health_stats_and_errors(server):
         urllib.request.urlopen(req, timeout=30)
     assert e2.value.code == 400
     assert json.loads(e2.value.read())["allowed"] == [1, 2]
+
+def test_stats_endpoint_has_percentiles(server):
+    base, _ = server
+    with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+        snap = json.loads(r.read())
+    assert "latency_s" in snap and "p99" in snap["latency_s"]
+    assert snap["draining"] is False
+
+
+def test_graceful_drain_flushes_queue_then_rejects(tmp_path):
+    """SIGTERM semantics (recognizer.drain): everything already queued is
+    decoded and returned; new submits are refused."""
+    from aocr.serve import BatchingRecognizer, QueueFull
+
+    ocr = AttentionOCR.create(CFG)
+    rec = BatchingRecognizer(ocr, max_batch=8, batch_window_ms=50.0,
+                             request_timeout_s=120.0)
+    try:
+        rec.warmup([1])
+        img = synth.render_word("ab", 32, 32).astype(np.float32)
+        results = []
+        threads = [
+            threading.Thread(target=lambda: results.append(
+                rec.submit(img, 1)))
+            for _ in range(5)
+        ]
+        for t in threads:
+            t.start()
+        assert rec.drain(timeout_s=60.0), "queue did not drain"
+        for t in threads:
+            t.join(timeout=60)
+        assert len(results) == 5
+        assert all(p.error is None and isinstance(p.text, str)
+                   for p in results)
+        with pytest.raises(QueueFull):
+            rec.submit(img, 1)
+        assert rec.snapshot_stats()["draining"] is True
+    finally:
+        rec.close()
+
+
+def test_width_ladder_under_keep_aspect_ratio():
+    """-keep_aspect_ratio serving pads widths up to a fixed ladder so only
+    pre-compiled shapes are ever decoded (no mid-traffic XLA compile)."""
+    from aocr.serve import BatchingRecognizer
+
+    cfg = CFG.replace(keep_aspect_ratio=True)
+    ocr = AttentionOCR.create(cfg)
+    rec = BatchingRecognizer(ocr, max_batch=4)
+    try:
+        ladder = rec.width_ladder
+        assert ladder is not None and ladder[0] >= 8
+        assert ladder[-1] == int(cfg.image_height * cfg.max_aspect_ratio)
+        # strictly increasing, bounded fan-out
+        assert all(a < b for a, b in zip(ladder, ladder[1:]))
+        assert len(ladder) < 12
+        img = np.zeros((32, 33), np.float32)
+        padded = rec.pad_width(img)
+        assert padded.shape[1] in ladder and padded.shape[1] >= 33
+        # exact ladder width passes through unchanged
+        img2 = np.zeros((32, ladder[1]), np.float32)
+        assert rec.pad_width(img2) is img2
+        # padding is background-colored (255 pre-normalization)
+        assert (padded[:, 33:] == 255.0).all()
+    finally:
+        rec.close()
+
+
+def test_fixed_width_has_no_ladder():
+    from aocr.serve import BatchingRecognizer
+
+    ocr = AttentionOCR.create(CFG)
+    rec = BatchingRecognizer(ocr, max_batch=4)
+    try:
+        assert rec.width_ladder is None
+        img = np.zeros((32, 33), np.float32)
+        assert rec.pad_width(img) is img
+    finally:
+        rec.close()

@@ -107,13 +107,20 @@ def main():
             g = wgrad9(x, dy, kh, kw, pad, in_c, out_c)
             return c + g.sum() * 1e-9
 
-        t_f = measure(jax.jit(f_fwd), jnp.float32(0), rep=10, floor_ms=floor)
-        t_d = measure(jax.jit(f_dgrad), jnp.float32(0), rep=10,
-                      floor_ms=floor)
-        t_w = measure(jax.jit(f_wgrad), jnp.float32(0), rep=10,
-                      floor_ms=floor)
-        t_w9 = measure(jax.jit(f_wgrad9), jnp.float32(0), rep=10,
-                       floor_ms=floor)
+        probes = os.environ.get("AOCR_CONV_PROBES", "fwd,dgrad,wgrad,wgrad9")
+        t_f = t_d = t_w = t_w9 = float("nan")
+        if "fwd" in probes:
+            t_f = measure(jax.jit(f_fwd), jnp.float32(0), rep=10,
+                          floor_ms=floor)
+        if "dgrad" in probes:
+            t_d = measure(jax.jit(f_dgrad), jnp.float32(0), rep=10,
+                          floor_ms=floor)
+        if "wgrad9" in probes:
+            t_w9 = measure(jax.jit(f_wgrad9), jnp.float32(0), rep=10,
+                           floor_ms=floor)
+        if "wgrad" in probes:
+            t_w = measure(jax.jit(f_wgrad), jnp.float32(0), rep=10,
+                          floor_ms=floor)
         results.append((name, gf, t_f, t_d, t_w, t_w9))
         print(f"{name}: {gf:6.1f} GF | fwd {t_f:6.2f} ms ({gf/t_f:6.1f} TF/s)"
               f" | dgrad {t_d:6.2f} ({gf/t_d:6.1f}) | wgrad {t_w:6.2f} "

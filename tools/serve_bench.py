@@ -99,13 +99,24 @@ def main(argv=None):
     for t in threads:
         t.join()
     dt = time.perf_counter() - t0
-    with rec._lock:
-        stats = dict(rec.stats)
+    stats = rec.snapshot_stats()
+    lat = stats.pop("latency_s", {})
+    # graceful drain: refuse new work, flush the queue, then stop — the
+    # SIGTERM path (serve._graceful) exercised end to end
+    drained = rec.drain(timeout_s=30.0)
     httpd.shutdown()
     print(f"{len(ok)} ok / {len(errors)} errors in {dt:.2f}s = "
-          f"{len(ok) / dt:.0f} req/s; server stats: {stats}")
+          f"{len(ok) / dt:.0f} req/s; drained={drained}; "
+          f"server stats: {stats}")
+    if lat:
+        print(f"latency p50={lat.get('p50')}s p90={lat.get('p90')}s "
+              f"p99={lat.get('p99')}s max={lat.get('max')}s "
+              f"(n={lat.get('count')})")
     if errors:
         print("sample errors:", errors[:3])
+        return 1
+    if not drained:
+        print("WARNING: queue did not drain within 30s")
         return 1
     return 0
 
