@@ -221,9 +221,6 @@ class Trainer:
                 "-multihost requires -num_shards > 1 (the data mesh spans "
                 "every host's chips)"
             )
-            assert self.cfg.num_model_shards == 1, (
-                "-multihost eval does not compose with -num_model_shards yet"
-            )
             assert not self.cfg.keep_aspect_ratio, (
                 "-multihost requires fixed-width batches "
                 "(keep_aspect_ratio=False)"
@@ -238,6 +235,13 @@ class Trainer:
             assert (self.local_bs * pc) % self.cfg.num_shards == 0, (
                 f"global rows {self.local_bs * pc} not divisible by "
                 f"num_shards {self.cfg.num_shards}"
+            )
+            # eval shards over ALL nd*nm devices (flat mesh): global rows
+            # must divide that too when TP is on
+            n_eval = self.cfg.num_shards * self.cfg.num_model_shards
+            assert (self.local_bs * pc) % n_eval == 0, (
+                f"global rows {self.local_bs * pc} not divisible by the "
+                f"{n_eval}-device eval mesh (num_shards x num_model_shards)"
             )
             log.info(f"Multi-host lockstep: process {jax.process_index()}/"
                      f"{pc}, {self.local_bs} rows/host/step")

@@ -130,10 +130,10 @@ _WORKER = textwrap.dedent("""
         "-batch_size", "4", "-num_batches_val", "1",
         "-encoder_num_hidden", "16", "-target_embedding_size", "8",
         "-max_decoder_l", "8", "-image_width", "32", "-input_feed",
-        "-num_shards", "4", "-multihost",
+        "-multihost",
         "-phase", "train", "-num_epochs", "1",
         "-steps_per_checkpoint", "2",
-    ])
+    ] + sys.argv[4:])
     print(f"WORKER{pid} DONE")
 """)
 
@@ -158,7 +158,8 @@ def test_two_process_distributed_train(tmp_path):
     env["PYTHONPATH"] = ROOT
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), port, d],
+            [sys.executable, str(script), str(i), port, d,
+             "-num_shards", "4"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=ROOT,
         )
@@ -186,6 +187,61 @@ def test_two_process_distributed_train(tmp_path):
     assert "Multi-host lockstep: process 0/2, 2 rows/host/step" in log0
     assert "Multi-host lockstep: process 1/2, 2 rows/host/step" in log1
     # both hosts saw the same global val accuracy line
+    import re
+
+    acc0 = re.findall(r"Val Accuracy = ([\d.]+)", log0)
+    acc1 = re.findall(r"Val Accuracy = ([\d.]+)", log1)
+    assert acc0 and acc0 == acc1
+
+
+def test_two_process_distributed_tp_train(tmp_path):
+    """Multi-host DP x TP: 2 jax.distributed processes over a (2, 2)
+    (data, model) mesh — TP pairs land within one process, DP crosses
+    hosts.  Validates the r2 assert lift: GSPMD TP training + the flat
+    4-device eval mesh both compose with -multihost."""
+    d = str(tmp_path)
+    labels = ["ab", "cd", "ef", "gh", "ij", "kl", "mn"]  # uneven shards
+    synth.make_dataset(d, labels, "train.txt", width=32)
+    synth.make_dataset(d, labels[:4], "val.txt", width=32)
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORM_NAME", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = ROOT
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), port, d,
+             "-num_shards", "2", "-num_model_shards", "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=ROOT,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed TP workers timed out\n"
+                    + "\n".join(o or "" for o in outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"TP worker {i} failed:\n{out}"
+        assert f"WORKER{i} DONE" in out
+    from aocr import checkpoint
+
+    assert checkpoint.try_load_final(os.path.join(d, "model")) is not None
+    log0 = open(os.path.join(d, "log0.txt")).read()
+    log1 = open(os.path.join(d, "log1.txt")).read()
+    assert "DP x TP training over a 2x2 (data, model) mesh" in log0
+    assert "Sharded evaluation over 4 devices" in log0
     import re
 
     acc0 = re.findall(r"Val Accuracy = ([\d.]+)", log0)

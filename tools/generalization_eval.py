@@ -18,7 +18,9 @@ Writes results to stdout; paste the table into docs/performance.md.
 
 Usage: python tools/generalization_eval.py [workdir]
   env: AOCR_GEN_WORDS_A (default 2000), AOCR_GEN_WORDS_B (500),
-       AOCR_GEN_EPOCHS (default 150), AOCR_GEN_COPIES (3)
+       AOCR_GEN_EPOCHS (default 150), AOCR_GEN_COPIES (3),
+       AOCR_GEN_PHASE (all | train | test — train resumes from the last
+       checkpoint, so long runs can be chunked)
 """
 
 import os
@@ -66,6 +68,7 @@ def main():
     n_b = int(os.environ.get("AOCR_GEN_WORDS_B", 500))
     epochs = int(os.environ.get("AOCR_GEN_EPOCHS", 150))
     copies = int(os.environ.get("AOCR_GEN_COPIES", 3))
+    phase = os.environ.get("AOCR_GEN_PHASE", "all")
     rng = np.random.RandomState(20260817)
 
     from tests import synth
@@ -76,13 +79,15 @@ def main():
           f"|B|={len(lex_b)} unseen eval words, {copies} distorted "
           f"copies each", flush=True)
 
-    synth.make_dataset(work, lex_a, "train.txt", distort_rng=rng,
-                       copies=copies)
-    # small clean-ish val set from A (held-out distortions) to drive LR decay
-    synth.make_dataset(work, lex_a[:300], "val.txt", distort_rng=rng)
-    synth.make_dataset(work, lex_b, "test_b.txt", distort_rng=rng)
-    with open(os.path.join(work, "dict.txt"), "w") as f:
-        f.write("\n".join(sorted(lex_a + lex_b)) + "\n")
+    # dict.txt is written last: its presence marks a complete dataset build
+    if not os.path.exists(os.path.join(work, "dict.txt")):
+        synth.make_dataset(work, lex_a, "train.txt", distort_rng=rng,
+                           copies=copies)
+        # held-out distortions of A words drive LR decay
+        synth.make_dataset(work, lex_a[:300], "val.txt", distort_rng=rng)
+        synth.make_dataset(work, lex_b, "test_b.txt", distort_rng=rng)
+        with open(os.path.join(work, "dict.txt"), "w") as f:
+            f.write("\n".join(sorted(lex_a + lex_b)) + "\n")
 
     mdir = os.path.join(work, "model")
     common = [
@@ -90,14 +95,17 @@ def main():
         "-batch_size", "256", "-input_feed",
         "-compute_dtype", "bfloat16",
     ]
-    print("training ...", flush=True)
-    run_phase(common + [
-        "-phase", "train", "-data_path", "train.txt",
-        "-val_data_path", "val.txt", "-num_epochs", str(epochs),
-        "-steps_per_checkpoint", "200",
-        "-log_path", os.path.join(work, "train_log.txt"),
-        "-num_batches_val", "2",
-    ])
+    if phase in ("all", "train"):
+        print(f"training {epochs} epochs ...", flush=True)
+        run_phase(common + [
+            "-phase", "train", "-data_path", "train.txt",
+            "-val_data_path", "val.txt", "-num_epochs", str(epochs),
+            "-steps_per_checkpoint", "200", "-load_model",
+            "-log_path", os.path.join(work, "train_log.txt"),
+            "-num_batches_val", "2",
+        ])
+    if phase == "train":
+        return
 
     rows = []
     for name, extra in [

@@ -78,8 +78,11 @@ def main():
             rows.append(jnp.stack(cols))
         return jnp.stack(rows)  # (kh, kw, in_c, out_c)
 
+    layer_filter = os.environ.get("AOCR_CONV_LAYERS")
     results = []
     for name, in_c, out_c, kh, kw, pad, ih, iw in shapes:
+        if layer_filter and name not in layer_filter.split(","):
+            continue
         x = jnp.asarray(rng.uniform(-1, 1, (B, ih, iw, in_c)), cd)
         wgt = jnp.asarray(rng.uniform(-0.05, 0.05, (kh, kw, in_c, out_c)), cd)
         oh = ih if pad == "SAME" else ih - kh + 1
@@ -87,40 +90,43 @@ def main():
         dy = jnp.asarray(rng.uniform(-1, 1, (B, oh, ow, out_c)), cd)
         gf = 2.0 * kh * kw * in_c * out_c * oh * ow * B / 1e9
 
-        def f_fwd(c, x=x, wgt=wgt, pad=pad):
-            return c + conv(x, wgt, pad).astype(jnp.float32).sum() * 1e-9
+        # Every probe maps x -> x + tiny(g): the NEXT repetition's input
+        # depends on this one's result, so XLA's loop-invariant code
+        # motion cannot hoist the work out of the repeat scan (a
+        # scalar-only carry measured ~0 ms: the gradient computation was
+        # hoisted and ran once).
+        def f_fwd(x, wgt=wgt, pad=pad):
+            s = conv(x, wgt, pad).astype(jnp.float32).sum()
+            return x + (s * 1e-20).astype(x.dtype)
 
-        def f_dgrad(c, x=x, wgt=wgt, pad=pad, dy=dy):
+        def f_dgrad(x, wgt=wgt, pad=pad, dy=dy):
             g = jax.grad(
                 lambda xx: (conv(xx, wgt, pad) * dy).astype(jnp.float32).sum()
             )(x)
-            return c + g.astype(jnp.float32).sum() * 1e-9
+            return x + (g.astype(jnp.float32).sum() * 1e-20).astype(x.dtype)
 
-        def f_wgrad(c, x=x, wgt=wgt, pad=pad, dy=dy):
+        def f_wgrad(x, wgt=wgt, pad=pad, dy=dy):
             g = jax.grad(
                 lambda ww: (conv(x, ww, pad) * dy).astype(jnp.float32).sum()
             )(wgt)
-            return c + g.astype(jnp.float32).sum() * 1e-9
+            return x + (g.astype(jnp.float32).sum() * 1e-20).astype(x.dtype)
 
-        def f_wgrad9(c, x=x, dy=dy, kh=kh, kw=kw, pad=pad, in_c=in_c,
+        def f_wgrad9(x, dy=dy, kh=kh, kw=kw, pad=pad, in_c=in_c,
                      out_c=out_c):
             g = wgrad9(x, dy, kh, kw, pad, in_c, out_c)
-            return c + g.sum() * 1e-9
+            return x + (g.sum() * 1e-20).astype(x.dtype)
 
         probes = os.environ.get("AOCR_CONV_PROBES", "fwd,dgrad,wgrad,wgrad9")
+        floor = dispatch_floor_ms()  # re-measured per layer: RTT drifts
         t_f = t_d = t_w = t_w9 = float("nan")
         if "fwd" in probes:
-            t_f = measure(jax.jit(f_fwd), jnp.float32(0), rep=10,
-                          floor_ms=floor)
+            t_f = measure(jax.jit(f_fwd), x, rep=10, floor_ms=floor)
         if "dgrad" in probes:
-            t_d = measure(jax.jit(f_dgrad), jnp.float32(0), rep=10,
-                          floor_ms=floor)
+            t_d = measure(jax.jit(f_dgrad), x, rep=10, floor_ms=floor)
         if "wgrad9" in probes:
-            t_w9 = measure(jax.jit(f_wgrad9), jnp.float32(0), rep=10,
-                           floor_ms=floor)
+            t_w9 = measure(jax.jit(f_wgrad9), x, rep=10, floor_ms=floor)
         if "wgrad" in probes:
-            t_w = measure(jax.jit(f_wgrad), jnp.float32(0), rep=10,
-                          floor_ms=floor)
+            t_w = measure(jax.jit(f_wgrad), x, rep=10, floor_ms=floor)
         results.append((name, gf, t_f, t_d, t_w, t_w9))
         print(f"{name}: {gf:6.1f} GF | fwd {t_f:6.2f} ms ({gf/t_f:6.1f} TF/s)"
               f" | dgrad {t_d:6.2f} ({gf/t_d:6.1f}) | wgrad {t_w:6.2f} "
