@@ -21,18 +21,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def dispatch_floor_ms(iters: int = 10) -> float:
-    """Round-trip cost of dispatching + fetching a trivial program."""
+def dispatch_floor_ms(iters: int = 10, stat: str = "mean") -> float:
+    """Round-trip cost of dispatching + fetching a trivial program.
+    stat="min" pairs with measure(stat="min")."""
 
     @jax.jit
     def trivial(x):
         return x + 1.0
 
     np.asarray(trivial(jnp.float32(0)))
-    t0 = time.perf_counter()
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         np.asarray(trivial(jnp.float32(0)))
-    return (time.perf_counter() - t0) / iters * 1000
+        times.append((time.perf_counter() - t0) * 1000)
+    return min(times) if stat == "min" else sum(times) / len(times)
 
 
 def measure(
@@ -41,11 +44,17 @@ def measure(
     rep: int = 10,
     outer: int = 3,
     floor_ms: float | None = None,
+    stat: str = "mean",
 ) -> float:
     """True device time (ms) of one `fn(x)` call.
 
     fn must map a pytree x -> pytree of the same structure (its output is
     fed back as the next repetition's input, serializing the chain).
+
+    stat="min" takes the minimum over the outer iterations instead of the
+    mean — robust against tunnel-congestion spikes (RTT on this stack
+    drifts by several ms), at the cost of reporting best-case time.  For
+    sub-ms ops raise `rep` so the signal clears the RTT noise.
     """
     if floor_ms is None:
         floor_ms = dispatch_floor_ms()
@@ -59,8 +68,10 @@ def measure(
         return jax.tree.map(lambda a: a.sum(), out)
 
     np.asarray(jax.tree.leaves(rep_fn(x0))[0])  # compile + warm
-    t0 = time.perf_counter()
+    times = []
     for _ in range(outer):
+        t0 = time.perf_counter()
         np.asarray(jax.tree.leaves(rep_fn(x0))[0])
-    dt_ms = (time.perf_counter() - t0) / outer * 1000
+        times.append((time.perf_counter() - t0) * 1000)
+    dt_ms = min(times) if stat == "min" else sum(times) / len(times)
     return (dt_ms - floor_ms) / rep

@@ -117,16 +117,20 @@ def main():
             return x + (g.sum() * 1e-20).astype(x.dtype)
 
         probes = os.environ.get("AOCR_CONV_PROBES", "fwd,dgrad,wgrad,wgrad9")
-        floor = dispatch_floor_ms()  # re-measured per layer: RTT drifts
+        floor = dispatch_floor_ms(stat="min")  # re-measured per layer
         t_f = t_d = t_w = t_w9 = float("nan")
         if "fwd" in probes:
-            t_f = measure(jax.jit(f_fwd), x, rep=10, floor_ms=floor)
+            t_f = measure(jax.jit(f_fwd), x, rep=30, outer=5,
+                          floor_ms=floor, stat="min")
         if "dgrad" in probes:
-            t_d = measure(jax.jit(f_dgrad), x, rep=10, floor_ms=floor)
+            t_d = measure(jax.jit(f_dgrad), x, rep=30, outer=5,
+                          floor_ms=floor, stat="min")
         if "wgrad9" in probes:
-            t_w9 = measure(jax.jit(f_wgrad9), x, rep=10, floor_ms=floor)
+            t_w9 = measure(jax.jit(f_wgrad9), x, rep=30, outer=5,
+                           floor_ms=floor, stat="min")
         if "wgrad" in probes:
-            t_w = measure(jax.jit(f_wgrad), x, rep=10, floor_ms=floor)
+            t_w = measure(jax.jit(f_wgrad), x, rep=30, outer=5,
+                          floor_ms=floor, stat="min")
         results.append((name, gf, t_f, t_d, t_w, t_w9))
         print(f"{name}: {gf:6.1f} GF | fwd {t_f:6.2f} ms ({gf/t_f:6.1f} TF/s)"
               f" | dgrad {t_d:6.2f} ({gf/t_d:6.1f}) | wgrad {t_w:6.2f} "

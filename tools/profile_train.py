@@ -44,7 +44,7 @@ def main():
     tg, te = jnp.asarray(targets), jnp.asarray(targets_eval)
     print(f"B={B} T={tg.shape[1]}", flush=True)
 
-    floor = dispatch_floor_ms()
+    floor = dispatch_floor_ms(stat="min")
     print(f"floor {floor:.1f} ms", flush=True)
 
     from bench import flops_per_sample
@@ -59,25 +59,30 @@ def main():
         return sum(jnp.sum(v.astype(jnp.float32)) for v in jax.tree.leaves(g))
 
     def make_probes():
-        def fwd_only(x):
+        # Every probe maps images -> images + tiny(result): the next
+        # repetition's input depends on this one's output, so XLA's
+        # while-loop invariant code motion cannot hoist the work out of
+        # the measurement scan (scalar-only carries got hoisted for
+        # single-conv probes; see tools/profile_conv.py).
+        def fwd_only(im):
             nll, _, _ = model.forward_loss(
-                ms.params, ms.batch_stats, images, tg, te, cfg, train=True,
+                ms.params, ms.batch_stats, im, tg, te, cfg, train=True,
                 dropout_rng=None)
-            return x + nll * 1e-12
+            return im + nll * 1e-20
 
-        def fwd_bwd(x):
+        def fwd_bwd(im):
             def loss(p):
                 nll, _, _ = model.forward_loss(
-                    p, ms.batch_stats, images, tg, te, cfg, train=True,
+                    p, ms.batch_stats, im, tg, te, cfg, train=True,
                     dropout_rng=None)
                 return nll / B
-            return x + gsum(jax.grad(loss)(ms.params)) * 1e-12
+            return im + gsum(jax.grad(loss)(ms.params)) * 1e-20
 
-        def fwd_bwd_decoder_only(x):
+        def fwd_bwd_decoder_only(im):
             # stop_gradient after encode: decoder/projector bwd only
             def loss(p):
                 ctx, dec_init, _ = model.encode(
-                    p, ms.batch_stats, images, cfg, train=True)
+                    p, ms.batch_stats, im, cfg, train=True)
                 ctx = jax.lax.stop_gradient(ctx)
                 dec_init = jax.lax.stop_gradient(dec_init)
                 cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
@@ -87,15 +92,15 @@ def main():
                     input_feed=cfg.input_feed, compute_dtype=cd)
                 lp = head.apply(p["projector"], h, compute_dtype=cd)
                 return loss_lib.nll_sum(lp, te) / B
-            return x + gsum(jax.grad(loss)(ms.params)) * 1e-12
+            return im + gsum(jax.grad(loss)(ms.params)) * 1e-20
 
-        def fwd_bwd_encoder_only(x):
+        def fwd_bwd_encoder_only(im):
             # loss on the encoder output: CNN+encoder fwd+bwd only
             def loss(p):
                 ctx, dec_init, _ = model.encode(
-                    p, ms.batch_stats, images, cfg, train=True)
+                    p, ms.batch_stats, im, cfg, train=True)
                 return jnp.sum(ctx.astype(jnp.float32)) / B
-            return x + gsum(jax.grad(loss)(ms.params)) * 1e-12
+            return im + gsum(jax.grad(loss)(ms.params)) * 1e-20
 
         return fwd_only, fwd_bwd, fwd_bwd_decoder_only, fwd_bwd_encoder_only
 
@@ -111,12 +116,16 @@ def main():
     for unroll in (1,) if os.environ.get("AOCR_PROF_NO_SWEEP") else (1, 2, 4):
         lstm.SCAN_UNROLL = unroll
         f, fb, fbd, fbe = make_probes()
-        t_f = measure(jax.jit(f), jnp.float32(0), rep=8, floor_ms=floor)
-        t_fb = measure(jax.jit(fb), jnp.float32(0), rep=8, floor_ms=floor)
-        t_fbd = measure(jax.jit(fbd), jnp.float32(0), rep=8, floor_ms=floor)
-        t_fbe = measure(jax.jit(fbe), jnp.float32(0), rep=8, floor_ms=floor)
+        t_f = measure(jax.jit(f), images, rep=8, outer=5, floor_ms=floor,
+                      stat="min")
+        t_fb = measure(jax.jit(fb), images, rep=8, outer=5, floor_ms=floor,
+                       stat="min")
+        t_fbd = measure(jax.jit(fbd), images, rep=8, outer=5,
+                        floor_ms=floor, stat="min")
+        t_fbe = measure(jax.jit(fbe), images, rep=8, outer=5,
+                        floor_ms=floor, stat="min")
         t_full = measure(full, (ms.params, ms.batch_stats, opt0), rep=8,
-                         floor_ms=floor)
+                         outer=5, floor_ms=floor, stat="min")
         mfu = B / t_full * 1000 * 3 * fwd_gf / 197e3
         print(f"unroll={unroll}: fwd {t_f:.2f} | fwd+bwd {t_fb:.2f} "
               f"(dec-only {t_fbd:.2f}, cnn+enc-only {t_fbe:.2f}) | "
