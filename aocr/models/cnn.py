@@ -136,9 +136,16 @@ def _batch_norm(
     else:
         mean, var = s["mean"], s["var"]
         new_s = s
+    # Normalize as ONE fused multiply-add in the compute dtype: the
+    # per-channel affine (a, b) is computed in f32 (tiny), then
+    # y = x*a + b runs without converting the big activation through f32
+    # — the f32 pointwise normalize chains were among the largest CNN ops
+    # in the train-step trace.  The reassociation (x - mean)*inv + bias ->
+    # x*inv + (bias - mean*inv) changes results only at rounding level.
     inv = lax.rsqrt(var + BN_EPS) * p["scale"]
-    y = (x.astype(jnp.float32) - mean) * inv + p["bias"]
-    return y.astype(x.dtype), new_s
+    a = inv.astype(x.dtype)
+    b = (p["bias"] - mean * inv).astype(x.dtype)
+    return x * a + b, new_s
 
 
 def apply(

@@ -208,6 +208,317 @@ def step(
     return new_state, h_tilde
 
 
+_TF_VJP_CACHE: dict = {}
+
+# Tests set this to run the Pallas decoder-backward kernel on CPU
+# (interpret mode); on TPU the kernel activates for bfloat16 compute.
+_PALLAS_TF_BWD_INTERPRET = False
+
+
+def _tf_core(num_layers: int, input_feed: bool, cd):
+    """Custom-VJP teacher-forced decoder scan for a static
+    (num_layers, input_feed, compute_dtype).
+
+    Why not plain autodiff (second attempt; the r2 one was cut): the
+    backward scan of the decoder carries every WEIGHT gradient — ~110 MB
+    of f32 accumulators (dWfh0, dWcat_l, dW_a, dW_c) read-modified-written
+    on every one of the T backward steps.  The train-step trace shows
+    those accumulator fusions (select_add on f32[1024,4096] /
+    [2048,1024] / [1024,1024] + the per-step bf16[2048,4096] outer
+    products) as the largest slice of the decoder backward.  Here the
+    backward scan carries only the recurrent cotangent chain
+    (dattn + per-layer dc/dh) and stacks per-step gate/attention
+    cotangents in the compute dtype; every weight gradient then comes
+    from one large batched matmul over the whole sequence.  Gate
+    activations, attention scores and context vectors are not stored —
+    they recompute from the stacked h sequences in batched matmuls
+    (same selective-remat trade as the encoder scan VJP,
+    aocr/ops/lstm._scan_custom).
+
+    The forward scan body is the exact computation teacher_forced's
+    autodiff path runs, so primal outputs are bit-identical.
+    """
+    from aocr.ops import lstm as lstm_ops
+    from aocr.ops.mm import einsum as mm_einsum, matmul as mm_matmul
+
+    key = (num_layers, input_feed, jnp.dtype(cd).name)
+    if key in _TF_VJP_CACHE:
+        return _TF_VJP_CACHE[key]
+
+    def fwd_scan(weights, xp, context, c0, h0, collect: bool):
+        wfh0 = weights["wfh0"]
+        B = c0.shape[0]
+        H = c0.shape[1]
+        zeros = jnp.zeros((B, H), c0.dtype)
+        state0 = DecoderState(
+            attn=zeros,
+            cs=(c0,) + tuple(zeros for _ in range(num_layers - 1)),
+            hs=(h0,) + tuple(zeros for _ in range(num_layers - 1)),
+        )
+
+        def body(state, xp_t):
+            if input_feed:
+                ah = jnp.concatenate(
+                    [state.attn.astype(cd), state.hs[0].astype(cd)], axis=-1
+                )
+            else:
+                ah = state.hs[0].astype(cd)
+            gates = xp_t + mm_matmul(ah, wfh0)
+            c0n, h0n, ifog0 = lstm_ops.gate_math_parts(gates, state.cs[0])
+            cs, hs, ifogs = [c0n], [h0n], [ifog0]
+            x = h0n
+            for li in range(1, num_layers):
+                w, bi_, bh_ = weights["rest"][li - 1]
+                xh = jnp.concatenate([x, state.hs[li]], axis=-1).astype(cd)
+                # + bi + bh separately: bit-identical to lstm.lstm_step
+                g = mm_matmul(xh, w) + bi_ + bh_
+                c, h, ifog = lstm_ops.gate_math_parts(g, state.cs[li])
+                cs.append(c)
+                hs.append(h)
+                ifogs.append(ifog)
+                x = h
+            # attention, inlined so alpha/cvec can be saved as residuals
+            # (same op sequence as attention(); bit-identical outputs)
+            query = mm_matmul(hs[-1].astype(cd), weights["wa"])
+            scores = mm_einsum("blh,bh->bl", context.astype(cd),
+                               query.astype(cd))
+            alpha = jax.nn.softmax(scores, axis=-1)
+            cvec = mm_einsum("bl,blh->bh", alpha.astype(cd),
+                             context.astype(cd))
+            cat = jnp.concatenate([cvec, hs[-1]], axis=-1)
+            h_tilde = jnp.tanh(mm_matmul(cat.astype(cd), weights["wc"]))
+            new_state = DecoderState(attn=h_tilde, cs=tuple(cs),
+                                     hs=tuple(hs))
+            if collect:
+                # residuals stacked by the scan: the backward pass reads
+                # them instead of recomputing (autodiff's residual trade)
+                out = (h_tilde, tuple(hs),
+                       tuple(jnp.concatenate(g4, axis=-1).astype(cd)
+                             for g4 in ifogs),
+                       tuple(c.astype(cd) for c in cs),
+                       alpha, cvec.astype(cd))
+            else:
+                out = h_tilde
+            return new_state, out
+
+        return lax.scan(body, state0, xp, unroll=lstm_ops.SCAN_UNROLL)
+
+    @jax.custom_vjp
+    def core(weights, xp, context, c0, h0):
+        _, h_tildes = fwd_scan(weights, xp, context, c0, h0, collect=False)
+        return h_tildes  # (T, B, H) scan-major
+
+    def fwd(weights, xp, context, c0, h0):
+        _, (h_tildes, hs_layers, ifog_seq, cs_cd, alpha_seq, cvec_cd) = \
+            fwd_scan(weights, xp, context, c0, h0, collect=True)
+        return h_tildes, (weights, xp, context, c0, h0, h_tildes, hs_layers,
+                          ifog_seq, cs_cd, alpha_seq, cvec_cd)
+
+    def bwd(res, dys):
+        (weights, xp, context, c0, h0, htl, hs_layers,
+         ifog_seq, cs_cd, alpha_seq, cvec_cd) = res
+        # htl: (T, B, H) h_tilde sequence; hs_layers: tuple over layers of
+        # (T, B, H); dys: (T, B, H) cotangent of the output sequence.
+        T, B, H = htl.shape
+        wfh0 = weights["wfh0"]
+        wa, wc = weights["wa"], weights["wc"]
+        f32 = jnp.float32
+        zeros = jnp.zeros((B, H), f32)
+
+        def shifted(seq, init):  # h_{l, t-1} sequence
+            return jnp.concatenate([init[None].astype(seq.dtype), seq[:-1]],
+                                   axis=0)
+
+        # ---- batched recompute of every per-step activation ----
+        h_prev = [shifted(hs_layers[0], h0)]
+        for li in range(1, num_layers):
+            h_prev.append(shifted(hs_layers[li], zeros))
+        htl_prev = shifted(htl, zeros)
+        if input_feed:
+            ah_seq = jnp.concatenate(
+                [htl_prev.astype(cd), h_prev[0].astype(cd)], axis=-1)
+        else:
+            ah_seq = h_prev[0].astype(cd)
+        xh_seqs = [ah_seq]
+        for li in range(1, num_layers):
+            xh = jnp.concatenate(
+                [hs_layers[li - 1].astype(cd), h_prev[li].astype(cd)],
+                axis=-1)
+            xh_seqs.append(xh)
+        # activations/cell states/alphas/cvecs come from the residual
+        # stacks saved by the forward scan (no recompute); only c_prev
+        # needs a shift
+        acts = []
+        cs_seq = list(cs_cd)
+        cprev_seq = []
+        for li in range(num_layers):
+            g4 = ifog_seq[li]
+            Hh = g4.shape[-1] // 4
+            acts.append((g4[..., :Hh], g4[..., Hh:2 * Hh],
+                         g4[..., 2 * Hh:3 * Hh], g4[..., 3 * Hh:]))
+            cinit = (c0 if li == 0 else zeros)
+            cprev_seq.append(shifted(cs_cd[li], cinit.astype(cs_cd[li].dtype)))
+        h_top_seq = hs_layers[-1]  # (T, B, H)
+        ctx_cd = context.astype(cd)
+        q_seq = mm_matmul(h_top_seq.astype(cd), wa)  # for dctx only
+        alpha = alpha_seq
+        cvec_seq = cvec_cd
+
+        use_kernel = bool(_PALLAS_TF_BWD_INTERPRET)
+        if (not use_kernel and cd == jnp.bfloat16
+                and jax.default_backend() == "tpu"):
+            from aocr.ops.pallas import tf_bwd as _tfb
+
+            use_kernel = _tfb.fits(context.shape[1], H, num_layers,
+                                   input_feed, jnp.dtype(cd).itemsize, T)
+        if use_kernel:
+            # Whole backward recurrence as one Pallas kernel: context +
+            # transposed weights VMEM-resident, carries in scratch,
+            # activation stacks streamed per (tile, reversed-step) —
+            # see ops/pallas/tf_bwd.py.
+            from aocr.ops.pallas import tf_bwd as _tfb
+
+            ifog_stacks = tuple(
+                jnp.concatenate(acts[li], axis=-1).astype(cd)
+                for li in range(num_layers))
+            (dxp_cd, dgates_rest, dht_seq, dq_seq, dcvec_seq, dscore_seq,
+             dc0_f, dh0_f) = _tfb.decoder_bwd_scan(
+                jnp.swapaxes(ctx_cd, 0, 1),
+                wfh0.T,
+                tuple(w.T for (w, _bi, _bh) in weights["rest"]),
+                wc.T, wa.T,
+                dys.astype(f32), htl.astype(f32), alpha.astype(f32),
+                ifog_stacks,
+                tuple(c.astype(cd) for c in cs_seq),
+                tuple(c.astype(cd) for c in cprev_seq),
+                input_feed,
+                interpret=_PALLAS_TF_BWD_INTERPRET,
+            )
+            dxp = dxp_cd
+        else:
+            dxp, dgates_rest, dht_seq, dq_seq, dcvec_seq, dscore_seq, \
+                dc0_f, dh0_f = _tf_bwd_scan_xla(
+                    weights, num_layers, input_feed, cd, ctx_cd, dys, htl,
+                    acts, cs_seq, cprev_seq, alpha, c0, zeros)
+        # ---- weight / bias / context grads: batched over the sequence ----
+        dweights = {"wfh0": None, "rest": [], "wa": None, "wc": None}
+        dweights["wfh0"] = mm_einsum("tbd,tbg->dg", ah_seq,
+                                     dxp.astype(cd))
+        for li in range(1, num_layers):
+            w, bi_, bh_ = weights["rest"][li - 1]
+            dw = mm_einsum("tbd,tbg->dg", xh_seqs[li], dgates_rest[li - 1])
+            db = jnp.sum(dgates_rest[li - 1].astype(f32), axis=(0, 1))
+            dweights["rest"].append((dw.astype(w.dtype),
+                                     db.astype(bi_.dtype),
+                                     db.astype(bh_.dtype)))
+        cat_seq = jnp.concatenate(
+            [cvec_seq.astype(cd), h_top_seq.astype(cd)], axis=-1)
+        dweights["wc"] = mm_einsum("tbd,tbh->dh", cat_seq,
+                                   dht_seq).astype(wc.dtype)
+        dweights["wa"] = mm_einsum("tbh,tbj->hj", h_top_seq.astype(cd),
+                                   dq_seq).astype(wa.dtype)
+        dweights["rest"] = tuple(dweights["rest"])
+        dctx = (
+            mm_einsum("tbl,tbh->blh", alpha.astype(cd), dcvec_seq)
+            + mm_einsum("tbl,tbh->blh", dscore_seq.astype(cd),
+                        q_seq.astype(cd))
+        ).astype(context.dtype)
+        return (dweights, dxp.astype(xp.dtype), dctx,
+                dc0_f.astype(c0.dtype), dh0_f.astype(h0.dtype))
+
+    core.defvjp(fwd, bwd)
+    _TF_VJP_CACHE[key] = core
+    return core
+
+
+def _tf_bwd_scan_xla(weights, num_layers, input_feed, cd, ctx_cd, dys, htl,
+                     acts, cs_seq, cprev_seq, alpha, c0, zeros):
+    """XLA lax.scan fallback for the decoder backward recurrence (float32
+    mode / non-TPU backends); gradient-exact vs autodiff.  Returns the same
+    stacks as ops/pallas/tf_bwd.decoder_bwd_scan."""
+    from aocr.ops.mm import einsum as mm_einsum, matmul as mm_matmul
+
+    f32 = jnp.float32
+    T, B, H = htl.shape
+    wfh0 = weights["wfh0"]
+    wa, wc = weights["wa"], weights["wc"]
+    dtanh = (1.0 - htl * htl).astype(f32)
+    wc_t = wc.astype(cd).T
+    wa_t = wa.astype(cd).T
+    wfh0_t = wfh0.T
+    rest_t = [w.T for (w, _bi, _bh) in weights["rest"]]
+
+    if True:
+        def body(carry, per_t):
+            dattn, dcs, dhs = carry
+            (dy_t, dtanh_t, alpha_t, per_layer) = per_t
+            dht = (dattn + dy_t) * dtanh_t  # d(pre-tanh) (B, H) f32
+            dcat = mm_matmul(dht.astype(cd), wc_t)  # (B, 2H)
+            dcvec = dcat[:, :H]
+            dtop = dcat[:, H:].astype(f32)
+            dalpha = mm_einsum("bh,blh->bl", dcvec.astype(cd), ctx_cd)
+            tmp = alpha_t * dalpha
+            dscore = tmp - alpha_t * jnp.sum(tmp, axis=-1, keepdims=True)
+            dq = mm_einsum("bl,blh->bh", dscore.astype(cd), ctx_cd)
+            dtop = dtop + mm_matmul(dq.astype(cd), wa_t).astype(f32)
+            new_dcs, new_dhs = list(dcs), list(dhs)
+            dgates_out = []
+            dx_above = None
+            for li in range(num_layers - 1, -1, -1):
+                i_t, f_t, o_t, g_t, c_t, cp_t = per_layer[li]
+                dh_l = dhs[li] + (dtop if li == num_layers - 1 else dx_above)
+                tc = jnp.tanh(c_t)
+                do = dh_l * tc
+                dc_l = dcs[li] + dh_l * o_t * (1.0 - tc * tc)
+                di = dc_l * g_t
+                dg = dc_l * i_t
+                df = dc_l * cp_t
+                new_dcs[li] = dc_l * f_t
+                dgates = jnp.concatenate([
+                    di * i_t * (1.0 - i_t),
+                    df * f_t * (1.0 - f_t),
+                    do * o_t * (1.0 - o_t),
+                    dg * (1.0 - g_t * g_t),
+                ], axis=-1)  # (B, 4H) f32
+                dgates_out.append(dgates)
+                if li > 0:
+                    dxh = mm_matmul(dgates.astype(cd), rest_t[li - 1])
+                    dx_above = dxh[:, :H].astype(f32)
+                    new_dhs[li] = dxh[:, H:].astype(f32)
+                else:
+                    dah = mm_matmul(dgates.astype(cd), wfh0_t)
+                    if input_feed:
+                        new_dattn = dah[:, :H].astype(f32)
+                        new_dhs[0] = dah[:, H:].astype(f32)
+                    else:
+                        new_dattn = jnp.zeros_like(dattn)
+                        new_dhs[0] = dah.astype(f32)
+            dgates_out.reverse()  # layer order 0..N-1
+            stacks = ((dgates_out[0],)  # f32: becomes dxp directly
+                      + tuple(dg.astype(cd) for dg in dgates_out[1:])
+                      + (dht.astype(cd), dq.astype(cd), dcvec.astype(cd),
+                         dscore))
+            return (new_dattn, tuple(new_dcs), tuple(new_dhs)), stacks
+
+        per_layer_seq = tuple(
+            (acts[li][0], acts[li][1], acts[li][2], acts[li][3],
+             cs_seq[li], cprev_seq[li])
+            for li in range(num_layers)
+        )
+        carry0 = (zeros, tuple(zeros for _ in range(num_layers)),
+                  tuple(zeros for _ in range(num_layers)))
+        (dattn_f, dcs_f, dhs_f), stacks = lax.scan(
+            body, carry0,
+            (dys.astype(f32), dtanh, alpha, per_layer_seq),
+            reverse=True,
+        )
+        dxp = stacks[0]  # (T, B, 4H) f32
+        dgates_rest = stacks[1:num_layers]
+        dht_seq, dq_seq, dcvec_seq, dscore_seq = stacks[num_layers:]
+        return (dxp, dgates_rest, dht_seq, dq_seq, dcvec_seq, dscore_seq,
+                dcs_f[0], dhs_f[0])
+
+
 def teacher_forced(
     params: dict,
     dec_init: Tuple[jax.Array, jax.Array],
@@ -222,6 +533,7 @@ def teacher_forced(
     compute_dtype=jnp.float32,
     remat: bool = False,
     simple: bool = False,
+    custom_grad: bool = True,
 ) -> jax.Array:
     """Teacher-forced decode over targets (B, T) -> h_tildes (B, T, H).
 
@@ -254,6 +566,28 @@ def teacher_forced(
 
     if dropout > 0.0 and train and dropout_rng is None:
         raise ValueError("dropout>0 in train mode requires dropout_rng")
+
+    use_custom = (
+        custom_grad and not remat and not simple and ctx_mask is None
+        and not (dropout > 0.0 and train)
+    )
+    if use_custom:
+        # Custom-VJP scan: identical forward, hand-written backward with
+        # weight gradients hoisted out of the backward loop (_tf_core).
+        core = _tf_core(num_layers, input_feed, cd)
+        wfh0 = wfh if input_feed else layer0["wh"].astype(cd)
+        rest = tuple(
+            (jnp.concatenate([l["wi"].astype(cd), l["wh"].astype(cd)],
+                             axis=0), l["bi"], l["bh"])
+            for l in params["layers"][1:]
+        )
+        weights = {
+            "wfh0": wfh0, "rest": rest,
+            "wa": params["w_a"].astype(cd), "wc": params["w_c"].astype(cd),
+        }
+        c0_init, h0_init = dec_init
+        h_tildes = core(weights, emb_proj, context, c0_init, h0_init)
+        return jnp.swapaxes(h_tildes, 0, 1)  # (B, T, H)
 
     def body(carry, inputs):
         state, rng = carry

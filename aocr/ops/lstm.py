@@ -49,6 +49,16 @@ def gate_math(
     gates: jax.Array, c_prev: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused 4H pre-activations -> (c', h').  gates: (..., 4H), c_prev: (..., H)."""
+    return gate_math_parts(gates, c_prev)[:2]
+
+
+def gate_math_parts(
+    gates: jax.Array, c_prev: jax.Array
+) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, ...]]:
+    """gate_math that also returns the gate activations (i, f, o, g) — the
+    decoder custom VJP saves them as residuals so its backward pass reads
+    instead of recomputes.  Same ops in the same order as before: (c', h')
+    are bit-identical to gate_math's."""
     i, f, o, g = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
@@ -56,7 +66,7 @@ def gate_math(
     g = jnp.tanh(g)
     c = f * c_prev + i * g
     h = o * jnp.tanh(c)
-    return c, h
+    return c, h, (i, f, o, g)
 
 
 def lstm_step(
