@@ -140,6 +140,12 @@ class Config:
     # (jax.checkpoint): trades recompute FLOPs for activation HBM — lets
     # batch size scale beyond what stored per-step activations allow.
     remat: bool = False
+    # Custom-VJP teacher-forced decoder scan (decoder._tf_core): weight
+    # gradients hoisted out of the backward loop + the backward recurrence
+    # as one Pallas kernel on TPU/bf16 (ops/pallas/tf_bwd.py).
+    # Gradient-parity-tested against autodiff; -no_decoder_custom_vjp
+    # reverts to the plain autodiff scan.
+    decoder_custom_vjp: bool = True
     # Number of data-parallel shards (devices along the "data" mesh axis).
     num_shards: int = 1
     # Number of tensor-parallel shards (devices along the "model" mesh
@@ -243,6 +249,7 @@ GEOMETRY_FIELDS = (
 
 _BOOL_FLAGS = {
     "simple_attention",
+    "decoder_custom_vjp",
     "nesterov",
     "allow_pickle_ckpt",
     "multihost",

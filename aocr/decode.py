@@ -159,7 +159,7 @@ def greedy_from_context(
     # (the kernels split wc at H on the sublane axis and tile (bt, H)
     # blocks); only H=1024 is hardware-validated.  Interpret-mode tests
     # run smaller H through the kernels on CPU.
-    use_fused = (cfg.use_pallas and not use_trie
+    use_fused = (cfg.use_pallas
                  and not cfg.simple_attention
                  and (context.shape[2] % 128 == 0
                       or _PALLAS_GREEDY_INTERPRET)
@@ -168,13 +168,19 @@ def greedy_from_context(
     if use_fused:
         # Preferred: the ENTIRE decode loop as one Pallas kernel — weights,
         # context, and decoder state VMEM-resident across all max_len steps,
-        # per-tile early exit (ops/pallas/greedy_loop.py).  Falls back to
-        # the per-step fused tail when the footprint would not fit VMEM.
+        # per-tile early exit (ops/pallas/greedy_loop.py).  Dictionary
+        # decoding stays in-kernel too: the dense trie transition table
+        # rides along VMEM-resident when it fits (typical lexicons; a
+        # Synth90k-scale trie falls back to the XLA path below).  Falls
+        # back to the per-step fused tail when the footprint would not fit
+        # VMEM (trie-free only).
         from aocr.ops.pallas import greedy_loop as _pgl
 
         H = context.shape[2]
         L = context.shape[1]
         vp = ((V + _pgl.LANE - 1) // _pgl.LANE) * _pgl.LANE
+        trie_bytes = (_pgl.trie_table_bytes(trie_table.shape[0], vp)
+                      if use_trie else 0)
         # 16 MB headroom under the 100 MB budget (same margin as
         # beam_step.fits_vmem): the estimate is exact for this kernel's
         # constant-index-map weights, but Mosaic retains freedom in
@@ -185,7 +191,7 @@ def greedy_from_context(
             and H % 128 == 0
             and _pgl.vmem_bytes(
                 L, H, max_len, cfg.decoder_num_layers, cfg.input_feed,
-                vp, vp, jnp.dtype(cd).itemsize,
+                vp, vp, jnp.dtype(cd).itemsize, trie_bytes,
             ) <= _pgl.VMEM_BUDGET - 16 * 1024 * 1024
         )
         if cfg.pallas_greedy == "loop" and not fits:
@@ -207,9 +213,11 @@ def greedy_from_context(
                 jnp.swapaxes(context, 0, 1), c0, h0, tables,
                 cfg.decoder_num_layers, cfg.input_feed, max_len,
                 interpret=_PALLAS_GREEDY_INTERPRET,
+                trie_table=trie_table if use_trie else None,
             )
             return labels, scores
 
+    use_fused = use_fused and not use_trie  # the per-step tail has no trie
     if use_fused:
         from aocr.ops.pallas import decode_step as _pds
 
@@ -414,7 +422,7 @@ def beam_from_context(
     H = context.shape[2]
     L = context.shape[1]
     use_fused_beam = (
-        cfg.use_pallas and not use_trie and not cfg.simple_attention
+        cfg.use_pallas and not cfg.simple_attention
         and (jax.default_backend() == "tpu" or _PALLAS_BEAM_INTERPRET)
         and H % 128 == 0
         # Measured on v5e (docs/performance.md): the fused tail wins at
@@ -468,17 +476,29 @@ def beam_from_context(
             )
             froz = (carry.prev_tokens == vocab.PAD) | (carry.prev_tokens == vocab.EOS)
             if use_fused_beam:
+                valid_plane = None
+                if use_trie:
+                    # validity plane from the dense trie table (cheap
+                    # (B, K)-row gather); masking + refill run in-kernel
+                    vp_k = pwb_pad.shape[1]
+                    child_ok = trie_table[carry.nodes] >= 0  # (B, K, V)
+                    ok = child_ok.at[:, :, vocab.PAD].set(True)
+                    okp = jnp.zeros((B, K, vp_k), jnp.float32)
+                    okp = okp.at[:, :, :V].set(ok.astype(jnp.float32))
+                    valid_plane = okp.reshape(B, K * vp_k)
                 # (B*K, H) is row-major identical to (B, K*H): no transpose
                 # at the kernel boundary.
-                htld, new_scores, parents, toks = _pbs.fused_beam_tail(
+                out_k = _pbs.fused_beam_tail(
                     ctx_lbh, h_top.reshape(B, K * H), carry.prev_tokens,
                     carry.scores, wab_cd, wcb_cd, pwb_pad, pbb_pad, K, V,
                     interpret=_PALLAS_BEAM_INTERPRET,
+                    valid=valid_plane,
                 )
+                htld, new_scores, parents, toks = out_k[:4]
                 st = decoder.DecoderState(
                     attn=htld.reshape(B * K, H), cs=cs, hs=hs
                 )
-                nvalid = None
+                nvalid = out_k[4] if use_trie else None
             else:
                 h_t = decoder.attention_grouped(
                     dec_params, h_top.reshape(B, K, -1), context, cd,

@@ -141,6 +141,7 @@ def loss_from_context(
         compute_dtype=cd,
         remat=cfg.remat,
         simple=cfg.simple_attention,
+        custom_grad=cfg.decoder_custom_vjp,
     )
     log_probs = head.apply(params["projector"], h_tildes, compute_dtype=cd)
     nll = loss_lib.nll_sum(log_probs, targets_eval)

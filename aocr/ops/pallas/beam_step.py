@@ -23,8 +23,13 @@ buffer in f32 — identical selection (including first-index tie-breaks)
 to lax.top_k.  Projector padding columns carry a -1e30 bias so they can
 never be selected.
 
-The trie-constrained path keeps the XLA tail (its validity masks and
-refill bookkeeping don't fit the single-tile shape).
+Trie-constrained decoding (r3): the XLA side gathers the per-beam
+validity mask (child_ok from the dense transition table — a cheap (B, K)
+row gather) and passes it in as a (B, K*Vp) 0/1 plane; the kernel applies
+it before the top-K and implements the reference's refill semantics
+in-place (fewer than K valid candidates -> duplicate the best one,
+model.lua:421-436,489-499), returning the per-row valid-candidate count
+for the refill warning bookkeeping.
 """
 
 from __future__ import annotations
@@ -62,9 +67,22 @@ def fits_vmem(L: int, H: int, K: int, V: int, itemsize: int) -> bool:
     return 2 * est <= VMEM_BUDGET - 16 * 1024 * 1024
 
 
-def _make_kernel(K: int, V: int):
-    def kernel(ctx_ref, h_ref, prev_ref, sc_ref, wa_ref, wc_ref, pw_ref,
-               pb_ref, htld_ref, nsc_ref, par_ref, tok_ref, buf_ref):
+def _make_kernel(K: int, V: int, use_trie: bool = False):
+    def kernel(*refs):
+        (ctx_ref, h_ref, prev_ref, sc_ref, wa_ref, wc_ref, pw_ref,
+         pb_ref) = refs[:8]
+        k = 8
+        valid_ref = None
+        if use_trie:
+            valid_ref = refs[k]
+            k += 1
+        htld_ref, nsc_ref, par_ref, tok_ref = refs[k:k + 4]
+        k += 4
+        nvalid_ref = None
+        if use_trie:
+            nvalid_ref = refs[k]
+            k += 1
+        buf_ref = refs[k]
         H = wa_ref.shape[0]
         vp = pw_ref.shape[-1]
         bt = h_ref.shape[0]
@@ -105,21 +123,43 @@ def _make_kernel(K: int, V: int):
             prev_k = prev_ref[:, k:k + 1]  # (bt, 1)
             frozen = (prev_k == vocab.PAD) | (prev_k == vocab.EOS)
             logp = jnp.where((col_v == vocab.PAD) & frozen, 0.0, logp)
-            buf_ref[:, k * vp:(k + 1) * vp] = sc_ref[:, k:k + 1] + logp
+            total_k = sc_ref[:, k:k + 1] + logp
+            if use_trie:
+                ok = valid_ref[:, k * vp:(k + 1) * vp]
+                total_k = jnp.where(ok > 0.0, total_k, jnp.float32(-1e30))
+            buf_ref[:, k * vp:(k + 1) * vp] = total_k
 
         # iterative top-K over (bt, K*vp): argmax + mask, K passes —
         # same first-index tie-break as lax.top_k
         col_kv = jax.lax.broadcasted_iota(jnp.int32, (bt, K * vp), 1)
+        NEG_HALF = jnp.float32(-5e29)  # the XLA tail's `<= NEG * 0.5` test
+        best0 = idx0 = None
+        nbad = jnp.zeros((bt,), jnp.int32) if use_trie else None
         for j in range(K):
             total = buf_ref[:]
             best = jnp.max(total, axis=-1)  # (bt,)
-            idx = jnp.argmax(total, axis=-1).astype(jnp.int32)
+            raw_idx = jnp.argmax(total, axis=-1).astype(jnp.int32)
+            idx = raw_idx
+            if use_trie:
+                # refill: fewer than K valid candidates -> duplicate the
+                # best one (reference model.lua:421-436,489-499; identical
+                # to decode._apply_trie_and_topk).  The mask-out below
+                # uses the RAW pick so successive passes walk distinct
+                # positions exactly like lax.top_k's first-index ordering.
+                if j == 0:
+                    best0, idx0 = best, idx
+                bad = best <= NEG_HALF
+                nbad = nbad + bad.astype(jnp.int32)
+                best = jnp.where(bad, best0, best)
+                idx = jnp.where(bad, idx0, idx)
             nsc_ref[:, j] = best
             par_ref[:, j] = idx // vp
             tok_ref[:, j] = idx % vp
             if j + 1 < K:
-                buf_ref[:] = jnp.where(col_kv == idx[:, None],
+                buf_ref[:] = jnp.where(col_kv == raw_idx[:, None],
                                        jnp.float32(-jnp.inf), total)
+        if use_trie:
+            nvalid_ref[:, 0] = K - nbad
 
     return kernel
 
@@ -136,10 +176,14 @@ def fused_beam_tail(
     K: int,
     V: int,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    valid: jax.Array = None,  # (B, K*Vp) 0/1 f32 trie validity plane
+) -> Tuple[jax.Array, ...]:
     """Returns (h_tilde (B, K*H) f32, new_scores (B, K) f32,
     parents (B, K) int32, tokens (B, K) int32) — exactly the quantities the
-    XLA beam tail produces (grouped attention -> ... -> lax.top_k)."""
+    XLA beam tail produces (grouped attention -> ... -> lax.top_k).  With
+    `valid` (trie constraints) a fifth element is appended: the per-row
+    valid-candidate count (B,) int32 for the refill warning bookkeeping."""
+    use_trie = valid is not None
     L, B0, H = context_lbh.shape
     if B0 <= B_TILE:
         bt = B0
@@ -154,12 +198,14 @@ def fused_beam_tail(
             # sliced away below, any selection is fine
             prev_tokens = jnp.pad(prev_tokens, ((0, pad), (0, 0)))
             scores = jnp.pad(scores, ((0, pad), (0, 0)))
+            if use_trie:
+                valid = jnp.pad(valid, ((0, pad), (0, 0)))
     B = B0 + pad
     vp = pw_padded.shape[1]
     dt = w_a.dtype
     grid = (B // bt,)
-    kernel = _make_kernel(K, V)
-    htld, nsc, par, tok = pl.pallas_call(
+    kernel = _make_kernel(K, V, use_trie)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -174,20 +220,22 @@ def fused_beam_tail(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, vp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, vp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((bt, K * vp), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)] if use_trie else []),
         out_specs=[
             pl.BlockSpec((bt, K * H), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)] if use_trie else []),
         out_shape=[
             jax.ShapeDtypeStruct((B, K * H), jnp.float32),
             jax.ShapeDtypeStruct((B, K), jnp.float32),
             jax.ShapeDtypeStruct((B, K), jnp.int32),
             jax.ShapeDtypeStruct((B, K), jnp.int32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((B, 1), jnp.int32)] if use_trie else []),
         scratch_shapes=[
             pltpu.VMEM((bt, K * vp), jnp.float32),
         ],
@@ -206,5 +254,10 @@ def fused_beam_tail(
         context_lbh, h_top_packed.astype(dt),
         prev_tokens.astype(jnp.int32), scores.astype(jnp.float32),
         w_a, w_c, pw_padded.astype(dt), pb_padded,
+        *((valid.astype(jnp.float32),) if use_trie else ()),
     )
+    htld, nsc, par, tok = outs[:4]
+    if use_trie:
+        return (htld[:B0], nsc[:B0], par[:B0], tok[:B0],
+                outs[4][:B0, 0])
     return htld[:B0], nsc[:B0], par[:B0], tok[:B0]

@@ -61,17 +61,25 @@ VMEM_BUDGET = 100 * 1024 * 1024
 
 
 def _make_kernel(num_layers: int, input_feed: bool, T: int, V: int,
-                 b0: int, bt: int):
-    """Build the kernel body for a static (layers, input_feed, T) shape."""
+                 b0: int, bt: int, use_trie: bool = False):
+    """Build the kernel body for a static (layers, input_feed, T[, trie])
+    shape."""
 
     def kernel(*refs):
         (ctx_ref, c0_ref, h0_ref, eg_ref, wfh0_ref) = refs[:5]
         layer_refs = refs[5:5 + 2 * (num_layers - 1)]
         wa_ref, wc_ref, pw_ref, pb_ref = refs[5 + 2 * (num_layers - 1):
                                               9 + 2 * (num_layers - 1)]
-        tok_ref, score_ref = refs[9 + 2 * (num_layers - 1):
-                                  11 + 2 * (num_layers - 1)]
-        attn_scr, c_scr, h_scr, prev_scr = refs[11 + 2 * (num_layers - 1):]
+        k = 9 + 2 * (num_layers - 1)
+        trie_ref = None
+        if use_trie:
+            trie_ref = refs[k]
+            k += 1
+        tok_ref, score_ref = refs[k:k + 2]
+        attn_scr, c_scr, h_scr, prev_scr = refs[k + 2:k + 6]
+        node_scr = None
+        if use_trie:
+            node_scr = refs[k + 6]
 
         i = pl.program_id(0)
         H = h0_ref.shape[-1]
@@ -93,6 +101,8 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, V: int,
         # the tile alive; real rows start from GO (neither PAD nor EOS).
         row = jax.lax.broadcasted_iota(jnp.int32, (bt, 1), 0) + i * bt
         prev_scr[:] = jnp.where(row < b0, vocab.GO, vocab.PAD)
+        if use_trie:
+            node_scr[:] = jnp.zeros((bt, 1), jnp.int32)  # root
 
         lane_t = jax.lax.broadcasted_iota(jnp.int32, (bt, T), 1)
         col_v = jax.lax.broadcasted_iota(jnp.int32, (bt, vp), 1)
@@ -165,8 +175,36 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, V: int,
                 )
                 logp = logits - lse  # (bt, Vp) f32
                 logp = jnp.where((col_v == vocab.PAD) & frozen, 0.0, logp)
+                if use_trie:
+                    # Dictionary constraint in-kernel (reference
+                    # model.lua:406-514): the dense (nodes, Vp) transition
+                    # table is VMEM-resident; the per-row lookup rides the
+                    # MXU as a one-hot (bt, Np) x (Np, Vp) matmul in f32
+                    # (exact for node ids < 2^24).  Semantics match the
+                    # XLA trie path exactly: t=0 masks to the root's
+                    # children with no PAD escape; later steps always
+                    # allow PAD; PAD keeps the node, others step it.
+                    npn = trie_ref.shape[0]
+                    node_oh = (jax.lax.broadcasted_iota(
+                        jnp.int32, (bt, npn), 1) == node_scr[:]
+                    ).astype(jnp.float32)
+                    rowvals = jnp.dot(
+                        node_oh, trie_ref[:],
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (bt, Vp)
+                    ok = (rowvals >= 0.0) | (
+                        (col_v == vocab.PAD) & (t > 0))
+                    logp = jnp.where(ok, logp, -1e30)
                 tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)  # (bt,)
                 delta = jnp.max(logp, axis=-1)  # (bt,)
+                if use_trie:
+                    picked = jnp.sum(
+                        jnp.where(col_v == tok[:, None], rowvals, 0.0),
+                        axis=-1).astype(jnp.int32)  # (bt,)
+                    stepped = jnp.maximum(picked, 0)[:, None]
+                    node_scr[:] = jnp.where(
+                        (tok[:, None] == vocab.PAD) & (t > 0),
+                        node_scr[:], stepped)
                 score_ref[:] = score_ref[:] + delta[:, None]
                 prev_scr[:] = tok[:, None]
                 tok_ref[:] = jnp.where(lane_t == t, tok[:, None], tok_ref[:])
@@ -237,9 +275,12 @@ def build_tables(dec_params: dict, proj: dict, embedding_size: int,
 
 
 def vmem_bytes(L: int, H: int, T: int, num_layers: int, input_feed: bool,
-               vp_in: int, vp: int, itemsize: int) -> int:
-    """Worst-case VMEM footprint per grid step (context double-buffered)."""
-    ctx = 2 * L * B_TILE * H * itemsize
+               vp_in: int, vp: int, itemsize: int,
+               trie_bytes: int = 0) -> int:
+    """Worst-case VMEM footprint per grid step (context double-buffered).
+    trie_bytes: footprint of the resident f32 transition table (0 without
+    -use_dictionary; see trie_table_bytes)."""
+    ctx = 2 * L * B_TILE * H * itemsize + trie_bytes
     weights = (
         vp_in * 4 * H * itemsize
         + ((2 * H) if input_feed else H) * 4 * H * itemsize
@@ -247,9 +288,13 @@ def vmem_bytes(L: int, H: int, T: int, num_layers: int, input_feed: bool,
         + H * H * itemsize + 2 * H * H * itemsize
         + H * vp * itemsize + vp * 4
     )
-    scratch = (2 * num_layers + 1) * B_TILE * H * 4 + B_TILE * 4
+    scratch = (2 * num_layers + 1) * B_TILE * H * 4 + 2 * B_TILE * 4
     out = B_TILE * T * 4 + B_TILE * 4
     return ctx + weights + scratch + out
+
+
+def trie_table_bytes(num_nodes: int, vp: int) -> int:
+    return ((num_nodes + 7) // 8) * 8 * vp * 4
 
 
 def fused_greedy_loop(
@@ -261,6 +306,7 @@ def fused_greedy_loop(
     input_feed: bool,
     T: int,
     interpret: bool = False,
+    trie_table: jax.Array = None,  # (N, V) int32 transitions, -1 invalid
 ) -> Tuple[jax.Array, jax.Array]:
     """Run the whole greedy decode on-chip.
 
@@ -282,7 +328,9 @@ def fused_greedy_loop(
             h0 = jnp.pad(h0, ((0, pad), (0, 0)))
     B = B0 + pad
     grid = (B // bt,)
-    kernel = _make_kernel(num_layers, input_feed, T, tables["vp"], B0, bt)
+    use_trie = trie_table is not None
+    kernel = _make_kernel(num_layers, input_feed, T, tables["vp"], B0, bt,
+                          use_trie)
 
     n_extra = 2 * (num_layers - 1)
     in_specs = [
@@ -309,6 +357,18 @@ def fused_greedy_loop(
                      memory_space=pltpu.VMEM),
     ]
     vp = tables["vp"]
+    trie_ops = ()
+    if use_trie:
+        # dense transitions as resident f32 (exact for node ids < 2^24),
+        # rows sublane-padded, columns lane-padded with 'invalid'
+        N = trie_table.shape[0]
+        npn = ((N + 7) // 8) * 8
+        tt = jnp.full((npn, vp), -1.0, jnp.float32)
+        tt = tt.at[:N, :trie_table.shape[1]].set(
+            trie_table.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((npn, vp), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        trie_ops = (tt,)
     gate_flops = 2 * B * (tables["vp_in"] + (2 * H if input_feed else H)
                           + (num_layers - 1) * 2 * H) * 4 * H
     attn_flops = 2 * B * H * H + 4 * B * L * H + 4 * B * H * H
@@ -329,7 +389,7 @@ def fused_greedy_loop(
             pltpu.VMEM((num_layers, bt, H), jnp.float32),      # c
             pltpu.VMEM((num_layers, bt, H), jnp.float32),      # h
             pltpu.VMEM((bt, 1), jnp.int32),                    # prev token
-        ],
+        ] + ([pltpu.VMEM((bt, 1), jnp.int32)] if use_trie else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET,
         ),
@@ -344,5 +404,6 @@ def fused_greedy_loop(
         context_lbh, c0.astype(jnp.float32), h0.astype(jnp.float32),
         tables["eg"], tables["wfh0"], *tables["extra"],
         tables["wa"], tables["wc"], tables["pw"], tables["pb"],
+        *trie_ops,
     )
     return tok[:B0], score[:B0, 0]

@@ -315,3 +315,92 @@ def test_fused_beam_transcripts_on_trained_weights():
                                   np.asarray(labels_ref))
     np.testing.assert_allclose(np.asarray(scores_p),
                                np.asarray(scores_ref), rtol=2e-2, atol=2e-2)
+
+
+def test_fused_greedy_loop_with_trie_matches_xla():
+    """-use_dictionary inside the whole-decode kernel (r2 verdict item 3:
+    the trie previously forfeited the fused path entirely): transcripts,
+    scores, and in-dictionary guarantees must match the XLA trie path."""
+    from aocr.utils import trie as trie_lib
+
+    cfg = Config(input_feed=True, encoder_num_hidden=32,
+                 target_embedding_size=8, max_decoder_l=8,
+                 image_width=32, use_pallas=False).validate()
+    cfg_pallas = cfg.replace(use_pallas=True)
+    words = ["ab", "cd", "e1", "zz", "q", "mn", "x0"]
+    table = jnp.asarray(trie_lib.build_transition_table(
+        ["ab", "cd", "zz", "mn", "e1", "q", "x0", "abc"]))
+    imgs = np.stack([synth.render_word(w, 32, 32) for w in words])[..., None]
+    imgs = jnp.asarray(imgs.astype(np.float32))
+    for seed in (0, 3):
+        ms = model.init(jax.random.PRNGKey(seed), cfg)
+        labels_ref, scores_ref = decode.beam_decode(
+            ms.params, ms.batch_stats, imgs, cfg, 1, cfg.max_decoder_l,
+            trie_table=table, use_trie=True)
+        decode._PALLAS_GREEDY_INTERPRET = True
+        try:
+            labels_p, scores_p = decode.beam_decode(
+                ms.params, ms.batch_stats, imgs, cfg_pallas, 1,
+                cfg.max_decoder_l, trie_table=table, use_trie=True)
+        finally:
+            decode._PALLAS_GREEDY_INTERPRET = False
+        np.testing.assert_array_equal(np.asarray(labels_p),
+                                      np.asarray(labels_ref))
+        np.testing.assert_allclose(np.asarray(scores_p),
+                                   np.asarray(scores_ref),
+                                   rtol=1e-5, atol=1e-5)
+        # every decode stays inside the dictionary
+        for row in np.asarray(labels_p):
+            w = vocab.decode(row)
+            assert any(d.startswith(w) for d in
+                       ["ab", "cd", "zz", "mn", "e1", "q", "x0", "abc"])
+
+
+def test_fused_greedy_trie_vmem_gate():
+    """A Synth90k-scale trie (hundreds of thousands of nodes) must NOT be
+    forced into VMEM — the gate falls back to the XLA path."""
+    from aocr.ops.pallas import greedy_loop as pgl
+
+    small = pgl.trie_table_bytes(2_000, 128)       # ~1 MB: rides along
+    big = pgl.trie_table_bytes(300_000, 128)       # ~150 MB: cannot
+    base = pgl.vmem_bytes(24, 1024, 50, 2, True, 128, 128, 2)
+    budget = pgl.VMEM_BUDGET - 16 * 1024 * 1024
+    assert base + small <= budget
+    assert base + big > budget
+
+
+@pytest.mark.parametrize("K", [2, 5])
+def test_fused_beam_tail_with_trie_matches_xla(K):
+    """Trie-constrained beam decoding through the fused tail (validity
+    plane in, masking + refill + nvalid in-kernel) must reproduce the XLA
+    trie tail: transcripts, scores, and refill counts."""
+    from aocr.utils import trie as trie_lib
+
+    cfg = Config(input_feed=True, encoder_num_hidden=64,
+                 target_embedding_size=8, max_decoder_l=8,
+                 image_width=32, use_pallas=False).validate()
+    cfg_pallas = cfg.replace(use_pallas=True)
+    table = jnp.asarray(trie_lib.build_transition_table(
+        ["ab", "cd", "zz", "mn", "e1", "q", "x0"]))
+    words = ["ab", "cd", "e1", "xyz", "0", "qq", "m"]
+    imgs = np.stack([synth.render_word(w, 32, 32) for w in words])[..., None]
+    imgs = jnp.asarray(imgs.astype(np.float32))
+    ms = model.init(jax.random.PRNGKey(11), cfg)
+
+    ref = decode.beam_decode(
+        ms.params, ms.batch_stats, imgs, cfg, K, cfg.max_decoder_l,
+        trie_table=table, use_trie=True, return_refills=True)
+    decode._PALLAS_BEAM_INTERPRET = True
+    try:
+        got = decode.beam_decode(
+            ms.params, ms.batch_stats, imgs, cfg_pallas, K,
+            cfg.max_decoder_l, trie_table=table, use_trie=True,
+            return_refills=True)
+    finally:
+        decode._PALLAS_BEAM_INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-5, atol=1e-5)
+    # refill bookkeeping (refills, min_valid) matches the XLA accounting
+    assert int(got[2][0]) == int(ref[2][0])
+    assert int(got[2][1]) == int(ref[2][1])

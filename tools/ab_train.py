@@ -20,6 +20,8 @@ VARIANTS = {
     "base": {},
     "remat": {"remat": True},
     "prealloc": {"prealloc": True},
+    "autodiff": {"decoder_custom_vjp": False},
+    "custom": {"decoder_custom_vjp": True},
 }
 
 
