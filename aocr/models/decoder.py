@@ -215,7 +215,7 @@ _TF_VJP_CACHE: dict = {}
 _PALLAS_TF_BWD_INTERPRET = False
 
 
-def _tf_core(num_layers: int, input_feed: bool, cd):
+def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
     """Custom-VJP teacher-forced decoder scan for a static
     (num_layers, input_feed, compute_dtype).
 
@@ -241,7 +241,7 @@ def _tf_core(num_layers: int, input_feed: bool, cd):
     from aocr.ops import lstm as lstm_ops
     from aocr.ops.mm import einsum as mm_einsum, matmul as mm_matmul
 
-    key = (num_layers, input_feed, jnp.dtype(cd).name)
+    key = (num_layers, input_feed, jnp.dtype(cd).name, allow_kernel)
     if key in _TF_VJP_CACHE:
         return _TF_VJP_CACHE[key]
 
@@ -365,7 +365,7 @@ def _tf_core(num_layers: int, input_feed: bool, cd):
         cvec_seq = cvec_cd
 
         use_kernel = bool(_PALLAS_TF_BWD_INTERPRET)
-        if (not use_kernel and cd == jnp.bfloat16
+        if (not use_kernel and allow_kernel and cd == jnp.bfloat16
                 and jax.default_backend() == "tpu"):
             from aocr.ops.pallas import tf_bwd as _tfb
 
@@ -534,6 +534,7 @@ def teacher_forced(
     remat: bool = False,
     simple: bool = False,
     custom_grad: bool = True,
+    allow_kernel: bool = True,
 ) -> jax.Array:
     """Teacher-forced decode over targets (B, T) -> h_tildes (B, T, H).
 
@@ -574,7 +575,12 @@ def teacher_forced(
     if use_custom:
         # Custom-VJP scan: identical forward, hand-written backward with
         # weight gradients hoisted out of the backward loop (_tf_core).
-        core = _tf_core(num_layers, input_feed, cd)
+        # allow_kernel=False keeps the pure-XLA backward under GSPMD
+        # tensor parallelism: an opaque pallas custom call cannot be
+        # partitioned over the model axis, while every op of the XLA
+        # fallback can.
+        core = _tf_core(num_layers, input_feed, cd,
+                        allow_kernel=allow_kernel)
         wfh0 = wfh if input_feed else layer0["wh"].astype(cd)
         rest = tuple(
             (jnp.concatenate([l["wi"].astype(cd), l["wh"].astype(cd)],

@@ -142,6 +142,7 @@ def loss_from_context(
         remat=cfg.remat,
         simple=cfg.simple_attention,
         custom_grad=cfg.decoder_custom_vjp,
+        allow_kernel=cfg.num_model_shards == 1,
     )
     log_probs = head.apply(params["projector"], h_tildes, compute_dtype=cd)
     nll = loss_lib.nll_sum(log_probs, targets_eval)

@@ -55,9 +55,11 @@ def main():
 
     args = sys.argv[1:]
     beam_mode = bool(args) and args[0] == "beam"
-    if beam_mode:
+    trie_mode = bool(args) and args[0] == "trie"
+    if beam_mode or trie_mode:
         args = args[1:]
-    batches = [int(a) for a in args] or ([256] if beam_mode else [512, 1024])
+    batches = [int(a) for a in args] or (
+        [256] if beam_mode else [512] if trie_mode else [512, 1024])
     cfg = Config(input_feed=True, compute_dtype="bfloat16",
                  use_pallas=False).validate()
     cfg_t = cfg.replace(use_pallas=True, pallas_greedy="tail")
@@ -75,6 +77,56 @@ def main():
         np.asarray(trivial(jnp.float32(0)))
     floor_ms = (time.perf_counter() - t0) / 10 * 1000
     print(f"floor {floor_ms:.1f} ms")
+
+    if trie_mode:
+        # -use_dictionary A/B: the dense trie rides inside the kernels
+        # since r3 (greedy whole-loop: in-VMEM table; beam tail: validity
+        # plane + in-kernel refill)
+        import string
+
+        from aocr.utils import trie as trie_lib
+
+        wrng = np.random.RandomState(7)
+        chars = list(string.ascii_lowercase + string.digits)
+        words = sorted({"".join(wrng.choice(chars, size=wrng.randint(3, 9)))
+                        for _ in range(2000)})
+        table = jnp.asarray(trie_lib.build_transition_table(words))
+        print(f"dictionary: {len(words)} words, {table.shape[0]} trie nodes")
+        for B in batches:
+            images = jnp.asarray(
+                rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32))
+            for T, label in ((50, "worst50"), (10, "early10")):
+                r = {}
+                for name, c in (("xla", cfg), ("loop", cfg_p)):
+                    fn = lambda im, c=c: decode.greedy_decode(
+                        ms.params, ms.batch_stats, im, c, T,
+                        trie_table=table, use_trie=True)
+                    r[name] = measure(fn, images, floor_ms)
+                print(f"trie-greedy B={B} {label}: "
+                      f"xla {r['xla']:.2f} ms ({B / r['xla'] * 1000:.0f})  "
+                      f"loop {r['loop']:.2f} ms "
+                      f"({B / r['loop'] * 1000:.0f} img/s)  "
+                      f"speedup {r['xla'] / r['loop']:.3f}x")
+            la, _ = decode.greedy_decode(ms.params, ms.batch_stats, images,
+                                         cfg, 50, trie_table=table,
+                                         use_trie=True)
+            lp, _ = decode.greedy_decode(ms.params, ms.batch_stats, images,
+                                         cfg_p, 50, trie_table=table,
+                                         use_trie=True)
+            same = float((np.asarray(la) == np.asarray(lp)).mean())
+            print(f"trie-greedy B={B} token agreement: {same * 100:.2f}%")
+            K = 5
+            for T, label in ((50, "worst50"), (10, "early10")):
+                r = {}
+                for name, c in (("xla", cfg), ("fused", cfg_p)):
+                    fn = lambda im, c=c: decode.beam_decode(
+                        ms.params, ms.batch_stats, im, c, K, T,
+                        trie_table=table, use_trie=True)
+                    r[name] = measure(fn, images, floor_ms)
+                print(f"trie-beam{K} B={B} {label}: "
+                      f"xla {r['xla']:.2f} ms  fused {r['fused']:.2f} ms  "
+                      f"speedup {r['xla'] / r['fused']:.3f}x")
+        return
 
     if beam_mode:
         K = 5
