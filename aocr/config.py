@@ -157,6 +157,12 @@ class Config:
     # manifest per process, and run the lockstep data path (fixed batch
     # shapes + dummy-batch epoch drain).  See aocr/parallel/multihost.py.
     multihost: bool = False
+    # Pad every batch's targets to max_decoder_l instead of the batch max:
+    # ONE jitted train program instead of one per distinct target length.
+    # Costs decoder steps on short batches; wins whenever compiles are
+    # expensive relative to training (cold caches, short runs) or when a
+    # bounded program count matters.  Implied by -multihost.
+    pad_targets: bool = False
     # Image geometry (reference hard-codes 32-tall, width 100:
     # src/data/data_gen.lua:16,78). keep_aspect_ratio=False reproduces the
     # hard-coded width-100 behavior; True uses the clamped aspect-ratio width.
@@ -253,6 +259,7 @@ _BOOL_FLAGS = {
     "nesterov",
     "allow_pickle_ckpt",
     "multihost",
+    "pad_targets",
     "device_preprocess",
     "cache_images",
     "length_normalize",

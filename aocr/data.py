@@ -220,8 +220,9 @@ class DataGen:
         # Multi-host lockstep requires identical target shapes on every
         # host each step: pad every batch's targets to max_decoder_l
         # instead of the batch max (aocr/parallel/multihost.py).
-        self._pad_targets_to = (cfg.max_decoder_l if cfg.multihost
-                                else None)
+        self._pad_targets_to = (
+            cfg.max_decoder_l if (cfg.multihost or cfg.pad_targets)
+            else None)
         self._warned_truncate = False
         self._pool = None
         self._pending: Dict[int, object] = {}  # id(rec) -> Future

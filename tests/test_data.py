@@ -215,3 +215,24 @@ def test_prefetched_early_abandon_is_safe(tmp_path, cfg):
     gen.buffer.clear()
     total = sum(b.images.shape[0] for b in gen.epoch(9))
     assert total == 9
+
+
+def test_pad_targets_fixed_length(tmp_path):
+    """-pad_targets pads every batch's targets to max_decoder_l: ONE
+    compiled train program regardless of the batch's word-length mix
+    (without it, targets pad to the per-batch max)."""
+    from aocr.config import Config
+
+    d = str(tmp_path)
+    synth.make_dataset(d, ["ab", "cdef", "g", "hi"], "t.txt", width=32)
+    cfg = Config(data_base_dir=d, data_path="t.txt", image_width=32,
+                 max_decoder_l=12, pad_targets=True, cache_images=False)
+    gen = data.DataGen(d, "t.txt", cfg)
+    b = gen.next_batch(4)
+    assert b.targets.shape == (4, 12)
+    assert b.targets_eval.shape == (4, 12)
+    # default behavior unchanged: batch-max padding
+    cfg2 = cfg.replace(pad_targets=False)
+    gen2 = data.DataGen(d, "t.txt", cfg2)
+    b2 = gen2.next_batch(4)
+    assert b2.targets.shape[1] == 5  # 'cdef' -> GO+4 = 5 columns

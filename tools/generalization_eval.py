@@ -94,6 +94,10 @@ def main():
         "-data_base_dir", work, "-model_dir", mdir,
         "-batch_size", "256", "-input_feed",
         "-compute_dtype", "bfloat16",
+        # one compiled program per phase: pad every batch's targets to
+        # max_decoder_l (words are <= 8 chars) — without this, every
+        # distinct batch-max word length compiles its own program
+        "-pad_targets", "-max_decoder_l", "9",
     ]
     if phase in ("all", "train"):
         print(f"training {epochs} epochs ...", flush=True)
