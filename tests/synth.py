@@ -83,11 +83,13 @@ def make_dataset(
     width: int = 100,
     distort_rng: np.random.RandomState = None,
     copies: int = 1,
+    distort_kwargs: dict = None,
 ) -> Tuple[str, List[str]]:
     """Write .npy images + manifest into tmpdir.  Returns (manifest, paths).
 
     With distort_rng set, each of `copies` instances per label is an
-    independently distorted render (affine jitter + noise + blur)."""
+    independently distorted render (affine jitter + noise + blur;
+    distort_kwargs overrides the distortion strengths)."""
     os.makedirs(os.path.join(tmpdir, "images"), exist_ok=True)
     paths = []
     lines = []
@@ -96,8 +98,8 @@ def make_dataset(
         for c in range(copies):
             rel = (f"images/{i:04d}_{label}.npy" if copies == 1
                    else f"images/{i:04d}_{c}_{label}.npy")
-            img = (distort(clean, distort_rng) if distort_rng is not None
-                   else clean)
+            img = (distort(clean, distort_rng, **(distort_kwargs or {}))
+                   if distort_rng is not None else clean)
             np.save(os.path.join(tmpdir, rel), img)
             paths.append(rel)
             lines.append(f"{rel} {label}")

@@ -80,12 +80,19 @@ def main():
           f"copies each", flush=True)
 
     # dict.txt is written last: its presence marks a complete dataset build
+    # blur-free by default: the 3x3 box blur all but erases the
+    # striped-band glyph code at stripe period 2 — realistic degradation
+    # for these synthetic renders is jitter+shear+noise (set
+    # AOCR_GEN_BLUR=1 for the harsher variant)
+    dk = {"blur": bool(int(os.environ.get("AOCR_GEN_BLUR", "0")))}
     if not os.path.exists(os.path.join(work, "dict.txt")):
         synth.make_dataset(work, lex_a, "train.txt", distort_rng=rng,
-                           copies=copies)
+                           copies=copies, distort_kwargs=dk)
         # held-out distortions of A words drive LR decay
-        synth.make_dataset(work, lex_a[:300], "val.txt", distort_rng=rng)
-        synth.make_dataset(work, lex_b, "test_b.txt", distort_rng=rng)
+        synth.make_dataset(work, lex_a[:300], "val.txt", distort_rng=rng,
+                           distort_kwargs=dk)
+        synth.make_dataset(work, lex_b, "test_b.txt", distort_rng=rng,
+                          distort_kwargs=dk)
         with open(os.path.join(work, "dict.txt"), "w") as f:
             f.write("\n".join(sorted(lex_a + lex_b)) + "\n")
 
@@ -104,9 +111,9 @@ def main():
         run_phase(common + [
             "-phase", "train", "-data_path", "train.txt",
             "-val_data_path", "val.txt", "-num_epochs", str(epochs),
-            "-steps_per_checkpoint", "200", "-load_model",
+            "-steps_per_checkpoint", "400", "-load_model",
             "-log_path", os.path.join(work, "train_log.txt"),
-            "-num_batches_val", "2",
+            "-num_batches_val", "4",
         ])
     if phase == "train":
         return
