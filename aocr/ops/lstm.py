@@ -125,6 +125,33 @@ def _split_gates(gates: jax.Array) -> Tuple[jax.Array, ...]:
 
 _SCAN_VJP_CACHE: dict = {}
 
+# Tests set this to run the Pallas encoder-backward kernel on CPU
+# (interpret mode); on TPU the kernel activates for bfloat16 compute.
+_PALLAS_LSTM_BWD_INTERPRET = False
+
+
+def _scan_collect(layer, xs, c0, h0, reverse, cd):
+    """_scan_ad plus residual stacks: returns (hs, (c_f, h_f),
+    (ifog (L,B,4H) cd, cs (L,B,H) cd)) with hs/finals bit-identical to
+    _scan_ad (same ops in the same order)."""
+    x_proj = (
+        matmul(xs.astype(cd), layer["wi"].astype(cd))
+        + layer["bi"] + layer["bh"]
+    )
+    x_proj = jnp.swapaxes(x_proj, 0, 1)  # (L, B, 4H)
+    wh = layer["wh"].astype(cd)
+
+    def body(carry, xp):
+        c, h = carry
+        gates = xp + matmul(h.astype(cd), wh)
+        c, h, ifog4 = gate_math_parts(gates, c)
+        return (c, h), (h, jnp.concatenate(ifog4, axis=-1).astype(cd),
+                        c.astype(cd))
+
+    (c_f, h_f), (hs, ifog, cs) = lax.scan(
+        body, (c0, h0), x_proj, reverse=reverse, unroll=SCAN_UNROLL)
+    return jnp.swapaxes(hs, 0, 1), (c_f, h_f), (ifog, cs)
+
 
 def _scan_custom(reverse: bool, cd):
     """Build (and cache) the custom-VJP LSTM scan for a static
@@ -138,9 +165,11 @@ def _scan_custom(reverse: bool, cd):
     scan carries ONLY the recurrent (dh, dc) chain and stacks per-step
     pre-activation gate grads; all weight/bias/input gradients then come
     from three large batched matmuls over the whole sequence — the same
-    math, MXU-shaped.  Gate activations are not stored: they recompute
-    from the saved hs in one batched matmul (cheap remat, less residual
-    HBM traffic than storing (L, B, 4H))."""
+    math, MXU-shaped.  Since r3 the forward scan stacks the gate
+    activations / cell states as residuals (they are computed anyway —
+    recompute cost what the hoisting saved, see docs/performance.md), and
+    on TPU/bf16 the backward recurrence runs as one Pallas kernel
+    (ops/pallas/lstm_bwd.py), the sibling of the decoder's tf_bwd."""
     key = (reverse, jnp.dtype(cd).name)
     if key in _SCAN_VJP_CACHE:
         return _SCAN_VJP_CACHE[key]
@@ -150,81 +179,80 @@ def _scan_custom(reverse: bool, cd):
         return _scan_ad(layer, xs, c0, h0, reverse, cd)
 
     def fwd(layer, xs, c0, h0):
-        out = _scan_ad(layer, xs, c0, h0, reverse, cd)
-        hs, (_c_f, _h_f) = out
-        return out, (layer, xs, c0, h0, hs)
+        hs, finals, (ifog, cs) = _scan_collect(layer, xs, c0, h0,
+                                               reverse, cd)
+        return (hs, finals), (layer, xs, c0, h0, hs, ifog, cs)
 
     def bwd(res, cotangents):
-        layer, xs, c0, h0, hs = res
+        layer, xs, c0, h0, hs, ifog, cs_t = res
         dhs, (dc_f, dh_f) = cotangents
         hs_t = jnp.swapaxes(hs, 0, 1)  # (L, B, H) scan-major
         if reverse:
             # step t consumed state from t+1; the initial state feeds t=L-1
             h_prev = jnp.concatenate([hs_t[1:], h0[None]], axis=0)
+            c_prev_t = jnp.concatenate(
+                [cs_t[1:], c0[None].astype(cs_t.dtype)], axis=0)
         else:
             h_prev = jnp.concatenate([h0[None], hs_t[:-1]], axis=0)
-        # Recompute all gate pre-activations in two batched matmuls
-        # (the selective-remat trade: ~fwd-cost recompute, no stored gates).
-        gates_pre = (
-            matmul(xs.astype(cd), layer["wi"].astype(cd))
-            + layer["bi"] + layer["bh"]
-        )
-        gates_pre = jnp.swapaxes(gates_pre, 0, 1) + matmul(
-            h_prev.astype(cd), layer["wh"].astype(cd)
-        )  # (L, B, 4H) f32
-        i_, f_, o_, g_ = _split_gates(gates_pre)
-        # c states recompute forward-elementwise is sequential; instead
-        # derive c from hs: h = o * tanh(c) -> tanh(c) = h / o.  o is a
-        # sigmoid, safely bounded away from 0 in practice, but dividing is
-        # ill-conditioned when o ~ 0 — so recompute c by a cheap
-        # elementwise scan (no matmuls).
-        def c_body(c_prev, ifg):
-            i_t, f_t, g_t = ifg
-            c_t = f_t * c_prev + i_t * g_t
-            return c_t, c_t
-
-        _, cs_t = lax.scan(c_body, c0.astype(jnp.float32),
-                           (i_, f_, g_), reverse=reverse)
-        if reverse:
-            c_prev_t = jnp.concatenate([cs_t[1:], c0[None].astype(jnp.float32)],
-                                       axis=0)
-        else:
-            c_prev_t = jnp.concatenate([c0[None].astype(jnp.float32),
-                                        cs_t[:-1]], axis=0)
+            c_prev_t = jnp.concatenate(
+                [c0[None].astype(cs_t.dtype), cs_t[:-1]], axis=0)
         dhs_t = jnp.swapaxes(dhs, 0, 1).astype(jnp.float32)  # (L, B, H)
         wh_cd = layer["wh"].astype(cd)
+        H = hs.shape[-1]
 
-        def body(carry, per_t):
-            dh, dc = carry
-            i_t, f_t, o_t, g_t, c_t, cp_t, dy_t = per_t
-            dh = dh + dy_t
-            tc = jnp.tanh(c_t)
-            do = dh * tc
-            dc = dc + dh * o_t * (1.0 - tc * tc)
-            di = dc * g_t
-            dg = dc * i_t
-            df = dc * cp_t
-            dc_prev = dc * f_t
-            dgates = jnp.concatenate([
-                di * i_t * (1.0 - i_t),
-                df * f_t * (1.0 - f_t),
-                do * o_t * (1.0 - o_t),
-                dg * (1.0 - g_t * g_t),
-            ], axis=-1)  # (B, 4H) f32
-            dh_prev = matmul(dgates.astype(cd), wh_cd.T)
-            return (dh_prev, dc_prev), dgates
+        use_kernel = bool(_PALLAS_LSTM_BWD_INTERPRET)
+        if (not use_kernel and cd == jnp.bfloat16
+                and jax.default_backend() == "tpu"):
+            from aocr.ops.pallas import lstm_bwd as _lb
 
-        carry0 = (dh_f.astype(jnp.float32), dc_f.astype(jnp.float32))
-        (dh0, dc0), dgates_t = lax.scan(
-            body, carry0, (i_, f_, o_, g_, cs_t, c_prev_t, dhs_t),
-            reverse=not reverse,
-        )
+            use_kernel = _lb.fits(H, jnp.dtype(cd).itemsize)
+        if use_kernel:
+            from aocr.ops.pallas import lstm_bwd as _lb
+
+            dg_cd, dh0, dc0 = _lb.lstm_bwd_scan(
+                wh_cd.T, dhs_t, ifog, cs_t, c_prev_t,
+                dc_f, dh_f, reverse,
+                interpret=_PALLAS_LSTM_BWD_INTERPRET,
+            )
+            dgates_f32 = dg_cd  # bias sum below casts as needed
+        else:
+            i_ = ifog[..., :H]
+            f_ = ifog[..., H:2 * H]
+            o_ = ifog[..., 2 * H:3 * H]
+            g_ = ifog[..., 3 * H:]
+
+            def body(carry, per_t):
+                dh, dc = carry
+                i_t, f_t, o_t, g_t, c_t, cp_t, dy_t = per_t
+                dh = dh + dy_t
+                tc = jnp.tanh(c_t.astype(jnp.float32))
+                do = dh * tc
+                dc = dc + dh * o_t * (1.0 - tc * tc)
+                di = dc * g_t
+                dg = dc * i_t
+                df = dc * cp_t
+                dc_prev = dc * f_t
+                dgates = jnp.concatenate([
+                    di * i_t * (1.0 - i_t),
+                    df * f_t * (1.0 - f_t),
+                    do * o_t * (1.0 - o_t),
+                    dg * (1.0 - g_t * g_t),
+                ], axis=-1)  # (B, 4H) f32
+                dh_prev = matmul(dgates.astype(cd), wh_cd.T)
+                return (dh_prev, dc_prev), dgates
+
+            carry0 = (dh_f.astype(jnp.float32), dc_f.astype(jnp.float32))
+            (dh0, dc0), dgates_t = lax.scan(
+                body, carry0, (i_, f_, o_, g_, cs_t, c_prev_t, dhs_t),
+                reverse=not reverse,
+            )
+            dg_cd = dgates_t.astype(cd)
+            dgates_f32 = dgates_t
         # Weight/bias/input grads: batched over the whole sequence.
-        dg_cd = dgates_t.astype(cd)
         dwh = einsum("lbh,lbg->hg", h_prev.astype(cd), dg_cd)
         dwi = einsum("lbd,lbg->dg",
                      jnp.swapaxes(xs, 0, 1).astype(cd), dg_cd)
-        db = jnp.sum(dgates_t, axis=(0, 1))
+        db = jnp.sum(dgates_f32.astype(jnp.float32), axis=(0, 1))
         dxs = jnp.swapaxes(einsum("lbg,dg->lbd", dg_cd,
                                   layer["wi"].astype(cd)), 0, 1)
         dlayer = {"wi": dwi.astype(layer["wi"].dtype),

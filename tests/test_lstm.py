@@ -81,6 +81,23 @@ def test_custom_vjp_scan_matches_autodiff(rng, reverse):
     """The hand-written scan VJP (batched weight grads outside the backward
     loop, ops/lstm._scan_custom) must produce the same gradients as plain
     autodiff for every input — including the final-state cotangents."""
+    _check_custom_vjp(reverse, interpret=False)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_custom_vjp_pallas_kernel_matches_autodiff(reverse):
+    """Same parity through the Pallas encoder-backward kernel
+    (ops/pallas/lstm_bwd.py, interpret mode on CPU)."""
+    lstm._PALLAS_LSTM_BWD_INTERPRET = True
+    lstm._SCAN_VJP_CACHE.clear()
+    try:
+        _check_custom_vjp(reverse, interpret=True)
+    finally:
+        lstm._PALLAS_LSTM_BWD_INTERPRET = False
+        lstm._SCAN_VJP_CACHE.clear()
+
+
+def _check_custom_vjp(reverse, interpret):
     np_rng = np.random.RandomState(3)
     B, L, D, H = 3, 5, 4, 8
     layer = lstm.init_lstm_layer(jax.random.PRNGKey(0), D, H)
