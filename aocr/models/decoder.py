@@ -548,16 +548,20 @@ def teacher_forced(
     num_layers = len(params["layers"])
     state0 = init_state(dec_init, num_layers)
     cd = compute_dtype
-    emb = params["embedding"][targets]  # (B, T, E)
+    emb = params["embedding"][targets.T]  # (T, B, E) scan-major
     E = emb.shape[-1]
     layer0 = params["layers"][0]
-    # Hoist emb @ Wi[:E] for all timesteps.
+    # Hoist emb @ Wi[:E] for all timesteps, in scan-major form: the
+    # matmul produces (T, B, 4H) directly, so neither the forward nor its
+    # VJP materializes a (B, T, 4H) <-> (T, B, 4H) transpose of the big
+    # f32 stack (the backward transpose measured 1.4 ms/step at B=400 in
+    # the train trace; transposing the (T, B, E) embedding rows instead
+    # is ~100x smaller).
     wi_emb = layer0["wi"][:E]
     emb_proj = (
         matmul(emb.astype(cd), wi_emb.astype(cd))
         + layer0["bi"] + layer0["bh"]
-    )  # (B, T, 4H)
-    emb_proj = jnp.swapaxes(emb_proj, 0, 1)  # (T, B, 4H)
+    )  # (T, B, 4H)
     wfh = (
         jnp.concatenate(
             [layer0["wi"][E:].astype(cd), layer0["wh"].astype(cd)], axis=0

@@ -99,11 +99,17 @@ def _scan_ad(
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Plain-autodiff LSTM scan (see unidirectional_scan)."""
     B, L, _D = xs.shape
+    # Hoisted input projection, computed scan-major: transposing the small
+    # (B, L, D) input first means the matmul emits (L, B, 4H) in its natural
+    # layout, so the scan's per-step dynamic-slice is contiguous.  Producing
+    # (B, L, 4H) and swapping axes instead left the stack in a transposed
+    # layout whose per-step slices ran ~25x off bandwidth (1.7 ms/step at
+    # B=400 in the train trace, T(1,128)-tiled slices).
     x_proj = (
-        matmul(xs.astype(compute_dtype), layer["wi"].astype(compute_dtype))
+        matmul(jnp.swapaxes(xs, 0, 1).astype(compute_dtype),
+               layer["wi"].astype(compute_dtype))
         + layer["bi"] + layer["bh"]
-    )  # (B, L, 4H)
-    x_proj = jnp.swapaxes(x_proj, 0, 1)  # (L, B, 4H) scan-major
+    )  # (L, B, 4H) scan-major
     wh = layer["wh"].astype(compute_dtype)
 
     def body(carry, xp):
@@ -135,10 +141,9 @@ def _scan_collect(layer, xs, c0, h0, reverse, cd):
     (ifog (L,B,4H) cd, cs (L,B,H) cd)) with hs/finals bit-identical to
     _scan_ad (same ops in the same order)."""
     x_proj = (
-        matmul(xs.astype(cd), layer["wi"].astype(cd))
+        matmul(jnp.swapaxes(xs, 0, 1).astype(cd), layer["wi"].astype(cd))
         + layer["bi"] + layer["bh"]
-    )
-    x_proj = jnp.swapaxes(x_proj, 0, 1)  # (L, B, 4H)
+    )  # (L, B, 4H) scan-major (see _scan_ad)
     wh = layer["wh"].astype(cd)
 
     def body(carry, xp):

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from aocr.ops.pallas import tiling
+
 B_TILE = 128
 VMEM_BUDGET = 100 * 1024 * 1024
 
@@ -72,11 +74,11 @@ def _make_kernel(bt: int):
     return kernel
 
 
-def vmem_bytes(H: int, itemsize: int) -> int:
+def vmem_bytes(H: int, itemsize: int, bt: int = B_TILE) -> int:
     weights = H * 4 * H * itemsize
-    stream = 2 * B_TILE * (4 * H + 4 * H + 3 * H) * itemsize
-    finals = 4 * B_TILE * H * 4
-    scratch = 2 * B_TILE * H * 4
+    stream = 2 * bt * (4 * H + 4 * H + 3 * H) * itemsize
+    finals = 4 * bt * H * 4
+    scratch = 2 * bt * H * 4
     return weights + stream + finals + scratch
 
 
@@ -101,11 +103,8 @@ def lstm_bwd_scan(
     """Returns (dgates (L, B, 4H), dh0 (B, H) f32, dc0 (B, H) f32)."""
     L, B0, H = dhs.shape
     cd = wh_t.dtype
-    if B0 <= B_TILE:
-        bt, pad = B0, 0
-    else:
-        bt = B_TILE
-        pad = (-B0) % B_TILE
+    bt, pad = tiling.pick_bt(
+        B0, lambda b: vmem_bytes(H, jnp.dtype(cd).itemsize, b), B_TILE)
     if pad:
         pad3 = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
         dhs, ifog, cs, cprev = map(pad3, (dhs, ifog, cs, cprev))

@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from aocr.ops.pallas import tiling
+
 B_TILE = 128
 VMEM_BUDGET = 100 * 1024 * 1024
 
@@ -140,7 +142,7 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, bt: int):
                     dattn_scr[:] = jnp.zeros((bt, H), jnp.float32)
                     dh_scr[0] = dah
 
-        dg0_ref[0] = dgates_by_layer[0]
+        dg0_ref[0] = dgates_by_layer[0].astype(dg0_ref.dtype)
         for l in range(1, num_layers):
             dgl_refs[l - 1][0] = dgates_by_layer[l].astype(cd)
         dht_ref[0] = dht.astype(cd)
@@ -156,19 +158,18 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, bt: int):
 
 
 def vmem_bytes(L: int, H: int, T: int, num_layers: int, input_feed: bool,
-               itemsize: int) -> int:
+               itemsize: int, bt: int = B_TILE) -> int:
     d0 = 2 * H if input_feed else H
-    ctx = L * B_TILE * H * itemsize
+    ctx = L * bt * H * itemsize
     weights = (4 * H * d0 + (num_layers - 1) * 4 * H * 2 * H
                + H * 2 * H + H * H) * itemsize
     # htl/dys stream f32, ifog/cs/cprev stream in the compute dtype
-    stream_in = 2 * B_TILE * ((2 * H + L) * 4
-                              + num_layers * 6 * H * itemsize)
-    stream_out = 2 * B_TILE * (4 * H * 4  # dgates0 f32
-                               + (num_layers - 1) * 4 * H * itemsize
-                               + 3 * H * itemsize + L * 4)
-    finals = 2 * 2 * B_TILE * H * 4
-    scratch = (1 + 2 * num_layers) * B_TILE * H * 4
+    stream_in = 2 * bt * ((2 * H + L) * 4
+                          + num_layers * 6 * H * itemsize)
+    stream_out = 2 * bt * (num_layers * 4 * H * itemsize  # dgates (all cd)
+                           + 3 * H * itemsize + L * 4)
+    finals = 2 * 2 * bt * H * 4
+    scratch = (1 + 2 * num_layers) * bt * H * 4
     return ctx + weights + stream_in + stream_out + finals + scratch
 
 
@@ -194,19 +195,20 @@ def decoder_bwd_scan(
     input_feed: bool,
     interpret: bool = False,
 ):
-    """Run the backward recurrence.  Returns (dgates per layer — layer 0 in
-    f32 (it IS dxp), others in cd — dht, dq, dcvec, dscore stacks, and the
-    layer-0 initial-state cotangents (dc0, dh0))."""
+    """Run the backward recurrence.  Returns (dgates per layer in the
+    compute dtype — layer 0 doubles as dxp after a cast — dht, dq, dcvec,
+    dscore stacks, and the layer-0 initial-state cotangents (dc0, dh0))."""
     num_layers = len(ifog)
     T, B0, H = htl.shape
     L = ctx_lbh.shape[0]
     cd = ctx_lbh.dtype
 
-    if B0 <= B_TILE:
-        bt, pad = B0, 0
-    else:
-        bt = B_TILE
-        pad = (-B0) % B_TILE
+    itemsize = jnp.dtype(cd).itemsize
+    bt, pad = tiling.pick_bt(
+        B0,
+        lambda b: vmem_bytes(L, H, T, num_layers, input_feed, itemsize, b),
+        B_TILE,
+    )
     if pad:
         pad3 = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
         ctx_lbh = jnp.pad(ctx_lbh, ((0, 0), (0, pad), (0, 0)))
@@ -233,12 +235,15 @@ def decoder_bwd_scan(
     in_specs += [step_in(4 * H)] * num_layers
     in_specs += [step_in(H)] * (2 * num_layers)
 
-    out_specs = [step_in(4 * H)]                       # dgates0 (f32)
-    out_specs += [step_in(4 * H)] * (num_layers - 1)   # dgates_l (cd)
+    out_specs = [step_in(4 * H)]                       # dgates0
+    out_specs += [step_in(4 * H)] * (num_layers - 1)   # dgates_l
     out_specs += [step_in(H), step_in(H), step_in(H), step_in(L)]
     out_specs += [pl.BlockSpec((bt, H), lambda i, t: (i, 0),
                                memory_space=pltpu.VMEM)] * 2
-    out_shape = [jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32)]
+    # dgates0 streams in the compute dtype too: its f32 (T, B, 4H) form
+    # cost a ~1.4 ms/step layout-conversion of the padded 92 MB stack at
+    # the kernel boundary; consumers cast (dxp) or use cd directly (dWfh0)
+    out_shape = [jax.ShapeDtypeStruct((T, B, 4 * H), cd)]
     out_shape += [jax.ShapeDtypeStruct((T, B, 4 * H), cd)
                   for _ in range(num_layers - 1)]
     out_shape += [jax.ShapeDtypeStruct((T, B, H), cd)] * 3
