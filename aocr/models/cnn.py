@@ -187,7 +187,14 @@ def apply(
                 x, params[name + "_bn"], batch_stats[name + "_bn"], train,
                 axis_name, row_mask,
             )
-        x = jnp.maximum(x, 0)
+        # jax.nn.relu, NOT jnp.maximum(x, 0): maximum's VJP splits the
+        # gradient at ties (0.5*g where x == 0), so XLA stores bit-packed
+        # eq-masks for BOTH branches of every ReLU (u32 reduce fusions over
+        # H, ~1.5 ms/step at B=400 just packing/unpacking).  relu's custom
+        # JVP is select(x > 0, g, 0) — no tie machinery, and it matches the
+        # reference's Torch ReLU subgradient (gradInput = g * (output > 0),
+        # zero at x == 0) exactly.
+        x = jax.nn.relu(x)
         if idx in _POOL_AFTER:
             x = _max_pool(x, _POOL_AFTER[idx])
     # x: (B, 1, L, 512) -> (B, L, 512)

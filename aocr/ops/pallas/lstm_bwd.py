@@ -103,15 +103,14 @@ def lstm_bwd_scan(
     """Returns (dgates (L, B, 4H), dh0 (B, H) f32, dc0 (B, H) f32)."""
     L, B0, H = dhs.shape
     cd = wh_t.dtype
-    bt, pad = tiling.pick_bt(
+    bt, _pad = tiling.pick_bt(
         B0, lambda b: vmem_bytes(H, jnp.dtype(cd).itemsize, b), B_TILE)
-    if pad:
-        pad3 = lambda a: jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
-        dhs, ifog, cs, cprev = map(pad3, (dhs, ifog, cs, cprev))
-        pad2 = lambda a: jnp.pad(a, ((0, pad), (0, 0)))
-        dc_f, dh_f = map(pad2, (dc_f, dh_f))
-    B = B0 + pad
-    grid = (B // bt, L)
+    # No explicit operand padding for a ragged final batch block: the cell
+    # math is per-row and the single matmul contracts the feature dim, so
+    # Mosaic's own edge handling (bounds-limited DMAs, out-of-range rows
+    # undefined on read / dropped on write) is sufficient — see tf_bwd.py.
+    B = B0
+    grid = (-(-B // bt), L)
     # the backward pass consumes timesteps in the transpose order
     tmap = ((lambda i, t: (t, i, 0)) if reverse
             else (lambda i, t: (L - 1 - t, i, 0)))
@@ -149,4 +148,4 @@ def lstm_bwd_scan(
         interpret=interpret,
     )(wh_t, dhs, ifog, cs, cprev,
       dc_f.astype(jnp.float32), dh_f.astype(jnp.float32))
-    return dg[:, :B0], dh0[:B0], dc0[:B0]
+    return dg, dh0, dc0
