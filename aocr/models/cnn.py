@@ -44,6 +44,8 @@ BN_MOMENTUM = 0.9  # running stat update: new = m*old + (1-m)*batch
 BN_EPS = 1e-5
 
 
+
+
 def output_length(width: int) -> int:
     """Column-sequence length for an input width (reference shape law)."""
     return width // 4 - 1
@@ -189,11 +191,14 @@ def apply(
             )
         # jax.nn.relu, NOT jnp.maximum(x, 0): maximum's VJP splits the
         # gradient at ties (0.5*g where x == 0), so XLA stores bit-packed
-        # eq-masks for BOTH branches of every ReLU (u32 reduce fusions over
-        # H, ~1.5 ms/step at B=400 just packing/unpacking).  relu's custom
-        # JVP is select(x > 0, g, 0) — no tie machinery, and it matches the
-        # reference's Torch ReLU subgradient (gradInput = g * (output > 0),
-        # zero at x == 0) exactly.
+        # eq-masks for BOTH branches of every ReLU (u32 reduce fusions
+        # over H in the train trace).  relu's custom JVP is
+        # select(x > 0, g, 0) — no tie machinery (A/B: 20.54 -> 19.90 ms,
+        # tools/ab_relu.py), and it matches the reference's Torch ReLU
+        # subgradient (gradInput = g * (output > 0), zero at x == 0)
+        # exactly.  (An output-masked custom-VJP variant that drops the
+        # remaining packed-mask residual measured neutral — tools/ab_wgrad
+        # — and was not kept.)
         x = jax.nn.relu(x)
         if idx in _POOL_AFTER:
             x = _max_pool(x, _POOL_AFTER[idx])

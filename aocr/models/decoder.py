@@ -401,6 +401,9 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
                     weights, num_layers, input_feed, cd, ctx_cd, dys, htl,
                     acts, cs_seq, cprev_seq, alpha, c0, zeros)
         # ---- weight / bias / context grads: batched over the sequence ----
+        # (The two-dim (t, b) contraction lowers to XLA:TPU's windowed
+        # conv emitter; a flattened (T*B, .) single-axis form measured a
+        # wash — tools/ab_wgrad.py — so the direct einsum stays.)
         dweights = {"wfh0": None, "rest": [], "wa": None, "wc": None}
         dweights["wfh0"] = mm_einsum("tbd,tbg->dg", ah_seq,
                                      dxp.astype(cd))
