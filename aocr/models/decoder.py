@@ -348,14 +348,9 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
         # activations/cell states/alphas/cvecs come from the residual
         # stacks saved by the forward scan (no recompute); only c_prev
         # needs a shift
-        acts = []
         cs_seq = list(cs_cd)
         cprev_seq = []
         for li in range(num_layers):
-            g4 = ifog_seq[li]
-            Hh = g4.shape[-1] // 4
-            acts.append((g4[..., :Hh], g4[..., Hh:2 * Hh],
-                         g4[..., 2 * Hh:3 * Hh], g4[..., 3 * Hh:]))
             cinit = (c0 if li == 0 else zeros)
             cprev_seq.append(shifted(cs_cd[li], cinit.astype(cs_cd[li].dtype)))
         h_top_seq = hs_layers[-1]  # (T, B, H)
@@ -378,9 +373,8 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
             # see ops/pallas/tf_bwd.py.
             from aocr.ops.pallas import tf_bwd as _tfb
 
-            ifog_stacks = tuple(
-                jnp.concatenate(acts[li], axis=-1).astype(cd)
-                for li in range(num_layers))
+            # the kernel consumes the residual (T, B, 4H) stacks as-is
+            ifog_stacks = tuple(g.astype(cd) for g in ifog_seq)
             (dxp_cd, dgates_rest, dht_seq, dq_seq, dcvec_seq, dscore_seq,
              dc0_f, dh0_f) = _tfb.decoder_bwd_scan(
                 jnp.swapaxes(ctx_cd, 0, 1),
@@ -396,6 +390,12 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
             )
             dxp = dxp_cd
         else:
+            acts = []
+            for li in range(num_layers):
+                g4 = ifog_seq[li]
+                Hh = g4.shape[-1] // 4
+                acts.append((g4[..., :Hh], g4[..., Hh:2 * Hh],
+                             g4[..., 2 * Hh:3 * Hh], g4[..., 3 * Hh:]))
             dxp, dgates_rest, dht_seq, dq_seq, dcvec_seq, dscore_seq, \
                 dc0_f, dh0_f = _tf_bwd_scan_xla(
                     weights, num_layers, input_feed, cd, ctx_cd, dys, htl,
@@ -451,75 +451,74 @@ def _tf_bwd_scan_xla(weights, num_layers, input_feed, cd, ctx_cd, dys, htl,
     wfh0_t = wfh0.T
     rest_t = [w.T for (w, _bi, _bh) in weights["rest"]]
 
-    if True:
-        def body(carry, per_t):
-            dattn, dcs, dhs = carry
-            (dy_t, dtanh_t, alpha_t, per_layer) = per_t
-            dht = (dattn + dy_t) * dtanh_t  # d(pre-tanh) (B, H) f32
-            dcat = mm_matmul(dht.astype(cd), wc_t)  # (B, 2H)
-            dcvec = dcat[:, :H]
-            dtop = dcat[:, H:].astype(f32)
-            dalpha = mm_einsum("bh,blh->bl", dcvec.astype(cd), ctx_cd)
-            tmp = alpha_t * dalpha
-            dscore = tmp - alpha_t * jnp.sum(tmp, axis=-1, keepdims=True)
-            dq = mm_einsum("bl,blh->bh", dscore.astype(cd), ctx_cd)
-            dtop = dtop + mm_matmul(dq.astype(cd), wa_t).astype(f32)
-            new_dcs, new_dhs = list(dcs), list(dhs)
-            dgates_out = []
-            dx_above = None
-            for li in range(num_layers - 1, -1, -1):
-                i_t, f_t, o_t, g_t, c_t, cp_t = per_layer[li]
-                dh_l = dhs[li] + (dtop if li == num_layers - 1 else dx_above)
-                tc = jnp.tanh(c_t)
-                do = dh_l * tc
-                dc_l = dcs[li] + dh_l * o_t * (1.0 - tc * tc)
-                di = dc_l * g_t
-                dg = dc_l * i_t
-                df = dc_l * cp_t
-                new_dcs[li] = dc_l * f_t
-                dgates = jnp.concatenate([
-                    di * i_t * (1.0 - i_t),
-                    df * f_t * (1.0 - f_t),
-                    do * o_t * (1.0 - o_t),
-                    dg * (1.0 - g_t * g_t),
-                ], axis=-1)  # (B, 4H) f32
-                dgates_out.append(dgates)
-                if li > 0:
-                    dxh = mm_matmul(dgates.astype(cd), rest_t[li - 1])
-                    dx_above = dxh[:, :H].astype(f32)
-                    new_dhs[li] = dxh[:, H:].astype(f32)
+    def body(carry, per_t):
+        dattn, dcs, dhs = carry
+        (dy_t, dtanh_t, alpha_t, per_layer) = per_t
+        dht = (dattn + dy_t) * dtanh_t  # d(pre-tanh) (B, H) f32
+        dcat = mm_matmul(dht.astype(cd), wc_t)  # (B, 2H)
+        dcvec = dcat[:, :H]
+        dtop = dcat[:, H:].astype(f32)
+        dalpha = mm_einsum("bh,blh->bl", dcvec.astype(cd), ctx_cd)
+        tmp = alpha_t * dalpha
+        dscore = tmp - alpha_t * jnp.sum(tmp, axis=-1, keepdims=True)
+        dq = mm_einsum("bl,blh->bh", dscore.astype(cd), ctx_cd)
+        dtop = dtop + mm_matmul(dq.astype(cd), wa_t).astype(f32)
+        new_dcs, new_dhs = list(dcs), list(dhs)
+        dgates_out = []
+        dx_above = None
+        for li in range(num_layers - 1, -1, -1):
+            i_t, f_t, o_t, g_t, c_t, cp_t = per_layer[li]
+            dh_l = dhs[li] + (dtop if li == num_layers - 1 else dx_above)
+            tc = jnp.tanh(c_t)
+            do = dh_l * tc
+            dc_l = dcs[li] + dh_l * o_t * (1.0 - tc * tc)
+            di = dc_l * g_t
+            dg = dc_l * i_t
+            df = dc_l * cp_t
+            new_dcs[li] = dc_l * f_t
+            dgates = jnp.concatenate([
+                di * i_t * (1.0 - i_t),
+                df * f_t * (1.0 - f_t),
+                do * o_t * (1.0 - o_t),
+                dg * (1.0 - g_t * g_t),
+            ], axis=-1)  # (B, 4H) f32
+            dgates_out.append(dgates)
+            if li > 0:
+                dxh = mm_matmul(dgates.astype(cd), rest_t[li - 1])
+                dx_above = dxh[:, :H].astype(f32)
+                new_dhs[li] = dxh[:, H:].astype(f32)
+            else:
+                dah = mm_matmul(dgates.astype(cd), wfh0_t)
+                if input_feed:
+                    new_dattn = dah[:, :H].astype(f32)
+                    new_dhs[0] = dah[:, H:].astype(f32)
                 else:
-                    dah = mm_matmul(dgates.astype(cd), wfh0_t)
-                    if input_feed:
-                        new_dattn = dah[:, :H].astype(f32)
-                        new_dhs[0] = dah[:, H:].astype(f32)
-                    else:
-                        new_dattn = jnp.zeros_like(dattn)
-                        new_dhs[0] = dah.astype(f32)
-            dgates_out.reverse()  # layer order 0..N-1
-            stacks = ((dgates_out[0],)  # f32: becomes dxp directly
-                      + tuple(dg.astype(cd) for dg in dgates_out[1:])
-                      + (dht.astype(cd), dq.astype(cd), dcvec.astype(cd),
-                         dscore))
-            return (new_dattn, tuple(new_dcs), tuple(new_dhs)), stacks
+                    new_dattn = jnp.zeros_like(dattn)
+                    new_dhs[0] = dah.astype(f32)
+        dgates_out.reverse()  # layer order 0..N-1
+        stacks = ((dgates_out[0],)  # f32: becomes dxp directly
+                  + tuple(dg.astype(cd) for dg in dgates_out[1:])
+                  + (dht.astype(cd), dq.astype(cd), dcvec.astype(cd),
+                     dscore))
+        return (new_dattn, tuple(new_dcs), tuple(new_dhs)), stacks
 
-        per_layer_seq = tuple(
-            (acts[li][0], acts[li][1], acts[li][2], acts[li][3],
-             cs_seq[li], cprev_seq[li])
-            for li in range(num_layers)
-        )
-        carry0 = (zeros, tuple(zeros for _ in range(num_layers)),
-                  tuple(zeros for _ in range(num_layers)))
-        (dattn_f, dcs_f, dhs_f), stacks = lax.scan(
-            body, carry0,
-            (dys.astype(f32), dtanh, alpha, per_layer_seq),
-            reverse=True,
-        )
-        dxp = stacks[0]  # (T, B, 4H) f32
-        dgates_rest = stacks[1:num_layers]
-        dht_seq, dq_seq, dcvec_seq, dscore_seq = stacks[num_layers:]
-        return (dxp, dgates_rest, dht_seq, dq_seq, dcvec_seq, dscore_seq,
-                dcs_f[0], dhs_f[0])
+    per_layer_seq = tuple(
+        (acts[li][0], acts[li][1], acts[li][2], acts[li][3],
+         cs_seq[li], cprev_seq[li])
+        for li in range(num_layers)
+    )
+    carry0 = (zeros, tuple(zeros for _ in range(num_layers)),
+              tuple(zeros for _ in range(num_layers)))
+    (dattn_f, dcs_f, dhs_f), stacks = lax.scan(
+        body, carry0,
+        (dys.astype(f32), dtanh, alpha, per_layer_seq),
+        reverse=True,
+    )
+    dxp = stacks[0]  # (T, B, 4H) f32
+    dgates_rest = stacks[1:num_layers]
+    dht_seq, dq_seq, dcvec_seq, dscore_seq = stacks[num_layers:]
+    return (dxp, dgates_rest, dht_seq, dq_seq, dcvec_seq, dscore_seq,
+            dcs_f[0], dhs_f[0])
 
 
 def teacher_forced(

@@ -123,12 +123,6 @@ def _scan_ad(
     return jnp.swapaxes(hs, 0, 1), (c_f, h_f)
 
 
-def _split_gates(gates: jax.Array) -> Tuple[jax.Array, ...]:
-    i, f, o, g = jnp.split(gates, 4, axis=-1)
-    return (jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o),
-            jnp.tanh(g))
-
-
 _SCAN_VJP_CACHE: dict = {}
 
 # Tests set this to run the Pallas encoder-backward kernel on CPU

@@ -192,8 +192,13 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, V: int,
                         node_oh, trie_ref[:],
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)  # (bt, Vp)
+                    # PAD stays allowed for FROZEN rows even at t == 0:
+                    # only tile-padding rows are frozen then (real rows
+                    # start from GO), and masking their PAD escape would
+                    # unfreeze them into a trie walk that keeps the tile
+                    # alive all T steps, defeating the early exit.
                     ok = (rowvals >= 0.0) | (
-                        (col_v == vocab.PAD) & (t > 0))
+                        (col_v == vocab.PAD) & ((t > 0) | frozen))
                     logp = jnp.where(ok, logp, -1e30)
                 tok = jnp.argmax(logp, axis=-1).astype(jnp.int32)  # (bt,)
                 delta = jnp.max(logp, axis=-1)  # (bt,)

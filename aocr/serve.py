@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import queue
 import threading
 import time
@@ -88,7 +89,10 @@ class BatchingRecognizer:
         if ocr.cfg.keep_aspect_ratio:
             h = ocr.cfg.image_height
             lo = max(int(h * ocr.cfg.min_aspect_ratio), 8)
-            hi = int(h * ocr.cfg.max_aspect_ratio)
+            # ceil, matching data._target_width: with int() the widest
+            # clamped aspect could preprocess to ceil(h*max_ar) = hi + 1
+            # and bypass the ladder into an un-warmed jit shape.
+            hi = int(math.ceil(h * ocr.cfg.max_aspect_ratio))
             steps = [lo]
             while steps[-1] < hi:
                 steps.append(min(int(steps[-1] * 1.5), hi))
@@ -105,8 +109,14 @@ class BatchingRecognizer:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._draining = threading.Event()
-        self._idle = threading.Event()  # set when queue drained + no batch
-        self._idle.set()
+        # queued + in-flight requests, guarded by _lock: incremented
+        # before enqueue, decremented after the batcher finishes an item
+        # (result delivered, errored, or dropped as cancelled).  drain()
+        # waits on this counter — an event toggled around the blocking
+        # queue get raced both ways (a request could be dequeued and
+        # in-flight while the flag still said idle, or the set window was
+        # too brief for the drain poll to ever observe).
+        self._inflight = 0
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -173,8 +183,9 @@ class BatchingRecognizer:
             self.stats["draining"] = True
         deadline = time.monotonic() + timeout_s
         while time.monotonic() < deadline:
-            if self.q.empty() and self._idle.is_set():
-                return True
+            with self._lock:
+                if self._inflight == 0:
+                    return True
             time.sleep(0.02)
         return False
 
@@ -193,6 +204,7 @@ class BatchingRecognizer:
         p = _Pending(self.pad_width(image), beam_size)
         with self._lock:
             self.stats["requests"] += 1
+            self._inflight += 1
         self.q.put(p)
         if not p.event.wait(self.request_timeout_s):
             # mark dead so the batcher drops it instead of decoding work
@@ -232,37 +244,44 @@ class BatchingRecognizer:
 
     def _run(self):
         while not self._stop.is_set():
-            batch = [p for p in self._drain_queue() if not p.cancelled]
-            if not batch:
-                self._idle.set()
-                continue
-            self._idle.clear()
-            by_beam: dict = {}
-            for p in batch:
-                by_beam.setdefault(p.beam_size, []).append(p)
-            for beam, group in by_beam.items():
-                # pad to the ladder size by repeating the last image: one
-                # compiled shape per ladder step, results sliced below
-                n = len(group)
-                target = self._pad_to(n)
-                images = [p.image for p in group]
-                images += [images[-1]] * (target - n)
-                try:
-                    words, scores = self.ocr.recognize(images,
-                                                       beam_size=beam)
-                    for p, w, s in zip(group, words[:n], scores[:n]):
-                        p.text, p.score = w, float(s)
-                except Exception as e:  # surface per-request, keep serving
+            popped = self._drain_queue()
+            try:
+                self._process(popped)
+            finally:
+                if popped:
                     with self._lock:
-                        self.stats["errors"] += len(group)
-                    for p in group:
-                        p.error = f"{type(e).__name__}: {e}"
+                        self._inflight -= len(popped)
+
+    def _process(self, popped: list):
+        batch = [p for p in popped if not p.cancelled]
+        if not batch:
+            return
+        by_beam: dict = {}
+        for p in batch:
+            by_beam.setdefault(p.beam_size, []).append(p)
+        for beam, group in by_beam.items():
+            # pad to the ladder size by repeating the last image: one
+            # compiled shape per ladder step, results sliced below
+            n = len(group)
+            target = self._pad_to(n)
+            images = [p.image for p in group]
+            images += [images[-1]] * (target - n)
+            try:
+                words, scores = self.ocr.recognize(images,
+                                                   beam_size=beam)
+                for p, w, s in zip(group, words[:n], scores[:n]):
+                    p.text, p.score = w, float(s)
+            except Exception as e:  # surface per-request, keep serving
                 with self._lock:
-                    self.stats["batches"] += 1
-                    self.stats["batched_rows"] += n
-                    self.stats["padded_rows"] += target - n
+                    self.stats["errors"] += len(group)
                 for p in group:
-                    p.event.set()
+                    p.error = f"{type(e).__name__}: {e}"
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["batched_rows"] += n
+                self.stats["padded_rows"] += target - n
+            for p in group:
+                p.event.set()
 
 
 def make_handler(recognizer: BatchingRecognizer, cfg: Config,

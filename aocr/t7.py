@@ -235,6 +235,13 @@ class _Reader:
 
     def _read_storage(self, classname: str) -> np.ndarray:
         n = self.read_long()
+        if classname == "torch.LongStorage" and self.long_size == 4:
+            # torch7's File.c writes LongStorage elements as C `long`,
+            # which is 4 bytes on the 32-bit builds this long_size mode
+            # exists for — reading them 8-wide would misparse the values
+            # AND desync the rest of the stream.
+            raw = np.frombuffer(self._read(n * 4), np.dtype("<i4"))
+            return raw.astype(np.int64)
         dtype = np.dtype(_STORAGE_DTYPES[classname])
         return np.frombuffer(self._read(n * dtype.itemsize), dtype).copy()
 

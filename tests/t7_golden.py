@@ -115,6 +115,7 @@ class GoldenWriter:
                  legacy_classes: bool = False, cuda: bool = False):
         assert long_size in (4, 8)
         self.f = f
+        self.long_size = long_size
         self.long_fmt = "<q" if long_size == 8 else "<i"
         self.legacy_classes = legacy_classes  # omit the 'V 1' version tag
         self.cuda = cuda  # float tensors/storages as torch.Cuda*
@@ -239,7 +240,12 @@ class GoldenWriter:
             return
         self._classname(self._storage_class(st.prefix))
         self._long(st.data.size)
-        self.f.write(st.data.tobytes())
+        if st.prefix == "Long" and self.long_size == 4:
+            # torch7 File.c stores LongStorage elements as C `long` —
+            # 4 bytes on the 32-bit builds a long_size=4 stream models.
+            self.f.write(st.data.astype("<i4").tobytes())
+        else:
+            self.f.write(st.data.tobytes())
 
 
 def save(path: str, obj: Any, **kw) -> None:

@@ -159,6 +159,19 @@ def test_long_size_4_stream(tmp_path):
     assert back["n"] == 9.0
 
 
+def test_long_size_4_longtensor_elements(tmp_path):
+    """LongStorage ELEMENTS are also C longs (4 bytes on 32-bit builds),
+    not just the structural sizes/strides — an 8-wide read would misparse
+    the values and desync everything after the tensor."""
+    p = str(tmp_path / "long4el.t7")
+    idx = np.asarray([3, 1, 2, 70000], dtype=np.int64)
+    t7_golden.save(p, {"idx": idx, "after": 5.0}, long_size=4)
+    back = t7.load(p, long_size=4)
+    np.testing.assert_array_equal(back["idx"], idx)
+    assert back["idx"].dtype == np.int64
+    assert back["after"] == 5.0  # stream stayed in sync past the tensor
+
+
 def test_function_records_skipped_and_memoized(tmp_path):
     """Serialized closures (TYPE_FUNCTION/RECUR/LEGACY_RECUR): bytecode is
     opaque and skipped, upvalues consumed, heap index honored on repeats."""

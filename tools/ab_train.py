@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VARIANTS = {
     "base": {},
     "remat": {"remat": True},
-    "prealloc": {"prealloc": True},
+    # no "prealloc" variant: make() forces prealloc=False for every
+    # variant because measure() re-feeds the same carry, which buffer
+    # donation would invalidate — a prealloc entry would silently A/A.
     "autodiff": {"decoder_custom_vjp": False},
     "custom": {"decoder_custom_vjp": True},
 }

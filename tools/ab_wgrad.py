@@ -1,11 +1,17 @@
 #!/usr/bin/env python3
-"""A/B the r3 flat-contraction weight grads + output-masked ReLU against
-their previous forms (jax.nn.relu input-mask; 'tbd,tbg->dg' two-dim
-contractions) on the real TPU, alternating in one process.
+"""A/B two falsified train-step hypotheses against the shipped code on the
+real TPU (documented in docs/performance.md "did NOT help"):
 
-The "old" variant monkeypatches cnn._relu back to jax.nn.relu and wraps
-mm.einsum to rewrite the flattened equations back to their two-dim
-originals (undoing the .reshape is safe: the flatten is bijective).
+- flattening the weight-grad einsums' two-dim (t, b)/(l, b) contraction to
+  a single (T*B, .) axis, so XLA emits a plain K=T*B dot instead of its
+  windowed-conv lowering;
+- a ReLU custom VJP that masks by the OUTPUT (y > 0 <=> x > 0), dropping
+  the bit-packed input-mask residual jax.nn.relu's JVP makes XLA keep.
+
+The experimental variant is patched IN at runtime (mm.einsum wrapper +
+jax.nn.relu replacement), so the A/B reproduces on the shipped tree.
+Measured 2026-08-17: experimental 19.58 vs shipped 19.56 ms best-of-3
+alternating at B=400 — a wash; both effects already overlap/fuse well.
 
 Usage: python tools/ab_wgrad.py [batch] [rounds]
 """
@@ -24,8 +30,8 @@ def main():
 
     from aocr import optim, train_step, vocab
     from aocr.config import Config
-    from aocr.models import cnn, model
-    from aocr.ops import mm
+    from aocr.models import cnn, decoder as dec_mod, model
+    from aocr.ops import lstm as lstm_mod, mm
     from tools.device_timing import dispatch_floor_ms, measure
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 400
@@ -46,37 +52,38 @@ def main():
     floor = dispatch_floor_ms(stat="min")
     print(f"B={B} floor {floor:.2f} ms", flush=True)
 
-    new_relu = cnn._relu
-    new_einsum = mm.einsum
-    # Rewrites of the flattened weight-grad contractions back to the
-    # pre-r3 two-dim form.  T is baked per call site via the operand rank.
-    OLD_EQS = {"nd,ng->dg": "tbd,tbg->dg", "nh,ng->hg": "lbh,lbg->hg",
-               "nd,nh->dh": "tbd,tbh->dh", "nh,nj->hj": "tbh,tbj->hj"}
+    # --- experimental pieces, patched in for the "flat" variant ---
+    shipped_einsum = mm.einsum
+    shipped_relu = jax.nn.relu
+    FLAT = {"tbd,tbg->dg": "nd,ng->dg", "lbh,lbg->hg": "nh,ng->hg",
+            "lbd,lbg->dg": "nd,ng->dg", "tbd,tbh->dh": "nd,nh->dh",
+            "tbh,tbj->hj": "nh,nj->hj"}
 
-    def old_einsum(eq, *ops):
-        if eq in OLD_EQS and all(o.ndim == 2 for o in ops):
-            # both decoder (T, B, .) and encoder (L, B, .) stacks have B
-            # as the middle axis, so (-1, B, .) un-flattens either
-            ops = tuple(o.reshape(-1, B, o.shape[-1]) for o in ops)
-            return new_einsum(OLD_EQS[eq], *ops)
-        return new_einsum(eq, *ops)
+    def flat_einsum(eq, *ops):
+        if eq in FLAT and all(o.ndim == 3 for o in ops):
+            ops = tuple(o.reshape(-1, o.shape[-1]) for o in ops)
+            return shipped_einsum(FLAT[eq], *ops)
+        return shipped_einsum(eq, *ops)
 
-    # lstm.py binds einsum as a module global (patchable); decoder.py's
-    # _tf_core imports mm.einsum locally when building a core, and built
-    # cores are cached — so patch mm.einsum itself and clear the VJP
-    # caches so the cores rebuild against the patched attr.
-    from aocr.models import decoder as dec_mod
-    from aocr.ops import lstm as lstm_mod
+    @jax.custom_vjp
+    def out_masked_relu(x):
+        return jnp.maximum(x, 0)
+
+    out_masked_relu.defvjp(
+        lambda x: ((y := jnp.maximum(x, 0)), y),
+        lambda y, g: (jnp.where(y > 0, g, jnp.zeros_like(g)),))
 
     def run_variant(name):
-        if name == "old":
-            cnn._relu = jax.nn.relu
-            mm.einsum = old_einsum
-            lstm_mod.einsum = old_einsum
+        if name == "flat":
+            mm.einsum = flat_einsum
+            lstm_mod.einsum = flat_einsum
+            jax.nn.relu = out_masked_relu
         else:
-            cnn._relu = new_relu
-            mm.einsum = new_einsum
-            lstm_mod.einsum = new_einsum
+            mm.einsum = shipped_einsum
+            lstm_mod.einsum = shipped_einsum
+            jax.nn.relu = shipped_relu
+        # decoder._tf_core imports mm.einsum locally when building a core
+        # and caches the core — clear so cores rebuild against the patch
         dec_mod._TF_VJP_CACHE.clear()
         lstm_mod._SCAN_VJP_CACHE.clear()
         jax.clear_caches()
@@ -89,19 +96,19 @@ def main():
             return (out.params, out.batch_stats, out.opt_state)
 
         t = measure(body, (ms.params, ms.batch_stats, opt0), floor_ms=floor)
-        cnn._relu = new_relu
-        mm.einsum = new_einsum
-        lstm_mod.einsum = new_einsum
+        mm.einsum = shipped_einsum
+        lstm_mod.einsum = shipped_einsum
+        jax.nn.relu = shipped_relu
         return t
 
-    best = {"new": float("inf"), "old": float("inf")}
+    best = {"shipped": float("inf"), "flat": float("inf")}
     for r in range(rounds):
-        for name in ("new", "old"):
+        for name in ("shipped", "flat"):
             t = run_variant(name)
             best[name] = min(best[name], t)
-            print(f"round {r} {name:4s} {t:7.2f} ms/step", flush=True)
-    print(f"best: new {best['new']:.2f}  old {best['old']:.2f}  "
-          f"({best['old'] / best['new']:.3f}x)", flush=True)
+            print(f"round {r} {name:8s} {t:7.2f} ms/step", flush=True)
+    print(f"best: shipped {best['shipped']:.2f}  flat {best['flat']:.2f}  "
+          f"({best['flat'] / best['shipped']:.3f}x)", flush=True)
 
 
 if __name__ == "__main__":
