@@ -116,6 +116,13 @@ class Config:
     # (ops/pallas/decode_step.py) otherwise; "loop"/"tail" force one for
     # A/B measurement (tools/ab_pallas.py).
     pallas_greedy: str = "auto"  # "auto" | "loop" | "tail"
+    # Which fused beam strategy use_pallas selects: "auto" runs the
+    # whole-beam-loop kernel (ops/pallas/beam_loop.py) when its VMEM
+    # footprint fits, falling back to the per-step fused tail
+    # (ops/pallas/beam_step.py) at B>=512 and pure XLA below; "loop"/
+    # "tail" force one for A/B measurement (tools/ab_pallas.py; "tail"
+    # also lifts the B>=512 gate so it can be measured at any batch).
+    pallas_beam: str = "auto"  # "auto" | "loop" | "tail"
     # Cache decoded images in RAM after first touch (the reference caches
     # unconditionally, data_gen.lua:80; disable for datasets larger than
     # host memory).
@@ -222,6 +229,7 @@ class Config:
         assert self.compute_dtype in ("float32", "bfloat16")
         assert self.optimizer in ("sgd", "adadelta")
         assert self.pallas_greedy in ("auto", "loop", "tail")
+        assert self.pallas_beam in ("auto", "loop", "tail")
         # Reference assert (optim_sgd.lua:35): Nesterov momentum requires a
         # momentum and zero dampening.
         effective_damp = self.momentum if self.dampening < 0 else self.dampening

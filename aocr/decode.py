@@ -102,6 +102,7 @@ def _apply_trie_and_topk(
 # (interpret mode); on TPU the paths activate via cfg.use_pallas.
 _PALLAS_GREEDY_INTERPRET = False
 _PALLAS_BEAM_INTERPRET = False
+_PALLAS_BEAM_LOOP_INTERPRET = False
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "use_trie"))
@@ -409,6 +410,51 @@ def beam_from_context(
     else:
         nodes = jnp.zeros((B, K), jnp.int32)
 
+    # Whole-loop beam kernel (ops/pallas/beam_loop.py): every remaining
+    # step (t >= 2) runs in ONE pallas_call — weights, context, trie table
+    # and the full beam state VMEM-resident, per-tile early exit.  Unlike
+    # the per-step fused tail below it has no per-call fixed costs to
+    # amortize, so it is not gated on batch size.
+    H = context.shape[2]
+    L = context.shape[1]
+    use_loop_kernel = (
+        cfg.use_pallas and not cfg.simple_attention
+        and cfg.pallas_beam != "tail"
+        and (jax.default_backend() == "tpu" or _PALLAS_BEAM_LOOP_INTERPRET)
+    )
+    if use_loop_kernel:
+        from aocr.ops.pallas import beam_loop as _pbl
+
+        vp128 = ((V + 127) // 128) * 128
+        use_loop_kernel = _pbl.fits(
+            L, H, T, K, cfg.decoder_num_layers, cfg.input_feed,
+            vp128, vp128, jnp.dtype(cd).itemsize,
+            trie_table.shape[0] if use_trie else 0)
+    if use_loop_kernel:
+        from aocr.ops.pallas import beam_loop as _pbl
+        from aocr.ops.pallas import greedy_loop as _pgl
+
+        tables = _pgl.build_tables(dec_params, proj,
+                                   cfg.target_embedding_size,
+                                   cfg.input_feed, cd)
+        outs = _pbl.fused_beam_loop(
+            jnp.swapaxes(context, 0, 1), state, tokens0, scores,
+            nodes if use_trie else None, tables,
+            cfg.decoder_num_layers, cfg.input_feed, T, K,
+            bool(cfg.length_normalize),
+            trie_table=trie_table if use_trie else None,
+            interpret=_PALLAS_BEAM_LOOP_INTERPRET,
+        )
+        tok_hist, par_hist, fin_scores, fin_lengths = outs[:4]
+        if use_trie:
+            refills = refills0 + outs[4]
+            min_valid = jnp.minimum(min_valid0, outs[5])
+        else:
+            refills, min_valid = refills0, min_valid0
+        return _backtrack_best(cfg, fin_scores, fin_lengths, tok_hist,
+                               par_hist, refills, min_valid,
+                               return_refills)
+
     # Expand decoder state to B*K rows.  The context is NOT expanded: the
     # in-loop attention runs grouped against the original (B, L, H) array
     # (decoder.attention_grouped), saving K x the context HBM traffic the
@@ -417,19 +463,20 @@ def beam_from_context(
 
     # Fused beam tail (ops/pallas/beam_step.py): grouped attention +
     # projector + freeze + score-add + top-K in one kernel per batch tile,
-    # reading the loop-invariant context once per step.  The trie path
-    # keeps the XLA tail (validity masks + refill bookkeeping).
-    H = context.shape[2]
-    L = context.shape[1]
+    # reading the loop-invariant context once per step.  Reached only when
+    # the whole-loop kernel above does not fit (e.g. very large tries).
     use_fused_beam = (
         cfg.use_pallas and not cfg.simple_attention
+        and cfg.pallas_beam != "loop"
         and (jax.default_backend() == "tpu" or _PALLAS_BEAM_INTERPRET)
         and H % 128 == 0
         # Measured on v5e (docs/performance.md): the fused tail wins at
         # B>=512 (+8-12%) but is a wash at B=256, where the per-call fixed
         # costs (weight DMA per step) eat the context-traffic saving.  B is
-        # static under jit, so gate on it — except in interpret-mode tests.
-        and (B >= 512 or _PALLAS_BEAM_INTERPRET)
+        # static under jit, so gate on it — except in interpret-mode tests
+        # and when -pallas_beam tail forces the tail for A/B measurement.
+        and (B >= 512 or cfg.pallas_beam == "tail"
+             or _PALLAS_BEAM_INTERPRET)
     )
     if use_fused_beam:
         from aocr.ops.pallas import beam_step as _pbs
@@ -570,16 +617,24 @@ def beam_from_context(
     # Histories include t=1 (parents at t=1 are unused by backtracking,
     # matching the reference where the final parent lookup is discarded);
     # post-exit rows keep the PAD/identity prefill.
+    return _backtrack_best(cfg, carry.scores, carry.lengths, tok_hist,
+                           par_hist, refills, min_valid, return_refills)
 
-    # ---- backtrack best beam (reference model.lua:573-585) ----
+
+def _backtrack_best(cfg, scores, lengths, tok_hist, par_hist, refills,
+                    min_valid, return_refills):
+    """Best-beam selection + parent backtracking (reference
+    model.lua:573-585), shared by the XLA while_loop and the whole-loop
+    Pallas kernel paths."""
+    B = scores.shape[0]
     if cfg.length_normalize:
         # BASELINE config-3 variant: select by score per emitted token.
-        norm = carry.scores / jnp.maximum(carry.lengths, 1).astype(jnp.float32)
+        norm = scores / jnp.maximum(lengths, 1).astype(jnp.float32)
         best = jnp.argmax(norm, axis=1)
     else:
-        best = jnp.argmax(carry.scores, axis=1)  # (B,)
+        best = jnp.argmax(scores, axis=1)  # (B,)
     best_scores = jnp.take_along_axis(
-        carry.scores, best[:, None], axis=1
+        scores, best[:, None], axis=1
     ).squeeze(1)
     rows = jnp.arange(B)
 

@@ -1,0 +1,132 @@
+"""Whole-beam-loop Pallas kernel (ops/pallas/beam_loop.py) vs the XLA beam
+path: identical transcripts, parents, scores, refill bookkeeping — across
+plain, trie-constrained, length-normalized, no-input-feed, and
+ragged-tile configurations (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aocr import decode, vocab
+from aocr.config import Config
+from aocr.models import model
+from aocr.ops.pallas import beam_loop
+from aocr.utils import trie as trie_lib
+from tests import synth
+
+
+def _cfg(**kw):
+    base = dict(input_feed=True, encoder_num_hidden=64,
+                target_embedding_size=8, max_decoder_l=8,
+                image_width=32, use_pallas=True)
+    base.update(kw)
+    return Config(**base).validate()
+
+
+def _imgs(words):
+    arr = np.stack([synth.render_word(w, 32, 32) for w in words])[..., None]
+    return jnp.asarray(arr.astype(np.float32))
+
+
+def _run_both(cfg, ms, imgs, K, **kw):
+    """(XLA result, loop-kernel result) for the same beam decode."""
+    ref = decode.beam_decode(ms.params, ms.batch_stats, imgs,
+                             cfg.replace(use_pallas=False), K,
+                             cfg.max_decoder_l, **kw)
+    decode._PALLAS_BEAM_LOOP_INTERPRET = True
+    try:
+        got = decode.beam_decode(ms.params, ms.batch_stats, imgs, cfg, K,
+                                 cfg.max_decoder_l, **kw)
+    finally:
+        decode._PALLAS_BEAM_LOOP_INTERPRET = False
+    return ref, got
+
+
+@pytest.mark.parametrize("K", [2, 5])
+def test_beam_loop_matches_xla(K):
+    cfg = _cfg()
+    ms = model.init(jax.random.PRNGKey(9), cfg)
+    imgs = _imgs(["ab", "cd", "e1", "xyz", "0", "qq", "m"])
+    (lab_r, sc_r), (lab_k, sc_k) = _run_both(cfg, ms, imgs, K)
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_r))
+    np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_beam_loop_no_input_feed():
+    cfg = _cfg(input_feed=False)
+    ms = model.init(jax.random.PRNGKey(4), cfg)
+    imgs = _imgs(["ab", "cd", "e1"])
+    (lab_r, sc_r), (lab_k, sc_k) = _run_both(cfg, ms, imgs, 3)
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_r))
+    np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_beam_loop_length_normalize():
+    cfg = _cfg(length_normalize=True)
+    ms = model.init(jax.random.PRNGKey(5), cfg)
+    imgs = _imgs(["ab", "cd", "e1", "wxyz"])
+    (lab_r, sc_r), (lab_k, sc_k) = _run_both(cfg, ms, imgs, 3)
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_r))
+    np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_beam_loop_trie_matches_xla_with_refills():
+    """Trie constraint + refill bookkeeping: transcripts AND the
+    (refills, min_valid) warning counters must match the XLA path."""
+    cfg = _cfg()
+    ms = model.init(jax.random.PRNGKey(7), cfg)
+    imgs = _imgs(["ab", "cd", "e1", "fg"])
+    # 'z...' words force refills (few root edges vs K=3 beams)
+    table = jnp.asarray(trie_lib.build_transition_table(["zz", "zq"]))
+    (lab_r, sc_r, rf_r), (lab_k, sc_k, rf_k) = _run_both(
+        cfg, ms, imgs, 3, trie_table=table, use_trie=True,
+        return_refills=True)
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_r))
+    np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_r),
+                               rtol=1e-5, atol=1e-5)
+    assert int(rf_k[0]) == int(rf_r[0])   # refill count
+    assert int(rf_k[1]) == int(rf_r[1])   # min valid beams
+
+
+def test_beam_loop_trie_wide_dictionary():
+    cfg = _cfg()
+    ms = model.init(jax.random.PRNGKey(8), cfg)
+    imgs = _imgs(["ab", "cd", "e1", "fg"])
+    table = jnp.asarray(trie_lib.build_transition_table(
+        ["ab", "cd", "e1", "fg", "abc", "cda", "e10", "fgh"]))
+    (lab_r, sc_r, rf_r), (lab_k, sc_k, rf_k) = _run_both(
+        cfg, ms, imgs, 3, trie_table=table, use_trie=True,
+        return_refills=True)
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_r))
+    np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_r),
+                               rtol=1e-5, atol=1e-5)
+    assert int(rf_k[0]) == int(rf_r[0])
+    assert int(rf_k[1]) == int(rf_r[1])
+
+
+def test_beam_loop_ragged_tiles(monkeypatch):
+    """Force a 4-row tile on a 10-row batch (grid 3, short final block):
+    Mosaic-edge rows must stay confined and results identical."""
+    monkeypatch.setattr(beam_loop, "pick_bt", lambda B0, est: 4)
+    cfg = _cfg()
+    ms = model.init(jax.random.PRNGKey(11), cfg)
+    imgs = _imgs(["ab", "cd", "e1", "fg", "hi", "jk", "lm", "no", "pq",
+                  "rs"])
+    (lab_r, sc_r), (lab_k, sc_k) = _run_both(cfg, ms, imgs, 3)
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_r))
+    np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_r),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_beam_loop_fits_gate():
+    """Oversized beams / huge tries must fall back (fits() False) instead
+    of failing VMEM allocation at compile time."""
+    assert beam_loop.fits(24, 1024, 50, 5, 2, True, 128, 128, 2)
+    assert not beam_loop.fits(24, 1024, 50, 9, 2, True, 128, 128, 2)  # K
+    assert not beam_loop.fits(24, 1024, 50, 5, 2, True, 128, 128, 2,
+                              num_trie_nodes=500_000)  # table > VMEM

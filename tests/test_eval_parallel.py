@@ -103,11 +103,13 @@ def test_dp_eval_with_trie(setup):
     assert int(out.refills) >= 0 and int(out.min_valid) >= 0
 
 
-@pytest.mark.parametrize("beam_size", [1, 2])
-def test_dp_eval_composes_with_pallas_kernels(beam_size):
-    """The Pallas decode kernels (whole-greedy-loop / fused beam tail) must
-    compose with shard_map — the configuration real multi-chip eval runs.
-    Interpret mode on a 4-device CPU mesh vs the single-device XLA path."""
+@pytest.mark.parametrize("beam_size,beam_kernel", [(1, "tail"), (2, "tail"),
+                                                   (2, "loop")])
+def test_dp_eval_composes_with_pallas_kernels(beam_size, beam_kernel):
+    """The Pallas decode kernels (whole-greedy-loop / fused beam tail /
+    whole-beam-loop) must compose with shard_map — the configuration real
+    multi-chip eval runs.  Interpret mode on a 4-device CPU mesh vs the
+    single-device XLA path."""
     cfg = Config(
         batch_size=8, input_feed=True, encoder_num_hidden=64,  # H = 128
         target_embedding_size=8, image_width=32, max_decoder_l=8,
@@ -131,12 +133,16 @@ def test_dp_eval_composes_with_pallas_kernels(beam_size):
     mask = (np.arange(im.shape[0]) < real_b).astype(np.float32)
     im, tg, te, mk = mesh_lib.shard_batch(mesh, im, tg, te, mask)
     decode._PALLAS_GREEDY_INTERPRET = True
-    decode._PALLAS_BEAM_INTERPRET = True
+    if beam_kernel == "loop":
+        decode._PALLAS_BEAM_LOOP_INTERPRET = True
+    else:
+        decode._PALLAS_BEAM_INTERPRET = True
     try:
         out = step(st["params"], st["stats"], im, tg, te, row_mask=mk)
     finally:
         decode._PALLAS_GREEDY_INTERPRET = False
         decode._PALLAS_BEAM_INTERPRET = False
+        decode._PALLAS_BEAM_LOOP_INTERPRET = False
     np.testing.assert_array_equal(np.asarray(out.labels)[:real_b],
                                   ref_labels)
     np.testing.assert_allclose(np.asarray(out.scores)[:real_b], ref_scores,

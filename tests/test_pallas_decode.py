@@ -315,6 +315,19 @@ def test_fused_beam_transcripts_on_trained_weights():
                                   np.asarray(labels_ref))
     np.testing.assert_allclose(np.asarray(scores_p),
                                np.asarray(scores_ref), rtol=2e-2, atol=2e-2)
+    # The whole-beam-loop kernel (the shipped default at every B) must pin
+    # the same trained-weights transcripts in the same bf16 config.
+    decode._PALLAS_BEAM_LOOP_INTERPRET = True
+    try:
+        labels_l, scores_l = decode.beam_decode(
+            params, stats, im, cfg_bf.replace(use_pallas=True), 5,
+            cfg.max_decoder_l)
+    finally:
+        decode._PALLAS_BEAM_LOOP_INTERPRET = False
+    np.testing.assert_array_equal(np.asarray(labels_l),
+                                  np.asarray(labels_ref))
+    np.testing.assert_allclose(np.asarray(scores_l),
+                               np.asarray(scores_ref), rtol=2e-2, atol=2e-2)
 
 
 def test_fused_greedy_loop_with_trie_matches_xla():

@@ -21,7 +21,7 @@ REP = 10
 ITERS = 5
 
 
-def measure(fn, images, floor_ms):
+def measure(fn, images, floor_ms, tag=""):
     import jax
     import jax.numpy as jnp
 
@@ -35,6 +35,8 @@ def measure(fn, images, floor_ms):
         _, sums = jax.lax.scan(body, images, None, length=REP)
         return sums.sum()
 
+    if tag:  # keep the log growing so tpu_retry sees progress mid-compile
+        print(f"  compiling {tag} ...", flush=True)
     np.asarray(rep(images))  # compile+warm
     best = float("inf")
     for _ in range(ITERS):
@@ -42,6 +44,8 @@ def measure(fn, images, floor_ms):
         np.asarray(rep(images))
         dt = (time.perf_counter() - t0) * 1000
         best = min(best, (dt - floor_ms) / REP)
+    if tag:
+        print(f"  {tag}: {best:.2f} ms", flush=True)
     return best
 
 
@@ -130,26 +134,31 @@ def main():
 
     if beam_mode:
         K = 5
+        cfg_bt = cfg.replace(use_pallas=True, pallas_beam="tail")
+        cfg_bl = cfg.replace(use_pallas=True, pallas_beam="loop")
         for B in batches:
             images = jnp.asarray(
                 rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32))
             for T, label in ((50, "worst50"), (10, "early10")):
                 r = {}
-                for name, c in (("xla", cfg), ("fused", cfg_p)):
+                for name, c in (("xla", cfg), ("tail", cfg_bt),
+                                ("loop", cfg_bl)):
                     fn = lambda im, c=c: decode.beam_decode(
                         ms.params, ms.batch_stats, im, c, K, T)
-                    r[name] = measure(fn, images, floor_ms)
-                print(f"beam{K} B={B} {label}: "
-                      f"xla {r['xla']:.2f} ms ({B / r['xla'] * 1000:.0f} img/s)  "
-                      f"fused {r['fused']:.2f} ms "
-                      f"({B / r['fused'] * 1000:.0f} img/s)  "
-                      f"speedup {r['xla'] / r['fused']:.3f}x")
+                    r[name] = measure(fn, images, floor_ms,
+                                      tag=f"beam{K} B={B} T={T} {name}")
+                parts = "  ".join(
+                    f"{n} {v:.2f} ms ({B / v * 1000:.0f} img/s)"
+                    for n, v in r.items())
+                print(f"beam{K} B={B} {label}: {parts}  "
+                      f"loop/xla {r['xla'] / r['loop']:.3f}x  "
+                      f"loop/tail {r['tail'] / r['loop']:.3f}x")
             la, _ = decode.beam_decode(ms.params, ms.batch_stats, images,
                                        cfg, K, 50)
             lp, _ = decode.beam_decode(ms.params, ms.batch_stats, images,
-                                       cfg_p, K, 50)
+                                       cfg_bl, K, 50)
             same = float((np.asarray(la) == np.asarray(lp)).mean())
-            print(f"beam{K} B={B} token agreement fused vs xla: "
+            print(f"beam{K} B={B} token agreement loop vs xla: "
                   f"{same * 100:.2f}%")
         return
 
