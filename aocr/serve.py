@@ -363,8 +363,19 @@ def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
           warmup_beams=(), max_queue: int = 1024,
           request_timeout_s: float = 120.0,
           ready_event: Optional[threading.Event] = None,
-          server_box: Optional[list] = None):
+          server_box: Optional[list] = None,
+          dictionary_path: Optional[str] = None,
+          allow_digit_prefix: bool = False):
     ocr = AttentionOCR.load(model_dir, cfg=cfg)
+    if dictionary_path:
+        # Dictionary-constrained decoding (the reference's -use_dictionary,
+        # model.lua:406-514): every served transcript is a prefix-trie walk
+        # over this word list.  The trie rides inside the decode kernels
+        # (docs/performance.md), so serving keeps the fused-path throughput.
+        with open(dictionary_path) as f:
+            words = [w for w in (line.strip() for line in f) if w]
+        ocr.use_dictionary(words, allow_digit_prefix=allow_digit_prefix)
+        print(f"dictionary: {len(words)} words from {dictionary_path}")
     recognizer = BatchingRecognizer(
         ocr, max_batch, batch_window_ms, max_queue=max_queue,
         request_timeout_s=request_timeout_s)
@@ -435,13 +446,20 @@ def main(argv=None):
     p.add_argument("-max_queue", "--max_queue", type=int, default=1024)
     p.add_argument("-request_timeout_s", "--request_timeout_s", type=float,
                    default=120.0)
+    p.add_argument("-dictionary", "--dictionary", default=None,
+                   help="word-list file; constrains every decode to the "
+                        "dictionary trie (the CLI's -use_dictionary)")
+    p.add_argument("-allow_digit_prefix", "--allow_digit_prefix",
+                   action="store_true", default=False)
     args = p.parse_args(argv)
     cfg = Config(beam_size=args.beam_size) if args.beam_size else None
     beams = tuple(int(b) for b in args.warmup_beams.split(",") if b)
     serve(args.model_dir, args.host, args.port, args.max_batch,
           args.batch_window_ms, cfg, warmup=args.warmup,
           warmup_beams=beams, max_queue=args.max_queue,
-          request_timeout_s=args.request_timeout_s)
+          request_timeout_s=args.request_timeout_s,
+          dictionary_path=args.dictionary,
+          allow_digit_prefix=args.allow_digit_prefix)
 
 
 if __name__ == "__main__":

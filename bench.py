@@ -20,9 +20,10 @@ The TRAINING step (fwd+bwd+clip+SGD, B=400, T=11 — the reference's
 train.lua hot loop) is measured with the same protocol and reported in the
 same JSON line as extra keys (train_images_per_sec / train_step_ms /
 train_vs_r2), so a training-throughput regression is driver-visible even
-though the headline metric stays the greedy north star.  Set
-AOCR_BENCH_MODE=train to make training the primary metric (or =greedy to
-skip the train measurement).
+though the headline metric stays the greedy north star; beam-5 decode
+(B=512, full 50 steps, the whole-beam-loop kernel) rides along as
+beam5_images_per_sec / beam_vs_r2.  Set AOCR_BENCH_MODE=train to make
+training the primary metric (or =greedy to skip the extra measurements).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -38,6 +39,9 @@ BASELINE_IPS = 10_000.0  # north-star target (BASELINE.json)
 # r2's measured training throughput (docs/performance.md): the regression
 # guard level for train_vs_r2.
 TRAIN_BASELINE_IPS = 15_900.0
+# r2's best beam-5 full-50-step throughput (B=512, fused tail): the
+# regression guard level for beam_vs_r2.
+BEAM_BASELINE_IPS = 10_771.0
 REP = 10
 V5E_PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (single chip)
 
@@ -213,14 +217,44 @@ def main():
         "vs_baseline": round(best_ips / BASELINE_IPS, 3),
     }
     if mode == "both":
-        # training throughput rides in the same line so a train-step
-        # regression is visible to the driver (VERDICT r2 weak #3)
+        # training + beam throughput ride in the same line so a regression
+        # in either is visible to the driver (VERDICT r2 weak #3)
         step_ms, train_ips, train_mfu = measure_train(floor_ms)
         line.update(
             train_images_per_sec=round(train_ips, 1),
             train_step_ms=round(step_ms, 2),
             train_mfu_pct=round(train_mfu * 100, 1),
             train_vs_r2=round(train_ips / TRAIN_BASELINE_IPS, 3),
+        )
+        B = 512
+        images = jnp.asarray(
+            rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32))
+
+        @jax.jit
+        def rep_beam(images):
+            def body(carry, _):
+                im = carry
+                labels, scores = decode.beam_decode(
+                    ms.params, ms.batch_stats, im, cfg, 5, cfg.max_decoder_l)
+                return im + scores.sum() * 1e-9, labels.sum()
+
+            _, sums = jax.lax.scan(body, images, None, length=REP)
+            return sums.sum()
+
+        np.asarray(rep_beam(images))  # compile + warm
+        t0 = time.perf_counter()
+        iters = 3
+        for _ in range(iters):
+            np.asarray(rep_beam(images))
+        dt_ms = (time.perf_counter() - t0) / iters * 1000
+        beam_ms = (dt_ms - floor_ms) / REP
+        beam_ips = B / beam_ms * 1000
+        print(f"# beam5 B={B} (full 50 steps): {beam_ms:.2f} ms/batch -> "
+              f"{beam_ips:.0f} img/s", file=sys.stderr)
+        line.update(
+            beam5_images_per_sec=round(beam_ips, 1),
+            beam5_batch_ms=round(beam_ms, 2),
+            beam_vs_r2=round(beam_ips / BEAM_BASELINE_IPS, 3),
         )
     print(json.dumps(line))
 

@@ -153,6 +153,44 @@ def test_graceful_drain_flushes_queue_then_rejects(tmp_path):
         rec.close()
 
 
+def test_serve_with_dictionary(tmp_path):
+    """-dictionary FILE constrains every served transcript to the word
+    list (the reference's -use_dictionary as a serving feature)."""
+    from aocr import serve as serve_mod
+
+    d = str(tmp_path / "model")
+    AttentionOCR.create(CFG).save(d)
+    dict_file = tmp_path / "dict.txt"
+    dictionary = ["ab", "cd", "zz", "a", "c", "z"]
+    dict_file.write_text("\n".join(dictionary) + "\n")
+
+    ready = threading.Event()
+    box = []
+    t = threading.Thread(
+        target=serve_mod.serve,
+        kwargs=dict(model_dir=d, host="127.0.0.1", port=0,
+                    batch_window_ms=20.0, cfg=CFG, warmup_beams=(2,),
+                    ready_event=ready, server_box=box,
+                    dictionary_path=str(dict_file)),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(120), "server did not start"
+    httpd, recognizer = box[0]
+    port = httpd.server_address[1]
+    try:
+        for word in ("ab", "qq"):  # qq is out-of-dictionary on purpose
+            for beam in ("", "?beam_size=2"):
+                status, payload = _post(
+                    f"http://127.0.0.1:{port}/recognize{beam}",
+                    _png_bytes(word))
+                assert status == 200
+                assert payload["text"] in dictionary + [""], payload
+    finally:
+        httpd.shutdown()
+        recognizer.close()
+
+
 def test_width_ladder_under_keep_aspect_ratio():
     """-keep_aspect_ratio serving pads widths up to a fixed ladder so only
     pre-compiled shapes are ever decoded (no mid-traffic XLA compile)."""
