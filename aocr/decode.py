@@ -430,6 +430,18 @@ def beam_from_context(
             L, H, T, K, cfg.decoder_num_layers, cfg.input_feed,
             vp128, vp128, jnp.dtype(cd).itemsize,
             trie_table.shape[0] if use_trie else 0)
+        if cfg.pallas_beam == "loop" and not use_loop_kernel:
+            # a forced 'loop' silently measuring another path would corrupt
+            # A/B numbers (tools/ab_pallas.py) — say so (greedy does the
+            # same for pallas_greedy='loop')
+            import warnings
+
+            warnings.warn(
+                "pallas_beam='loop' requested but the whole-beam-loop "
+                f"kernel does not fit (L={L}, H={H}, T={T}, K={K}"
+                + (f", trie_nodes={trie_table.shape[0]}" if use_trie
+                   else "")
+                + "); falling back to the XLA beam path", stacklevel=2)
     if use_loop_kernel:
         from aocr.ops.pallas import beam_loop as _pbl
         from aocr.ops.pallas import greedy_loop as _pgl

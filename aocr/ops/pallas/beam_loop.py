@@ -43,21 +43,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aocr import vocab
+from aocr.ops.pallas.greedy_loop import (_gate_math, pad_trie_table,
+                                         trie_table_bytes)
 
 B_TILE = 128
 LANE = 128
 VMEM_BUDGET = 100 * 1024 * 1024
 MAX_K = 8  # K^2 in-kernel selects; larger beams use the tail kernel
-
-
-def _gate_math(gates: jax.Array, c_prev: jax.Array):
-    H = c_prev.shape[-1]
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    o = jax.nn.sigmoid(gates[:, 2 * H:3 * H])
-    g = jnp.tanh(gates[:, 3 * H:])
-    c = f * c_prev + i * g
-    return c, o * jnp.tanh(c)
 
 
 def _make_kernel(num_layers: int, input_feed: bool, T: int, K: int, V: int,
@@ -362,10 +354,6 @@ def vmem_bytes(L: int, H: int, T: int, K: int, num_layers: int,
     return ctx + weights + state + buf + small + hist
 
 
-def trie_table_bytes(num_nodes: int, vp: int) -> int:
-    return ((num_nodes + 7) // 8) * 8 * vp * 4
-
-
 def pick_bt(B0: int, est) -> Optional[int]:
     """Largest tile (<= B_TILE, multiple of 8 or the whole batch) whose
     estimate fits; None if even 8 rows do not fit."""
@@ -414,6 +402,23 @@ def fused_beam_loop(
     for l in range(1, num_layers):
         extra_init += [init_state.cs[l], init_state.hs[l]]
 
+    # Zero-pad a ragged final tile: on real TPU the out-of-bounds rows of
+    # an edge block read unspecified VMEM contents (interpret mode
+    # zero-fills, hiding it).  The kernel PAD-freezes rows >= B0 either
+    # way, but garbage (possibly NaN) c/h/attn state could otherwise
+    # produce NaN logits whose argmax unfreezes a pad row and defeats the
+    # tile's early exit.  Same treatment as fused_greedy_loop.
+    pad = (-B0) % bt
+    if pad:
+        rowpad = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        context_lbh = jnp.pad(context_lbh, ((0, 0), (0, pad), (0, 0)))
+        c1, h1, attn1 = rowpad(c1), rowpad(h1), rowpad(attn1)
+        extra_init = [rowpad(a) for a in extra_init]
+        tokens0, scores0 = rowpad(tokens0), rowpad(scores0)
+        if use_trie:
+            nodes0 = rowpad(nodes0)
+    Bp = B0 + pad
+
     kernel = _make_kernel(num_layers, input_feed, T, K, vp, B0, bt,
                           use_trie, count_lengths)
 
@@ -451,24 +456,20 @@ def fused_beam_loop(
                  const(tables["pw"].shape), const(tables["pb"].shape)]
     ops += [tables["wa"], tables["wc"], tables["pw"], tables["pb"]]
     if use_trie:
-        N = trie_table.shape[0]
-        npn = ((N + 7) // 8) * 8
-        tt = jnp.full((npn, vp), -1.0, jnp.float32)
-        tt = tt.at[:N, :trie_table.shape[1]].set(
-            trie_table.astype(jnp.float32))
-        in_specs.append(const((npn, vp)))
+        tt = pad_trie_table(trie_table, vp)
+        in_specs.append(const(tt.shape))
         ops.append(tt)
 
     out_specs = [rowKT, rowKT, rowK, rowK]
     out_shape = [
-        jax.ShapeDtypeStruct((B0, K * T), jnp.int32),
-        jax.ShapeDtypeStruct((B0, K * T), jnp.int32),
-        jax.ShapeDtypeStruct((B0, K), jnp.float32),
-        jax.ShapeDtypeStruct((B0, K), jnp.int32),
+        jax.ShapeDtypeStruct((Bp, K * T), jnp.int32),
+        jax.ShapeDtypeStruct((Bp, K * T), jnp.int32),
+        jax.ShapeDtypeStruct((Bp, K), jnp.float32),
+        jax.ShapeDtypeStruct((Bp, K), jnp.int32),
     ]
     if use_trie:
         out_specs += [row1, row1]
-        out_shape += [jax.ShapeDtypeStruct((B0, 1), jnp.int32)] * 2
+        out_shape += [jax.ShapeDtypeStruct((Bp, 1), jnp.int32)] * 2
 
     scratch = [
         pltpu.VMEM((bt, K * H), jnp.float32),               # attn
@@ -508,10 +509,12 @@ def fused_beam_loop(
         interpret=interpret,
     )(*ops)
 
-    tok_hist = jnp.moveaxis(outs[0].reshape(B0, K, T), 2, 0)  # (T, B, K)
-    par_hist = jnp.moveaxis(outs[1].reshape(B0, K, T), 2, 0)
-    fsc, flen = outs[2], outs[3]
+    tok_hist = jnp.moveaxis(outs[0][:B0].reshape(B0, K, T), 2, 0)  # (T,B,K)
+    par_hist = jnp.moveaxis(outs[1][:B0].reshape(B0, K, T), 2, 0)
+    fsc, flen = outs[2][:B0], outs[3][:B0]
     if use_trie:
+        # pad rows contribute 0 refills / K min_valid by the in-kernel
+        # pad_row masks, so reducing over Bp rows is exact
         refills = jnp.sum(outs[4][:, 0]).astype(jnp.int32)
         min_valid = jnp.min(outs[5][:, 0]).astype(jnp.int32)
         return tok_hist, par_hist, fsc, flen, refills, min_valid

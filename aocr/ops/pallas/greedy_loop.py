@@ -302,6 +302,17 @@ def trie_table_bytes(num_nodes: int, vp: int) -> int:
     return ((num_nodes + 7) // 8) * 8 * vp * 4
 
 
+def pad_trie_table(trie_table: jax.Array, vp: int) -> jax.Array:
+    """Dense transitions as resident f32 (exact for node ids < 2^24):
+    rows sublane-padded, columns lane-padded with -1 ('invalid').  Shared
+    by the whole-greedy-loop and whole-beam-loop kernels so the sentinel
+    and rounding can never diverge between them."""
+    N = trie_table.shape[0]
+    npn = ((N + 7) // 8) * 8
+    tt = jnp.full((npn, vp), -1.0, jnp.float32)
+    return tt.at[:N, :trie_table.shape[1]].set(trie_table.astype(jnp.float32))
+
+
 def fused_greedy_loop(
     context_lbh: jax.Array,  # (L, B, H) scan-major, compute dtype
     c0: jax.Array,  # (B, H) layer-1 init from encoder finals
@@ -364,14 +375,8 @@ def fused_greedy_loop(
     vp = tables["vp"]
     trie_ops = ()
     if use_trie:
-        # dense transitions as resident f32 (exact for node ids < 2^24),
-        # rows sublane-padded, columns lane-padded with 'invalid'
-        N = trie_table.shape[0]
-        npn = ((N + 7) // 8) * 8
-        tt = jnp.full((npn, vp), -1.0, jnp.float32)
-        tt = tt.at[:N, :trie_table.shape[1]].set(
-            trie_table.astype(jnp.float32))
-        in_specs.append(pl.BlockSpec((npn, vp), lambda i: (0, 0),
+        tt = pad_trie_table(trie_table, vp)
+        in_specs.append(pl.BlockSpec(tt.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
         trie_ops = (tt,)
     gate_flops = 2 * B * (tables["vp_in"] + (2 * H if input_feed else H)

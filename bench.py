@@ -79,6 +79,20 @@ def flops_per_sample(cfg, width: int = 100, decode_steps: int = 50) -> float:
     return total
 
 
+def timed_per_rep_ms(rep_fn, args, floor_ms: float, iters: int = 3) -> float:
+    """Shared measurement protocol: compile+warm once, then average `iters`
+    fetched executions of the REP-times-repeated jitted program, subtract
+    the dispatch+fetch floor, return ms per repetition.  Every metric in
+    the bench line must go through this so a protocol change cannot skew
+    one vs_baseline ratio against another."""
+    np.asarray(rep_fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(rep_fn(*args))
+    dt_ms = (time.perf_counter() - t0) / iters * 1000
+    return (dt_ms - floor_ms) / REP
+
+
 def measure_train(floor_ms: float, B: int = 400, T: int = 11):
     """Full train-step throughput (fwd+bwd+clip@5+SGD) with the repeat-
     inside-one-jit protocol: the scan threads params/opt-state through each
@@ -115,13 +129,8 @@ def measure_train(floor_ms: float, B: int = 400, T: int = 11):
             body, (params, stats, opt), None, length=REP)
         return losses.sum()
 
-    np.asarray(rep_train(ms.params, ms.batch_stats, opt0))  # compile + warm
-    t0 = time.perf_counter()
-    iters = 3
-    for _ in range(iters):
-        np.asarray(rep_train(ms.params, ms.batch_stats, opt0))
-    dt_ms = (time.perf_counter() - t0) / iters * 1000
-    per_step_ms = (dt_ms - floor_ms) / REP
+    per_step_ms = timed_per_rep_ms(
+        rep_train, (ms.params, ms.batch_stats, opt0), floor_ms)
     ips = B / per_step_ms * 1000
     # fwd+bwd ~ 3x the forward FLOPs (the standard MFU convention)
     gflop = 3 * flops_per_sample(cfg, decode_steps=int(tg.shape[1])) / 1e9
@@ -191,13 +200,7 @@ def main():
             _, sums = jax.lax.scan(body, images, None, length=REP)
             return sums.sum()
 
-        np.asarray(rep_decode(images))  # compile + warm
-        t0 = time.perf_counter()
-        iters = 3
-        for _ in range(iters):
-            np.asarray(rep_decode(images))
-        dt_ms = (time.perf_counter() - t0) / iters * 1000
-        per_batch_ms = (dt_ms - floor_ms) / REP
+        per_batch_ms = timed_per_rep_ms(rep_decode, (images,), floor_ms)
         ips = B / per_batch_ms * 1000
         print(f"# batch {B}: {per_batch_ms:.2f} ms/batch -> {ips:.0f} img/s",
               file=sys.stderr)
@@ -241,13 +244,7 @@ def main():
             _, sums = jax.lax.scan(body, images, None, length=REP)
             return sums.sum()
 
-        np.asarray(rep_beam(images))  # compile + warm
-        t0 = time.perf_counter()
-        iters = 3
-        for _ in range(iters):
-            np.asarray(rep_beam(images))
-        dt_ms = (time.perf_counter() - t0) / iters * 1000
-        beam_ms = (dt_ms - floor_ms) / REP
+        beam_ms = timed_per_rep_ms(rep_beam, (images,), floor_ms)
         beam_ips = B / beam_ms * 1000
         print(f"# beam5 B={B} (full 50 steps): {beam_ms:.2f} ms/batch -> "
               f"{beam_ips:.0f} img/s", file=sys.stderr)

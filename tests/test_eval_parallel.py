@@ -110,10 +110,14 @@ def test_dp_eval_composes_with_pallas_kernels(beam_size, beam_kernel):
     whole-beam-loop) must compose with shard_map — the configuration real
     multi-chip eval runs.  Interpret mode on a 4-device CPU mesh vs the
     single-device XLA path."""
+    # pallas_beam is set explicitly per case: the interpret flags are
+    # module globals outside the jit cache key, so the two beam_size=2
+    # cases need DISTINCT static cfgs or the second would replay the
+    # first's cached executable instead of tracing its kernel.
     cfg = Config(
         batch_size=8, input_feed=True, encoder_num_hidden=64,  # H = 128
         target_embedding_size=8, image_width=32, max_decoder_l=8,
-        beam_size=beam_size, use_pallas=True,
+        beam_size=beam_size, use_pallas=True, pallas_beam=beam_kernel,
     ).validate()
     cfg_xla = cfg.replace(use_pallas=False)
     labels = ["ab", "cd", "ef", "gh", "ij", "kl"]

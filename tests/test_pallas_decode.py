@@ -301,10 +301,15 @@ def test_fused_beam_transcripts_on_trained_weights():
     cfg_bf = cfg.replace(compute_dtype="bfloat16")
     labels_ref, scores_ref = decode.beam_decode(
         params, stats, im, cfg_bf, 5, cfg.max_decoder_l)
+    # NOTE: the interpret flags are module globals and NOT part of the jit
+    # cache key, so each kernel path must use a DISTINCT static cfg
+    # (pallas_beam) or the second call would silently replay the first
+    # path's cached executable.
     decode._PALLAS_BEAM_INTERPRET = True
     try:
         labels_p, scores_p = decode.beam_decode(
-            params, stats, im, cfg_bf.replace(use_pallas=True), 5,
+            params, stats, im,
+            cfg_bf.replace(use_pallas=True, pallas_beam="tail"), 5,
             cfg.max_decoder_l)
     finally:
         decode._PALLAS_BEAM_INTERPRET = False
@@ -320,7 +325,8 @@ def test_fused_beam_transcripts_on_trained_weights():
     decode._PALLAS_BEAM_LOOP_INTERPRET = True
     try:
         labels_l, scores_l = decode.beam_decode(
-            params, stats, im, cfg_bf.replace(use_pallas=True), 5,
+            params, stats, im,
+            cfg_bf.replace(use_pallas=True, pallas_beam="loop"), 5,
             cfg.max_decoder_l)
     finally:
         decode._PALLAS_BEAM_LOOP_INTERPRET = False

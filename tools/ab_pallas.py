@@ -60,10 +60,12 @@ def main():
     args = sys.argv[1:]
     beam_mode = bool(args) and args[0] == "beam"
     trie_mode = bool(args) and args[0] == "trie"
-    if beam_mode or trie_mode:
+    bigtrie_mode = bool(args) and args[0] == "bigtrie"
+    if beam_mode or trie_mode or bigtrie_mode:
         args = args[1:]
     batches = [int(a) for a in args] or (
-        [256] if beam_mode else [512] if trie_mode else [512, 1024])
+        [256] if beam_mode else [512] if trie_mode or bigtrie_mode
+        else [512, 1024])
     cfg = Config(input_feed=True, compute_dtype="bfloat16",
                  use_pallas=False).validate()
     cfg_t = cfg.replace(use_pallas=True, pallas_greedy="tail")
@@ -96,40 +98,86 @@ def main():
                         for _ in range(2000)})
         table = jnp.asarray(trie_lib.build_transition_table(words))
         print(f"dictionary: {len(words)} words, {table.shape[0]} trie nodes")
+        skip_greedy = bool(os.environ.get("AOCR_AB_TRIE_SKIP_GREEDY"))
         for B in batches:
             images = jnp.asarray(
                 rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32))
-            for T, label in ((50, "worst50"), (10, "early10")):
+            for T, label in (() if skip_greedy
+                             else ((50, "worst50"), (10, "early10"))):
                 r = {}
                 for name, c in (("xla", cfg), ("loop", cfg_p)):
                     fn = lambda im, c=c: decode.greedy_decode(
                         ms.params, ms.batch_stats, im, c, T,
                         trie_table=table, use_trie=True)
-                    r[name] = measure(fn, images, floor_ms)
+                    r[name] = measure(fn, images, floor_ms,
+                                      tag=f"trie-greedy B={B} T={T} {name}")
                 print(f"trie-greedy B={B} {label}: "
                       f"xla {r['xla']:.2f} ms ({B / r['xla'] * 1000:.0f})  "
                       f"loop {r['loop']:.2f} ms "
                       f"({B / r['loop'] * 1000:.0f} img/s)  "
                       f"speedup {r['xla'] / r['loop']:.3f}x")
-            la, _ = decode.greedy_decode(ms.params, ms.batch_stats, images,
-                                         cfg, 50, trie_table=table,
-                                         use_trie=True)
-            lp, _ = decode.greedy_decode(ms.params, ms.batch_stats, images,
-                                         cfg_p, 50, trie_table=table,
-                                         use_trie=True)
-            same = float((np.asarray(la) == np.asarray(lp)).mean())
-            print(f"trie-greedy B={B} token agreement: {same * 100:.2f}%")
+            if not skip_greedy:
+                la, _ = decode.greedy_decode(ms.params, ms.batch_stats,
+                                             images, cfg, 50,
+                                             trie_table=table, use_trie=True)
+                lp, _ = decode.greedy_decode(ms.params, ms.batch_stats,
+                                             images, cfg_p, 50,
+                                             trie_table=table, use_trie=True)
+                same = float((np.asarray(la) == np.asarray(lp)).mean())
+                print(f"trie-greedy B={B} token agreement: "
+                      f"{same * 100:.2f}%")
             K = 5
             for T, label in ((50, "worst50"), (10, "early10")):
                 r = {}
-                for name, c in (("xla", cfg), ("fused", cfg_p)):
+                # cfg_p (pallas auto) picks the whole-beam-loop kernel with
+                # the trie in VMEM for this dictionary size
+                for name, c in (("xla", cfg), ("loop", cfg_p)):
                     fn = lambda im, c=c: decode.beam_decode(
                         ms.params, ms.batch_stats, im, c, K, T,
                         trie_table=table, use_trie=True)
-                    r[name] = measure(fn, images, floor_ms)
+                    r[name] = measure(fn, images, floor_ms,
+                                      tag=f"trie-beam{K} B={B} T={T} {name}")
                 print(f"trie-beam{K} B={B} {label}: "
-                      f"xla {r['xla']:.2f} ms  fused {r['fused']:.2f} ms  "
-                      f"speedup {r['xla'] / r['fused']:.3f}x")
+                      f"xla {r['xla']:.2f} ms  loop {r['loop']:.2f} ms  "
+                      f"speedup {r['xla'] / r['loop']:.3f}x")
+        return
+
+    if bigtrie_mode:
+        # Synth90k-scale dictionary (88k words -> ~400k trie nodes, ~200 MB
+        # dense): far over VMEM, so the whole-loop kernels gate OFF and the
+        # question is whether the per-step fused beam tail (XLA-gathered
+        # validity plane + in-kernel mask/refill) should also serve B<512.
+        import string
+
+        from aocr.utils import trie as trie_lib
+
+        wrng = np.random.RandomState(7)
+        chars = list(string.ascii_lowercase)
+        words = set()
+        while len(words) < 88172:
+            n = max(3, min(13, int(wrng.gamma(4.0, 1.6))))
+            words.add("".join(wrng.choice(chars, size=n)))
+        table = jnp.asarray(trie_lib.build_transition_table(sorted(words)))
+        print(f"dictionary: {len(words)} words, {table.shape[0]} trie nodes")
+        K = 5
+        cfg_bt = cfg.replace(use_pallas=True, pallas_beam="tail")
+        for B in batches:
+            images = jnp.asarray(
+                rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32))
+            for T, label in ((50, "worst50"), (10, "early10")):
+                r = {}
+                for name, c in (("xla", cfg), ("tail", cfg_bt)):
+                    fn = lambda im, c=c: decode.beam_decode(
+                        ms.params, ms.batch_stats, im, c, K, T,
+                        trie_table=table, use_trie=True)
+                    r[name] = measure(fn, images, floor_ms,
+                                      tag=f"bigtrie-beam{K} B={B} T={T} "
+                                          f"{name}")
+                print(f"bigtrie-beam{K} B={B} {label}: "
+                      f"xla {r['xla']:.2f} ms ({B / r['xla'] * 1000:.0f})  "
+                      f"tail {r['tail']:.2f} ms "
+                      f"({B / r['tail'] * 1000:.0f} img/s)  "
+                      f"speedup {r['xla'] / r['tail']:.3f}x")
         return
 
     if beam_mode:
