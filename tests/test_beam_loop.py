@@ -109,6 +109,19 @@ def test_beam_loop_trie_wide_dictionary():
     assert int(rf_k[1]) == int(rf_r[1])
 
 
+def test_beam_loop_three_layer_decoder():
+    """-decoder_num_layers 3 exercises the kernel's extra-layer refs
+    (layer_refs / extra_init), which the default 2-layer tests never
+    touch."""
+    cfg = _cfg(decoder_num_layers=3)
+    ms = model.init(jax.random.PRNGKey(13), cfg)
+    imgs = _imgs(["ab", "cd", "e1"])
+    (lab_r, sc_r), (lab_k, sc_k) = _run_both(cfg, ms, imgs, 3)
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_r))
+    np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_r),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_beam_loop_ragged_tiles(monkeypatch):
     """Force a 4-row tile on a 10-row batch (grid 3, short final block):
     Mosaic-edge rows must stay confined and results identical."""
