@@ -136,6 +136,35 @@ def test_beam_loop_ragged_tiles(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("combo", [
+    # cross-product coverage the single-axis tests above do not reach
+    dict(input_feed=False, decoder_num_layers=1, K=2, length_normalize=True),
+    dict(input_feed=True, decoder_num_layers=1, K=4, trie=True),
+    dict(input_feed=False, decoder_num_layers=3, K=3, trie=True,
+         length_normalize=True),
+    dict(input_feed=True, decoder_num_layers=2, K=5, trie=True,
+         length_normalize=True),
+])
+def test_beam_loop_config_combinations(combo):
+    K = combo.pop("K")
+    use_trie = combo.pop("trie", False)
+    cfg = _cfg(**combo)
+    ms = model.init(jax.random.PRNGKey(sum(map(ord, str(combo))) % 97), cfg)
+    imgs = _imgs(["ab", "cd", "e1", "zq", "m"])
+    kw = {}
+    if use_trie:
+        kw = dict(trie_table=jnp.asarray(trie_lib.build_transition_table(
+            ["ab", "cd", "e1", "zq", "m", "abc", "zz"])), use_trie=True,
+            return_refills=True)
+    ref, got = _run_both(cfg, ms, imgs, K, **kw)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               rtol=1e-5, atol=1e-5)
+    if use_trie:
+        assert int(got[2][0]) == int(ref[2][0])
+        assert int(got[2][1]) == int(ref[2][1])
+
+
 def test_beam_loop_fits_gate():
     """Oversized beams / huge tries must fall back (fits() False) instead
     of failing VMEM allocation at compile time."""
