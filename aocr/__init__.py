@@ -17,7 +17,20 @@ Reference Torch7 checkpoints import via `aocr.torch_import` /
 tools/import_torch.py.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORM_NAME", "").lower() == "cpu":
+    # Honor CPU forcing *strictly*: JAX_PLATFORM_NAME=cpu selects the default
+    # backend but still initializes every registered PJRT plugin, so on this
+    # stack a dead TPU tunnel blocks even pure-CPU runs (and the axon plugin
+    # ignores the JAX_PLATFORMS env var).  jax_platforms, set before backend
+    # discovery, keeps the plugin from being touched at all — the same trick
+    # tests/conftest.py uses.  No-op unless the env var is explicitly "cpu".
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 from aocr.config import Config  # noqa: F401
 

@@ -31,6 +31,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -44,6 +45,53 @@ TRAIN_BASELINE_IPS = 15_900.0
 BEAM_BASELINE_IPS = 10_771.0
 REP = 10
 V5E_PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (single chip)
+
+# --- stall watchdog -------------------------------------------------------
+# The dev-tunnel TPU link occasionally wedges a single RPC forever (the
+# process stays alive at ~0 CPU; a fresh process typically succeeds
+# immediately — see CLAUDE.md).  The driver runs this script unattended, so
+# a wedged dispatch must not hang the whole round: a daemon thread re-execs
+# the process if no measurement stage completes within AOCR_BENCH_STALL_S
+# (default 600 s, above the worst observed ~400 s degraded-tunnel cold
+# compile).  Bounded by AOCR_BENCH_MAX_ATTEMPTS total attempts, after which
+# the process exits nonzero with no JSON line (an honest failure, never a
+# stale number).  Disable with AOCR_BENCH_WATCHDOG=0.
+
+_last_tick = time.monotonic()
+
+
+def _tick():
+    global _last_tick
+    _last_tick = time.monotonic()
+
+
+def _start_watchdog():
+    if os.environ.get("AOCR_BENCH_WATCHDOG", "1") == "0":
+        return
+    stall_s = float(os.environ.get("AOCR_BENCH_STALL_S", "600"))
+    attempt = int(os.environ.get("AOCR_BENCH_ATTEMPT", "1"))
+    max_attempts = int(os.environ.get("AOCR_BENCH_MAX_ATTEMPTS", "4"))
+
+    def watch():
+        while True:
+            time.sleep(min(15.0, stall_s / 2))
+            idle = time.monotonic() - _last_tick
+            if idle < stall_s:
+                continue
+            if attempt >= max_attempts:
+                print(f"# bench: stalled {idle:.0f}s on attempt {attempt}/"
+                      f"{max_attempts}; giving up", file=sys.stderr)
+                sys.stderr.flush()
+                os._exit(1)
+            print(f"# bench: no progress for {idle:.0f}s (attempt {attempt});"
+                  f" re-exec to shed the wedged RPC", file=sys.stderr)
+            sys.stderr.flush()
+            sys.stdout.flush()
+            env = dict(os.environ, AOCR_BENCH_ATTEMPT=str(attempt + 1))
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+    threading.Thread(target=watch, daemon=True, name="bench-watchdog").start()
+# --------------------------------------------------------------------------
 
 
 def flops_per_sample(cfg, width: int = 100, decode_steps: int = 50) -> float:
@@ -86,9 +134,11 @@ def timed_per_rep_ms(rep_fn, args, floor_ms: float, iters: int = 3) -> float:
     the bench line must go through this so a protocol change cannot skew
     one vs_baseline ratio against another."""
     np.asarray(rep_fn(*args))  # compile + warm
+    _tick()
     t0 = time.perf_counter()
     for _ in range(iters):
         np.asarray(rep_fn(*args))
+        _tick()
     dt_ms = (time.perf_counter() - t0) / iters * 1000
     return (dt_ms - floor_ms) / REP
 
@@ -141,6 +191,8 @@ def measure_train(floor_ms: float, B: int = 400, T: int = 11):
 
 
 def main():
+    _start_watchdog()
+
     import jax
     import jax.numpy as jnp
 
