@@ -36,6 +36,8 @@ class AttentionOCR:
         self.batch_stats = batch_stats
         self.global_step = global_step
         self._trie = None
+        self._mesh = None
+        self._dp_steps: dict = {}
 
     # ------------------------------------------------------- constructors
 
@@ -96,6 +98,44 @@ class AttentionOCR:
         self._trie = jnp.asarray(
             trie_lib.build_transition_table(words, allow_digit_prefix)
         )
+
+    def shard(self, num_shards: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> "AttentionOCR":
+        """Shard recognize() batches across a device mesh (data parallel).
+
+        Params replicate; each device decodes its batch slice through the
+        same fused kernels with no cross-device communication (beam state
+        is per-sample), so inference throughput scales linearly with
+        chips.  Batches whose row count is not divisible by the shard
+        count are padded by repeating the last row (sliced off after the
+        fetch).  `num_shards=None` uses all local devices; `shard(1)` or
+        `unshard()` restores single-device dispatch.
+        """
+        from aocr.parallel import mesh as mesh_lib
+
+        if num_shards == 1 and devices is None:
+            return self.unshard()
+        self._mesh = mesh_lib.make_mesh(num_data=num_shards, num_model=1,
+                                        devices=devices)
+        self._dp_steps = {}
+        return self
+
+    def unshard(self) -> "AttentionOCR":
+        self._mesh = None
+        self._dp_steps = {}
+        return self
+
+    def _dp_step(self, beam_size: int, max_len: int):
+        from aocr.parallel import eval_parallel
+
+        key = (beam_size, max_len, self._trie is not None)
+        step = self._dp_steps.get(key)
+        if step is None:
+            step = eval_parallel.make_dp_decode_step(
+                self.cfg, self._mesh, use_trie=self._trie is not None,
+                beam_size=beam_size, max_len=max_len)
+            self._dp_steps[key] = step
+        return step
 
     @staticmethod
     def _to_hw1(arr) -> np.ndarray:
@@ -173,15 +213,29 @@ class AttentionOCR:
         n = sum(len(idx) for idx, _ in groups)
         words: List[Optional[str]] = [None] * n
         scores = np.empty((n,), np.float32)
+        K = beam_size or self.cfg.beam_size
+        T = max_len or self.cfg.max_decoder_l
         for idx, x in groups:
-            labels, sc = decode.beam_decode(
-                self.params, self.batch_stats, x, self.cfg,
-                beam_size=beam_size or self.cfg.beam_size,
-                max_len=max_len or self.cfg.max_decoder_l,
-                trie_table=self._trie,
-                use_trie=self._trie is not None,
-            )
-            labels, sc = np.asarray(labels), np.asarray(sc)
+            if self._mesh is not None:
+                from aocr.parallel import eval_parallel
+                from aocr.parallel import mesh as mesh_lib
+                from aocr.parallel.mesh import DATA_AXIS
+
+                n_sh = self._mesh.shape[DATA_AXIS]
+                real, xp = eval_parallel.pad_rows(n_sh, x)
+                xp = mesh_lib.shard_batch(self._mesh, xp)
+                labels, sc = self._dp_step(K, T)(
+                    self.params, self.batch_stats, xp, self._trie)
+                labels = np.asarray(labels)[:real]
+                sc = np.asarray(sc)[:real]
+            else:
+                labels, sc = decode.beam_decode(
+                    self.params, self.batch_stats, x, self.cfg,
+                    beam_size=K, max_len=T,
+                    trie_table=self._trie,
+                    use_trie=self._trie is not None,
+                )
+                labels, sc = np.asarray(labels), np.asarray(sc)
             for j, i in enumerate(idx):
                 words[i] = vocab.decode(labels[j])
                 scores[i] = sc[j]

@@ -121,6 +121,45 @@ def make_dp_eval_step(cfg: Config, mesh: Mesh, use_trie: bool):
     return step
 
 
+def make_dp_decode_step(cfg: Config, mesh: Mesh, use_trie: bool,
+                        beam_size: int, max_len: int):
+    """Decode-only sharded step (inference/serving: no gold pass, no
+    metrics).  Returns step(params, batch_stats, images, trie_table) ->
+    (labels (B, max_len) int32, scores (B,) f32), both batch-sharded.
+    Images must be sharded over DATA_AXIS with rows divisible by the
+    data-axis size (pad_rows); params/batch_stats/trie replicated.
+
+    Each shard runs the full single-device decode path — including the
+    whole-loop Pallas kernels — on its batch slice; there is no cross-shard
+    communication at all (beam state is per-sample), so throughput scales
+    linearly with chips and the only collective-free sync point is the
+    host fetch.
+    """
+    K = min(beam_size, cfg.target_vocab_size)
+
+    def local_step(params, batch_stats, images, trie_table):
+        context, dec_init, _ = model.encode(
+            params, batch_stats, images, cfg, train=False)
+        labels, scores = decode.beam_from_context(
+            params, context, dec_init, cfg, beam_size=K, max_len=max_len,
+            trie_table=trie_table if use_trie else None, use_trie=use_trie)
+        return labels, scores
+
+    rep, sh = P(), P(DATA_AXIS)
+    shmapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(rep, rep, sh, rep), out_specs=(sh, sh), check_vma=False)
+    jitted = jax.jit(shmapped)
+
+    def step(params, batch_stats, images,
+             trie_table: Optional[jax.Array] = None):
+        if trie_table is None:
+            trie_table = jnp.zeros((1, cfg.target_vocab_size), jnp.int32)
+        return jitted(params, batch_stats, images, trie_table)
+
+    return step
+
+
 def pad_rows(n_shards: int, *arrays, total_rows: Optional[int] = None):
     """Pad batch arrays (axis 0, repeating the last row for images / PAD
     rows for targets) to a row count divisible by n_shards — or to exactly

@@ -365,8 +365,17 @@ def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
           ready_event: Optional[threading.Event] = None,
           server_box: Optional[list] = None,
           dictionary_path: Optional[str] = None,
-          allow_digit_prefix: bool = False):
+          allow_digit_prefix: bool = False,
+          num_shards: int = 1):
     ocr = AttentionOCR.load(model_dir, cfg=cfg)
+    if num_shards != 1:
+        # Data-parallel serving: each coalesced batch shards over the mesh
+        # (params replicated, zero cross-chip communication in the decode),
+        # so one server front-end drives N chips at N x the throughput.
+        ocr.shard(None if num_shards <= 0 else num_shards)
+        from aocr.parallel.mesh import DATA_AXIS
+
+        print(f"sharded inference over {ocr._mesh.shape[DATA_AXIS]} devices")
     if dictionary_path:
         # Dictionary-constrained decoding (the reference's -use_dictionary,
         # model.lua:406-514): every served transcript is a prefix-trie walk
@@ -451,6 +460,9 @@ def main(argv=None):
                         "dictionary trie (the CLI's -use_dictionary)")
     p.add_argument("-allow_digit_prefix", "--allow_digit_prefix",
                    action="store_true", default=False)
+    p.add_argument("-num_shards", "--num_shards", type=int, default=1,
+                   help="shard each device batch across N chips (data-"
+                        "parallel inference; 0 = all local devices)")
     args = p.parse_args(argv)
     cfg = Config(beam_size=args.beam_size) if args.beam_size else None
     beams = tuple(int(b) for b in args.warmup_beams.split(",") if b)
@@ -459,7 +471,8 @@ def main(argv=None):
           warmup_beams=beams, max_queue=args.max_queue,
           request_timeout_s=args.request_timeout_s,
           dictionary_path=args.dictionary,
-          allow_digit_prefix=args.allow_digit_prefix)
+          allow_digit_prefix=args.allow_digit_prefix,
+          num_shards=args.num_shards)
 
 
 if __name__ == "__main__":

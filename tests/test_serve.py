@@ -229,3 +229,52 @@ def test_fixed_width_has_no_ladder():
         assert rec.pad_width(img) is img
     finally:
         rec.close()
+
+
+def test_num_shards_serving(tmp_path):
+    """-num_shards: the server's coalesced batches shard over the device
+    mesh; transcripts must be identical to single-device serving."""
+    d = str(tmp_path / "model")
+    AttentionOCR.create(CFG).save(d)
+
+    from aocr import serve as serve_mod
+
+    ready = threading.Event()
+    box = []
+    t = threading.Thread(
+        target=serve_mod.serve,
+        kwargs=dict(model_dir=d, host="127.0.0.1", port=0,
+                    batch_window_ms=60.0, cfg=CFG, ready_event=ready,
+                    server_box=box, num_shards=4),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(120), "sharded server did not start"
+    httpd, recognizer = box[0]
+    from aocr.parallel.mesh import DATA_AXIS
+
+    assert recognizer.ocr._mesh.shape[DATA_AXIS] == 4
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        words = ["ab", "cd", "ef"]
+        expected, _ = recognizer.ocr.unshard().recognize(
+            [synth.render_word(w, 32, 32).astype(np.float32)
+             for w in words])
+        recognizer.ocr.shard(4)
+        results = [None] * len(words)
+
+        def post_one(i):
+            results[i] = _post(f"{base}/recognize", _png_bytes(words[i]))
+
+        threads = [threading.Thread(target=post_one, args=(i,))
+                   for i in range(len(words))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(60)
+        for (status, payload), want in zip(results, expected):
+            assert status == 200
+            assert payload["text"] == want
+    finally:
+        httpd.shutdown()
+        recognizer.close()
