@@ -171,10 +171,10 @@ def greedy_from_context(
         # context, and decoder state VMEM-resident across all max_len steps,
         # per-tile early exit (ops/pallas/greedy_loop.py).  Dictionary
         # decoding stays in-kernel too: the dense trie transition table
-        # rides along VMEM-resident when it fits (typical lexicons; a
-        # Synth90k-scale trie falls back to the XLA path below).  Falls
-        # back to the per-step fused tail when the footprint would not fit
-        # VMEM (trie-free only).
+        # rides along VMEM-resident when it fits (typical lexicons).
+        # When the footprint would not fit VMEM (huge tries, long
+        # contexts) the per-step fused tail below takes over — with the
+        # trie table in HBM and the validity plane gathered by XLA.
         from aocr.ops.pallas import greedy_loop as _pgl
 
         H = context.shape[2]
@@ -218,27 +218,37 @@ def greedy_from_context(
             )
             return labels, scores
 
-    use_fused = use_fused and not use_trie  # the per-step tail has no trie
     if use_fused:
+        # Per-step fused tail (with or without a trie): when the trie table
+        # is too big for the whole-loop kernel's VMEM-resident copy, the
+        # table stays in HBM, XLA gathers the current nodes' (B, V)
+        # validity plane each step, and the kernel applies the mask — the
+        # same split the fused beam tail uses, so Synth90k-scale
+        # dictionaries keep a fused path instead of dropping to pure XLA.
         from aocr.ops.pallas import decode_step as _pds
 
         pw_pad, pb_pad = _pds.pad_projector(proj["w"].astype(cd), proj["b"])
         wa_cd = dec_params["w_a"].astype(cd)
         wc_cd = dec_params["w_c"].astype(cd)
+        vp_tail = pw_pad.shape[1]
         # Scan-major context for the kernel: cancels against the encoder's
         # output transpose, so the custom call's layout demand does not
         # propagate into (and un-fuse) the encoder scans — that relayout
         # cost ~1.7 ms/call before this.
         ctx_lbh = jnp.swapaxes(context, 0, 1)
 
-        def fused_step(state, prev):
+        def _pad_plane(ok):  # (B, V) bool -> (B, Vp) f32 0/1
+            return jnp.pad(ok.astype(jnp.float32),
+                           ((0, 0), (0, vp_tail - V)))
+
+        def fused_step(state, prev, valid=None):
             cs, hs, h_top = decoder.lstm_stack(
                 dec_params, state, prev, input_feed=cfg.input_feed,
                 compute_dtype=cd,
             )
             h_tilde, tok, delta = _pds.fused_decode_tail(
                 h_top, ctx_lbh, prev, wa_cd, wc_cd, pw_pad, pb_pad,
-                interpret=_PALLAS_GREEDY_INTERPRET,
+                interpret=_PALLAS_GREEDY_INTERPRET, valid=valid,
             )
             new_state = decoder.DecoderState(
                 attn=h_tilde.astype(cd), cs=cs, hs=hs
@@ -249,9 +259,15 @@ def greedy_from_context(
     go = jnp.full((B,), vocab.GO, jnp.int32)
     if use_fused:
         # GO is neither PAD nor EOS, so the kernel's freeze rule is a no-op
-        # at t=1 — identical to the XLA first step below.
-        state, tokens0, scores0 = fused_step(state, go)
-        nodes0 = jnp.zeros((B,), jnp.int32)
+        # at t=1 — identical to the XLA first step below.  With a trie,
+        # the t=1 plane is the root's children with NO PAD-allow (the XLA
+        # path's t=1-no-PAD rule).
+        valid0 = (_pad_plane(jnp.broadcast_to((trie_table[0] >= 0)[None, :],
+                                              (B, V)))
+                  if use_trie else None)
+        state, tokens0, scores0 = fused_step(state, go, valid0)
+        nodes0 = (jnp.maximum(trie_table[0][tokens0], 0) if use_trie
+                  else jnp.zeros((B,), jnp.int32))
     else:
         state, h_tilde = decoder.step(
             dec_params, state, go, context, input_feed=cfg.input_feed,
@@ -283,7 +299,15 @@ def greedy_from_context(
     def w_body(carry):
         t, state, score, prev, nodes, buf = carry
         if use_fused:
-            st, tok, delta = fused_step(state, prev)
+            if use_trie:
+                ok = trie_table[nodes] >= 0  # (B, V) gather, table in HBM
+                ok = ok.at[:, vocab.PAD].set(True)
+                st, tok, delta = fused_step(state, prev, _pad_plane(ok))
+                stepped = trie_table[nodes, tok]
+                nodes = jnp.where(tok == vocab.PAD, nodes,
+                                  jnp.maximum(stepped, 0))
+            else:
+                st, tok, delta = fused_step(state, prev)
             score = score + delta
         else:
             st, h_t = decoder.step(

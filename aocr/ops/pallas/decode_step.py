@@ -49,7 +49,12 @@ LANE = 128
 
 
 def _kernel(h_ref, ctx_ref, prev_ref, wa_ref, wc_ref, pw_ref, pb_ref,
-            htld_ref, tok_ref, delta_ref):
+            *refs):
+    # optional trie validity plane rides between the fixed inputs and the
+    # three outputs (mirrors beam_step._make_kernel's layout)
+    use_trie = len(refs) == 4
+    valid_ref = refs[0] if use_trie else None
+    htld_ref, tok_ref, delta_ref = refs[-3:]
     h = h_ref[:]  # (Bt, H) bf16/f32
     # context arrives scan-major (L, Bt, H): this is the layout the
     # encoder's lax.scan naturally produces, so requesting it keeps the
@@ -86,6 +91,14 @@ def _kernel(h_ref, ctx_ref, prev_ref, wa_ref, wc_ref, pw_ref, pb_ref,
     m = jnp.max(logits, axis=-1, keepdims=True)
     lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
     logp = logits - lse  # (Bt, Vp) f32
+    if use_trie:
+        # XLA gathers the (Bt, Vp) 0/1 validity plane from the dense
+        # transition table between steps (the table itself can be
+        # Synth90k-huge and stay in HBM); the kernel only applies the
+        # mask.  The PAD column's always-valid rule is baked into the
+        # plane by the caller, so masking before the freeze rule is
+        # order-equivalent to the XLA path (decode.py w_body).
+        logp = jnp.where(valid_ref[:] > 0, logp, -1e30)
     prev = prev_ref[:, 0]  # (Bt,) int32
     frozen = (prev == vocab.PAD) | (prev == vocab.EOS)
     col = jax.lax.broadcasted_iota(jnp.int32, logp.shape, 1)
@@ -117,12 +130,21 @@ def fused_decode_tail(
     pw_padded: jax.Array,  # (H, Vp) from pad_projector
     pb_padded: jax.Array,  # (1, Vp) from pad_projector
     interpret: bool = False,
+    valid: jax.Array = None,  # optional (B, Vp) 0/1 trie validity plane
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Returns (h_tilde (B, H) f32, tokens (B,) int32, score_delta (B,) f32).
 
     score_delta is the picked token's log-prob with the freeze rule applied
     (0 for frozen rows), i.e. exactly what the greedy loop adds to its
     cumulative scores.
+
+    `valid` enables dictionary decoding for tries too big for the
+    whole-loop kernel's VMEM-resident table (reference -use_dictionary,
+    src/model/model.lua:406-514): XLA gathers the current nodes' rows
+    from the HBM-resident transition table each step and the kernel
+    masks invalid continuations to -1e30 before the argmax.  The caller
+    bakes the PAD-always-valid rule into the plane (and omits it at t=1,
+    matching the XLA path's no-PAD first step).
     """
     L, B0, H = context_lbh.shape
     pad_rows = (-B0) % B_TILE if B0 > B_TILE else 0
@@ -135,9 +157,12 @@ def fused_decode_tail(
             context_lbh = jnp.pad(context_lbh,
                                   ((0, 0), (0, pad_rows), (0, 0)))
             prev_tokens = jnp.pad(prev_tokens, (0, pad_rows))
+            if valid is not None:
+                valid = jnp.pad(valid, ((0, pad_rows), (0, 0)))
     B = h_top.shape[0]
     vp = pw_padded.shape[1]
     dt = w_a.dtype
+    use_trie = valid is not None
     grid = (B // bt,)
     h_tilde, tok, delta = pl.pallas_call(
         _kernel,
@@ -155,7 +180,8 @@ def fused_decode_tail(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, vp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((bt, vp), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)] if use_trie else []),
         out_specs=[
             pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -174,7 +200,8 @@ def fused_decode_tail(
                    + 2 * B * H * vp),
             bytes_accessed=(B * L * H * context_lbh.dtype.itemsize
                             + B * H * 6 + 3 * H * H * dt.itemsize
-                            + H * vp * pw_padded.dtype.itemsize),
+                            + H * vp * pw_padded.dtype.itemsize
+                            + (B * vp * 4 if use_trie else 0)),
             transcendentals=B * (L + H + vp),
         ),
         interpret=interpret,
@@ -182,5 +209,6 @@ def fused_decode_tail(
         h_top.astype(dt), context_lbh.astype(dt),
         prev_tokens.reshape(-1, 1).astype(jnp.int32),
         w_a, w_c, pw_padded.astype(dt), pb_padded,
+        *((valid.astype(jnp.float32),) if use_trie else ()),
     )
     return h_tilde[:B0], tok[:B0, 0], delta[:B0, 0]

@@ -375,6 +375,58 @@ def test_fused_greedy_loop_with_trie_matches_xla():
                        ["ab", "cd", "zz", "mn", "e1", "q", "x0", "abc"])
 
 
+def test_fused_greedy_tail_with_trie_matches_xla():
+    """Huge-trie fallback path: when the whole-loop kernel's VMEM gate
+    rejects the table, greedy dictionary decoding must keep the per-step
+    fused tail (trie table in HBM, XLA-gathered validity plane, mask in
+    kernel) instead of dropping to pure XLA — with transcripts and scores
+    identical to the XLA trie path.  pallas_greedy='tail' forces the same
+    routing the gate produces for Synth90k-scale tries."""
+    from aocr.ops.pallas import decode_step as pds
+    from aocr.utils import trie as trie_lib
+
+    cfg = Config(input_feed=True, encoder_num_hidden=32,
+                 target_embedding_size=8, max_decoder_l=8,
+                 image_width=32, use_pallas=False).validate()
+    cfg_tail = cfg.replace(use_pallas=True, pallas_greedy="tail")
+    dict_words = ["ab", "cd", "zz", "mn", "e1", "q", "x0", "abc"]
+    table = jnp.asarray(trie_lib.build_transition_table(dict_words))
+    imgs = np.stack([synth.render_word(w, 32, 32)
+                     for w in ["ab", "cd", "e1", "zz", "q", "mn",
+                               "x0"]])[..., None]
+    imgs = jnp.asarray(imgs.astype(np.float32))
+    calls = []
+    real_tail = pds.fused_decode_tail
+
+    def counting_tail(*a, **kw):
+        calls.append(kw.get("valid") is not None)
+        return real_tail(*a, **kw)
+
+    for seed in (0, 3):
+        ms = model.init(jax.random.PRNGKey(seed), cfg)
+        labels_ref, scores_ref = decode.beam_decode(
+            ms.params, ms.batch_stats, imgs, cfg, 1, cfg.max_decoder_l,
+            trie_table=table, use_trie=True)
+        decode._PALLAS_GREEDY_INTERPRET = True
+        pds.fused_decode_tail = counting_tail
+        try:
+            labels_p, scores_p = decode.beam_decode(
+                ms.params, ms.batch_stats, imgs, cfg_tail, 1,
+                cfg.max_decoder_l, trie_table=table, use_trie=True)
+        finally:
+            decode._PALLAS_GREEDY_INTERPRET = False
+            pds.fused_decode_tail = real_tail
+        assert calls and all(calls), "tail kernel not exercised with trie"
+        np.testing.assert_array_equal(np.asarray(labels_p),
+                                      np.asarray(labels_ref))
+        np.testing.assert_allclose(np.asarray(scores_p),
+                                   np.asarray(scores_ref),
+                                   rtol=1e-5, atol=1e-5)
+        for row in np.asarray(labels_p):
+            w = vocab.decode(row)
+            assert any(d.startswith(w) for d in dict_words)
+
+
 def test_fused_greedy_trie_vmem_gate():
     """A Synth90k-scale trie (hundreds of thousands of nodes) must NOT be
     forced into VMEM — the gate falls back to the XLA path."""
