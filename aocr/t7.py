@@ -118,6 +118,12 @@ class _Reader:
         self.memo: Dict[int, Any] = {}
 
     def _read(self, n: int) -> bytes:
+        # n is stream-controlled (string/storage/bytecode lengths): reject
+        # negative and absurd values up front — file objects raise
+        # OverflowError past index-size, and a silent all-the-rest read
+        # would desync the stream anyway.
+        if n < 0 or n > (1 << 40):
+            raise ValueError(f"corrupt t7 stream: record length {n}")
         b = self.f.read(n)
         if len(b) != n:
             raise EOFError("truncated t7 stream")
@@ -217,6 +223,8 @@ class _Reader:
 
     def _read_tensor(self, classname: str) -> Optional[np.ndarray]:
         ndim = self.read_int()
+        if ndim < 0:
+            raise ValueError(f"corrupt t7 tensor: ndim={ndim}")
         size = [self.read_long() for _ in range(ndim)]
         stride = [self.read_long() for _ in range(ndim)]
         offset = self.read_long() - 1  # torch is 1-based
@@ -225,6 +233,30 @@ class _Reader:
             return None
         dtype = _TENSOR_DTYPES[classname]
         flat = np.asarray(storage, dtype)
+        if flat.ndim != 1:
+            raise ValueError("corrupt t7 tensor: storage is not flat")
+        # Validate the view geometry BEFORE as_strided: size/stride/offset
+        # come straight from the (untrusted) stream, and an out-of-range
+        # view would read arbitrary process memory; an absurd element
+        # count would be a memory bomb on the materializing copy.
+        if any(s < 0 for s in size):
+            raise ValueError(f"corrupt t7 tensor: size={size}")
+        n_elem = 1
+        for s in size:
+            n_elem *= s
+        if n_elem > (1 << 33):
+            raise ValueError(f"corrupt t7 tensor: {n_elem} elements")
+        if n_elem:
+            lo = offset + sum(min(0, (sz - 1) * st)
+                              for sz, st in zip(size, stride))
+            hi = offset + sum(max(0, (sz - 1) * st)
+                              for sz, st in zip(size, stride))
+            if lo < 0 or hi >= flat.shape[0]:
+                raise ValueError(
+                    "corrupt t7 tensor: view [{}, {}] outside storage of "
+                    "{} elements".format(lo, hi, flat.shape[0]))
+        else:
+            return np.empty(tuple(size), dtype)
         itemsize = flat.dtype.itemsize
         strided = np.lib.stride_tricks.as_strided(
             flat[offset:],

@@ -313,3 +313,95 @@ def test_independent_checkpoint_imports_identically(tmp_path, writer_kw):
     got_words = [vocab.decode(r) for r in np.asarray(labels)]
     want_words = [vocab.decode(r) for r in np.asarray(rlabels)]
     assert got_words == want_words
+
+
+# ----------------------------------------- hostile / corrupt stream safety
+
+
+def _tensor_stream(size, stride, offset1, data, ndim=None):
+    """Hand-pack a FloatTensor record (grammar in tests/t7_golden.py) with
+    arbitrary — possibly inconsistent — geometry."""
+    nd = len(size) if ndim is None else ndim
+    b = I(4) + I(1) + S("V 1") + S("torch.FloatTensor")
+    b += I(nd)
+    for s in size:
+        b += Q(s)
+    for s in stride:
+        b += Q(s)
+    b += Q(offset1)
+    b += I(4) + I(2) + S("V 1") + S("torch.FloatStorage")
+    b += Q(len(data)) + np.asarray(data, "<f4").tobytes()
+    return b
+
+
+def test_tensor_geometry_validated():
+    """size/stride/offset come from an untrusted stream; a view outside the
+    storage must raise — NOT read arbitrary process memory via as_strided —
+    and absurd element counts must raise instead of materializing."""
+    data = [0.0, 1.0, 2.0, 3.0]
+    # sanity: a valid record round-trips
+    np.testing.assert_array_equal(
+        read_bytes(_tensor_stream([4], [1], 1, data)), data)
+    # negative stride, in-bounds: a legal reversed view
+    np.testing.assert_array_equal(
+        read_bytes(_tensor_stream([4], [-1], 4, data)), data[::-1])
+    bad = [
+        _tensor_stream([4], [2], 1, data),           # reaches index 6 of 4
+        _tensor_stream([4], [1], 3, data),           # tail past the end
+        _tensor_stream([4], [1], 0, data),           # 0 -> offset -1
+        _tensor_stream([4], [-2], 4, data),          # reaches index -3
+        _tensor_stream([1 << 20, 1 << 20], [0, 0], 1, data),  # memory bomb
+        _tensor_stream([-3], [1], 1, data),          # negative dim
+        _tensor_stream([], [], 1, data, ndim=-2),    # negative ndim
+    ]
+    for raw in bad:
+        with pytest.raises(ValueError):
+            read_bytes(raw)
+
+
+def _fuzz_base() -> bytes:
+    flat = t7_golden.Storage(np.arange(6, dtype=np.float32))
+    obj = {
+        "version": 2.0,
+        "model": t7_golden.TorchObject("nn.Linear", {
+            "weight": t7_golden.View(flat, (2, 3), (3, 1), 0),
+            "bias": t7_golden.View(flat, (3,), (1,), 3),
+        }),
+        "opts": {"lr": 0.1, "name": "aocr", "flag": True},
+    }
+    buf = io.BytesIO()
+    t7_golden.GoldenWriter(buf).emit(obj)
+    return buf.getvalue()
+
+
+_ALLOWED = (EOFError, ValueError, TypeError, RecursionError)
+
+
+def test_fuzz_truncation_never_hangs_or_crashes():
+    """Every truncation of a valid stream must raise cleanly (EOFError or a
+    parse error) — never hang, segfault, or silently return garbage past
+    the cut."""
+    raw = _fuzz_base()
+    assert len(raw) > 50
+    for cut in range(len(raw)):
+        with pytest.raises(_ALLOWED):
+            read_bytes(raw[:cut])
+
+
+def test_fuzz_byte_mutations_bounded_failure():
+    """Seeded single-byte mutations: the reader either parses (mutations in
+    payload bytes are legal) or raises from a bounded exception set —
+    never an unbounded allocation, OOB read, or hang."""
+    raw = bytearray(_fuzz_base())
+    rng = np.random.RandomState(0)
+    for _ in range(600):
+        pos = int(rng.randint(len(raw)))
+        val = int(rng.randint(256))
+        orig = raw[pos]
+        raw[pos] = val
+        try:
+            read_bytes(bytes(raw))
+        except _ALLOWED:
+            pass
+        finally:
+            raw[pos] = orig
