@@ -98,6 +98,11 @@ class AttentionOCR:
         self._trie = jnp.asarray(
             trie_lib.build_transition_table(words, allow_digit_prefix)
         )
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._trie = jax.device_put(
+                self._trie, NamedSharding(self._mesh, PartitionSpec()))
 
     def shard(self, num_shards: Optional[int] = None,
               devices: Optional[Sequence] = None) -> "AttentionOCR":
@@ -113,14 +118,37 @@ class AttentionOCR:
         """
         from aocr.parallel import mesh as mesh_lib
 
+        if num_shards is not None and num_shards < 1 and devices is None:
+            raise ValueError(f"num_shards must be >= 1, got {num_shards}")
         if num_shards == 1 and devices is None:
             return self.unshard()
         self._mesh = mesh_lib.make_mesh(num_data=num_shards, num_model=1,
                                         devices=devices)
         self._dp_steps = {}
+        # Replicate the weights onto the mesh ONCE: leaving them committed
+        # to a single device would make every jitted call re-broadcast the
+        # whole param tree before decoding.
+        self._replicate_weights()
         return self
 
+    def _replicate_weights(self) -> None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self._mesh, PartitionSpec())
+        self.params = jax.device_put(self.params, rep)
+        self.batch_stats = jax.device_put(self.batch_stats, rep)
+        if self._trie is not None:
+            self._trie = jax.device_put(self._trie, rep)
+
     def unshard(self) -> "AttentionOCR":
+        if self._mesh is not None:
+            # hop the weights back to the default device so the
+            # single-device jit path doesn't inherit 8-device arrays
+            dev = jax.devices()[0]
+            self.params = jax.device_put(self.params, dev)
+            self.batch_stats = jax.device_put(self.batch_stats, dev)
+            if self._trie is not None:
+                self._trie = jax.device_put(self._trie, dev)
         self._mesh = None
         self._dp_steps = {}
         return self
@@ -128,6 +156,9 @@ class AttentionOCR:
     def _dp_step(self, beam_size: int, max_len: int):
         from aocr.parallel import eval_parallel
 
+        # key on the clamped K: over-vocab beam sizes compile to the same
+        # program, so they must share one cache entry
+        beam_size = min(beam_size, self.cfg.target_vocab_size)
         key = (beam_size, max_len, self._trie is not None)
         step = self._dp_steps.get(key)
         if step is None:

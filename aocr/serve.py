@@ -368,11 +368,15 @@ def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
           allow_digit_prefix: bool = False,
           num_shards: int = 1):
     ocr = AttentionOCR.load(model_dir, cfg=cfg)
+    if num_shards < 0:
+        raise ValueError(
+            f"-num_shards must be >= 0 (0 = all local devices), "
+            f"got {num_shards}")
     if num_shards != 1:
         # Data-parallel serving: each coalesced batch shards over the mesh
         # (params replicated, zero cross-chip communication in the decode),
         # so one server front-end drives N chips at N x the throughput.
-        ocr.shard(None if num_shards <= 0 else num_shards)
+        ocr.shard(None if num_shards == 0 else num_shards)
         from aocr.parallel.mesh import DATA_AXIS
 
         print(f"sharded inference over {ocr._mesh.shape[DATA_AXIS]} devices")

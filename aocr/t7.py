@@ -244,7 +244,10 @@ class _Reader:
         n_elem = 1
         for s in size:
             n_elem *= s
-        if n_elem > (1 << 33):
+        # 2^28 elements = 1 GiB of f32 — an order of magnitude above any
+        # real OCR checkpoint tensor, but small enough that a crafted
+        # stride-0 record can't OOM the importer on the materializing copy
+        if n_elem > (1 << 28):
             raise ValueError(f"corrupt t7 tensor: {n_elem} elements")
         if n_elem:
             lo = offset + sum(min(0, (sz - 1) * st)

@@ -31,7 +31,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 import json
 import os
 import sys
-import threading
 import time
 
 import numpy as np
@@ -50,47 +49,90 @@ V5E_PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (single chip)
 # The dev-tunnel TPU link occasionally wedges a single RPC forever (the
 # process stays alive at ~0 CPU; a fresh process typically succeeds
 # immediately — see CLAUDE.md).  The driver runs this script unattended, so
-# a wedged dispatch must not hang the whole round: a daemon thread re-execs
-# the process if no measurement stage completes within AOCR_BENCH_STALL_S
-# (default 600 s, above the worst observed ~400 s degraded-tunnel cold
-# compile).  Bounded by AOCR_BENCH_MAX_ATTEMPTS total attempts, after which
-# the process exits nonzero with no JSON line (an honest failure, never a
-# stale number).  Disable with AOCR_BENCH_WATCHDOG=0.
+# a wedged dispatch must not hang the whole round.  The guard is a
+# SUPERVISOR PROCESS, not an in-process thread: host threads running
+# alongside jit dispatch are themselves a documented tunnel-wedge trigger
+# (CLAUDE.md "Environment gotchas"), so the measuring child stays
+# thread-free and reports progress by touching a heartbeat file
+# (`_tick()`); the supervisor polls the file's mtime and kills + respawns
+# the child if no stage completes within AOCR_BENCH_STALL_S (default
+# 600 s, above the worst observed ~400 s degraded-tunnel cold compile).
+# Bounded by AOCR_BENCH_MAX_ATTEMPTS attempts, after which the supervisor
+# exits nonzero with no JSON line (an honest failure, never a stale
+# number).  Disable with AOCR_BENCH_WATCHDOG=0.
 
-_last_tick = time.monotonic()
+_HB_ENV = "AOCR_BENCH_HEARTBEAT"
 
 
 def _tick():
-    global _last_tick
-    _last_tick = time.monotonic()
+    hb = os.environ.get(_HB_ENV)
+    if not hb:
+        return
+    try:
+        os.utime(hb, None)
+    except OSError:
+        try:
+            open(hb, "w").close()
+        except OSError:
+            pass
 
 
-def _start_watchdog():
+def _supervise(child_argv=None):
+    """Stall-guard entry: returns None (caller proceeds to measure) when
+    supervision is disabled or this IS the supervised child; otherwise
+    spawns/monitors children until one finishes or attempts run out, then
+    exits with the child's code.  Children inherit stdout, so the JSON
+    line still lands on the driver's stdout unmediated."""
     if os.environ.get("AOCR_BENCH_WATCHDOG", "1") == "0":
         return
+    if os.environ.get("AOCR_BENCH_SUPERVISED"):
+        return
+    import subprocess
+    import tempfile
+
     stall_s = float(os.environ.get("AOCR_BENCH_STALL_S", "600"))
-    attempt = int(os.environ.get("AOCR_BENCH_ATTEMPT", "1"))
     max_attempts = int(os.environ.get("AOCR_BENCH_MAX_ATTEMPTS", "4"))
-
-    def watch():
-        while True:
-            time.sleep(min(15.0, stall_s / 2))
-            idle = time.monotonic() - _last_tick
-            if idle < stall_s:
-                continue
-            if attempt >= max_attempts:
-                print(f"# bench: stalled {idle:.0f}s on attempt {attempt}/"
-                      f"{max_attempts}; giving up", file=sys.stderr)
-                sys.stderr.flush()
-                os._exit(1)
-            print(f"# bench: no progress for {idle:.0f}s (attempt {attempt});"
-                  f" re-exec to shed the wedged RPC", file=sys.stderr)
-            sys.stderr.flush()
-            sys.stdout.flush()
-            env = dict(os.environ, AOCR_BENCH_ATTEMPT=str(attempt + 1))
-            os.execve(sys.executable, [sys.executable] + sys.argv, env)
-
-    threading.Thread(target=watch, daemon=True, name="bench-watchdog").start()
+    argv = child_argv or [sys.executable] + sys.argv
+    fd, hb = tempfile.mkstemp(prefix="aocr_bench_hb_")
+    os.close(fd)
+    try:
+        for attempt in range(1, max_attempts + 1):
+            env = dict(os.environ, AOCR_BENCH_SUPERVISED="1",
+                       AOCR_BENCH_ATTEMPT=str(attempt), **{_HB_ENV: hb})
+            os.utime(hb, None)
+            proc = subprocess.Popen(argv, env=env)
+            while True:
+                try:
+                    rc = proc.wait(timeout=min(5.0, stall_s / 2))
+                except subprocess.TimeoutExpired:
+                    try:
+                        idle = time.time() - os.stat(hb).st_mtime
+                    except OSError:
+                        idle = 0.0
+                    if idle <= stall_s:
+                        continue
+                    print(f"# bench: no progress for {idle:.0f}s (attempt "
+                          f"{attempt}/{max_attempts}); killing wedged child "
+                          f"pid {proc.pid}", file=sys.stderr)
+                    sys.stderr.flush()
+                    proc.kill()
+                    proc.wait()
+                    rc = None
+                    break
+                else:
+                    break
+            if rc is not None:
+                # finished (or crashed) on its own: propagate honestly —
+                # a crash is not a wedge, retrying would mask real bugs
+                sys.exit(rc)
+        print(f"# bench: stalled on all {max_attempts} attempts; giving up",
+              file=sys.stderr)
+        sys.exit(1)
+    finally:
+        try:
+            os.unlink(hb)
+        except OSError:
+            pass
 # --------------------------------------------------------------------------
 
 
@@ -191,7 +233,7 @@ def measure_train(floor_ms: float, B: int = 400, T: int = 11):
 
 
 def main():
-    _start_watchdog()
+    _supervise()
 
     import jax
     import jax.numpy as jnp

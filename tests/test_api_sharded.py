@@ -83,3 +83,26 @@ def test_shard_all_devices_and_unshard(ocr):
     # shard(1) is an unshard
     ocr.shard(4).shard(1)
     assert ocr._mesh is None
+
+
+def test_shard_replicates_weights_once(ocr):
+    """shard() must commit the params to the mesh (replicated) so jit does
+    not re-broadcast the tree on every recognize(); unshard() hops them
+    back to a single device."""
+    import jax
+
+    leaf = lambda: jax.tree.leaves(ocr.params)[0]
+    try:
+        ocr.shard(4)
+        assert len(leaf().sharding.device_set) == 4
+    finally:
+        ocr.unshard()
+    assert len(leaf().sharding.device_set) == 1
+
+
+def test_shard_rejects_bad_counts(ocr):
+    with pytest.raises(ValueError):
+        ocr.shard(0)
+    with pytest.raises(ValueError):
+        ocr.shard(-2)
+    assert ocr._mesh is None

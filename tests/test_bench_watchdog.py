@@ -1,93 +1,166 @@
-"""The bench.py stall watchdog: a wedged device RPC must re-exec the
-process (bounded attempts), then fail honestly — never hang the driver's
-unattended round-end bench run or emit a stale JSON line.
+"""The bench.py stall guard: a wedged device RPC must get its child
+process killed and respawned (bounded attempts), then fail honestly —
+never hang the driver's unattended round-end bench run or emit a stale
+JSON line.
 
 The dev-tunnel failure mode being defended against: a single dispatch
 blocks forever in native code with the process alive at ~0 CPU (CLAUDE.md
-"Environment gotchas"); only a fresh process recovers.
+"Environment gotchas"); only a fresh process recovers.  The guard is a
+supervisor PROCESS (heartbeat file + kill/respawn), not an in-process
+thread — host threads running alongside jit dispatch are themselves a
+documented tunnel-wedge trigger, so the measuring child stays
+thread-free.
+
+Child stand-ins here touch the heartbeat file directly (the same channel
+`bench._tick()` uses — pinned by test__tick_touches_heartbeat) instead of
+importing bench, so the tight stall windows race child logic, not numpy
+import time.
 """
 
 import os
 import subprocess
 import sys
 import textwrap
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _stall_script(tmp_path):
-    """A stand-in for a wedged bench: starts the real watchdog, reports its
-    attempt number, then blocks forever (no _tick)."""
-    script = tmp_path / "stall.py"
-    script.write_text(textwrap.dedent(f"""
+def _runner(tmp_path, child_body: str) -> str:
+    """A supervisor entry whose child is a stand-in for bench's measuring
+    process: `bench._supervise([...child...])` in the parent, the child
+    body in a second script."""
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent(f"""
         import os, sys, time
+        {child_body}
+    """))
+    runner = tmp_path / "runner.py"
+    runner.write_text(textwrap.dedent(f"""
+        import sys
         sys.path.insert(0, {REPO!r})
         import bench
-        bench._start_watchdog()
-        print("attempt", os.environ.get("AOCR_BENCH_ATTEMPT", "1"),
-              flush=True)
-        time.sleep(300)
+        bench._supervise([sys.executable, {str(child)!r}])
+        print("unsupervised fallthrough", flush=True)
     """))
-    return str(script)
+    return str(runner)
 
 
-def test_watchdog_reexecs_then_gives_up(tmp_path):
-    env = dict(
-        os.environ,
-        AOCR_BENCH_STALL_S="2",
-        AOCR_BENCH_MAX_ATTEMPTS="3",
-    )
+def _env(**kw):
+    env = dict(os.environ, **{k: str(v) for k, v in kw.items()})
     env.pop("AOCR_BENCH_ATTEMPT", None)
+    env.pop("AOCR_BENCH_SUPERVISED", None)
+    return env
+
+
+def test_supervisor_kills_wedged_child_then_gives_up(tmp_path):
+    runner = _runner(tmp_path, """
+        print("attempt", os.environ.get("AOCR_BENCH_ATTEMPT", "?"),
+              flush=True)
+        time.sleep(300)  # wedged: never ticks
+    """)
     proc = subprocess.run(
-        [sys.executable, _stall_script(tmp_path)],
-        capture_output=True, text=True, timeout=60, env=env,
+        [sys.executable, runner],
+        capture_output=True, text=True, timeout=120,
+        env=_env(AOCR_BENCH_STALL_S=8, AOCR_BENCH_MAX_ATTEMPTS=3),
     )
-    # one line per attempt: the re-exec preserved argv and bumped the counter
+    # one line per attempt: each respawn bumped the counter
     assert proc.stdout.split() == [
         "attempt", "1", "attempt", "2", "attempt", "3"]
     assert proc.returncode == 1
     assert "giving up" in proc.stderr
-    assert "re-exec" in proc.stderr
+    assert "killing wedged child" in proc.stderr
 
 
-def test_watchdog_quiet_while_progress_ticks(tmp_path):
-    """A process that keeps ticking is never re-exec'd and exits cleanly."""
-    script = tmp_path / "ticks.py"
-    script.write_text(textwrap.dedent(f"""
-        import sys, time
-        sys.path.insert(0, {REPO!r})
-        import bench
-        bench._start_watchdog()
-        for _ in range(8):
+def test_supervisor_quiet_while_progress_ticks(tmp_path):
+    """A child that keeps ticking the heartbeat is never killed; its exit
+    code and stdout propagate."""
+    runner = _runner(tmp_path, """
+        hb = os.environ["AOCR_BENCH_HEARTBEAT"]
+        for _ in range(10):
             time.sleep(0.5)
-            bench._tick()
+            os.utime(hb, None)  # what bench._tick() does
         print("done", flush=True)
-    """))
-    env = dict(os.environ, AOCR_BENCH_STALL_S="2", AOCR_BENCH_MAX_ATTEMPTS="2")
-    env.pop("AOCR_BENCH_ATTEMPT", None)
+    """)
     proc = subprocess.run(
-        [sys.executable, str(script)],
-        capture_output=True, text=True, timeout=60, env=env,
+        [sys.executable, runner],
+        capture_output=True, text=True, timeout=120,
+        env=_env(AOCR_BENCH_STALL_S=8, AOCR_BENCH_MAX_ATTEMPTS=2),
     )
     assert proc.returncode == 0
     assert proc.stdout.strip() == "done"
-    assert "re-exec" not in proc.stderr
+    assert "killing" not in proc.stderr
 
 
-def test_watchdog_disabled(tmp_path):
-    env = dict(os.environ, AOCR_BENCH_WATCHDOG="0", AOCR_BENCH_STALL_S="1")
-    script = tmp_path / "off.py"
+def test_supervisor_propagates_crash_without_retry(tmp_path):
+    """A child that CRASHES (vs wedges) is not retried — retrying would
+    mask real bugs behind the attempt budget."""
+    runner = _runner(tmp_path, """
+        print("attempt", os.environ.get("AOCR_BENCH_ATTEMPT", "?"),
+              flush=True)
+        sys.exit(7)
+    """)
+    proc = subprocess.run(
+        [sys.executable, runner],
+        capture_output=True, text=True, timeout=120,
+        env=_env(AOCR_BENCH_STALL_S=30, AOCR_BENCH_MAX_ATTEMPTS=3),
+    )
+    assert proc.stdout.split() == ["attempt", "1"]
+    assert proc.returncode == 7
+
+
+def test_supervisor_disabled(tmp_path):
+    """AOCR_BENCH_WATCHDOG=0: _supervise returns and the caller proceeds
+    inline (no child, no threads)."""
+    runner = _runner(tmp_path, "pass")
+    proc = subprocess.run(
+        [sys.executable, runner],
+        capture_output=True, text=True, timeout=60,
+        env=_env(AOCR_BENCH_WATCHDOG=0, AOCR_BENCH_STALL_S=1),
+    )
+    assert proc.returncode == 0
+    assert proc.stdout.strip() == "unsupervised fallthrough"
+
+
+def test__tick_touches_heartbeat(tmp_path):
+    """bench._tick's progress channel IS the heartbeat file mtime (what the
+    stand-in children above emulate)."""
+    import bench
+
+    hb = tmp_path / "hb"
+    hb.write_text("")
+    past = time.time() - 1000
+    os.utime(hb, (past, past))
+    old = os.environ.get("AOCR_BENCH_HEARTBEAT")
+    os.environ["AOCR_BENCH_HEARTBEAT"] = str(hb)
+    try:
+        bench._tick()
+    finally:
+        if old is None:
+            del os.environ["AOCR_BENCH_HEARTBEAT"]
+        else:
+            os.environ["AOCR_BENCH_HEARTBEAT"] = old
+    assert os.stat(hb).st_mtime > past + 500
+
+
+def test_measuring_child_spawns_no_threads(tmp_path):
+    """The measuring (supervised) process must stay thread-free: _tick is
+    a file touch, and _supervise returns immediately under
+    AOCR_BENCH_SUPERVISED."""
+    script = tmp_path / "check.py"
     script.write_text(textwrap.dedent(f"""
-        import sys, time
+        import sys, threading
         sys.path.insert(0, {REPO!r})
         import bench
-        bench._start_watchdog()
-        time.sleep(3)
-        print("survived", flush=True)
+        bench._supervise()
+        bench._tick()
+        assert threading.active_count() == 1, threading.enumerate()
+        print("thread-free", flush=True)
     """))
+    env = dict(os.environ, AOCR_BENCH_SUPERVISED="1")
     proc = subprocess.run(
         [sys.executable, str(script)],
         capture_output=True, text=True, timeout=60, env=env,
     )
     assert proc.returncode == 0
-    assert proc.stdout.strip() == "survived"
+    assert proc.stdout.strip() == "thread-free"
