@@ -530,10 +530,11 @@ def beam_from_context(
         lengths=jnp.ones((B, K), jnp.int32),
     )
 
-    # lax.while_loop: iteration stops once every beam is frozen (the
-    # reference runs all max_decoder_l steps; transcript-identical because
-    # frozen beams only ever self-continue as PAD — the history buffers are
-    # pre-filled with exactly that: PAD tokens and identity parents).
+    # lax.while_loop: iteration stops once every beam is frozen, and a
+    # fully-frozen ROW is final even while other rows keep the loop alive
+    # (see the row-freeze select in w_body for why) — the history buffers
+    # are pre-filled with exactly what final rows would write: PAD tokens
+    # and identity parents.
     tok_buf = jnp.full((T, B, K), vocab.PAD, jnp.int32)
     tok_buf = tok_buf.at[0].set(tokens0)
     par_buf = jnp.broadcast_to(
@@ -632,12 +633,38 @@ def beam_from_context(
             )
 
         carry2, (toks, parents, nvalid) = run(carry)
+        # A fully-frozen ROW is final.  Without this, a frozen row that the
+        # while_loop keeps stepping (because OTHER rows are live) could
+        # "resurrect" a beam: only frozen beams' PAD column is zeroed
+        # (reference model.lua:448-449), so the best frozen beam's non-PAD
+        # continuation can displace a much-lower-scoring beam.  That never
+        # changes the un-normalized winner (slot 0 self-continues as PAD at
+        # +0, the maximum), but under -length_normalize a resurrected
+        # longer beam can win selection — making a row's transcript depend
+        # on its BATCHMATES' liveness (and, in the whole-loop kernel, on
+        # tile boundaries).  Freezing the row pins one deterministic,
+        # batch-independent semantics across the XLA and kernel paths; the
+        # reference itself would keep resurrecting through all 50 steps,
+        # a behavior that is batch-shape-dependent here and irrelevant to
+        # its shipped un-normalized selection.
+        row_live = ~jnp.all(
+            (carry.prev_tokens == vocab.PAD)
+            | (carry.prev_tokens == vocab.EOS), axis=1)  # (B,)
+        mk = ~row_live[:, None]
+        toks = jnp.where(mk, vocab.PAD, toks)
+        parents = jnp.where(mk, jnp.arange(K, dtype=jnp.int32)[None, :],
+                            parents)
+        carry2 = BeamCarry(
+            state=carry2.state,  # unobservable once outputs are masked
+            scores=jnp.where(mk, carry.scores, carry2.scores),
+            prev_tokens=toks,
+            nodes=jnp.where(mk, carry.nodes, carry2.nodes),
+            lengths=jnp.where(mk, carry.lengths, carry2.lengths),
+        )
         if nvalid is not None:
             # Only live (un-frozen) rows count: a fully-frozen row's sole
             # valid continuation is PAD by design, not a dictionary dead end.
-            live = ~jnp.all(
-                (carry.prev_tokens == vocab.PAD)
-                | (carry.prev_tokens == vocab.EOS), axis=1)
+            live = row_live
             short = (nvalid < K) & live
             refills = refills + jnp.sum(short).astype(jnp.int32)
             min_valid = jnp.minimum(

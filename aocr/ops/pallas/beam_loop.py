@@ -52,7 +52,7 @@ VMEM_BUDGET = 100 * 1024 * 1024
 MAX_K = 8  # K^2 in-kernel selects; larger beams use the tail kernel
 
 
-def _make_kernel(num_layers: int, input_feed: bool, T: int, K: int, V: int,
+def _make_kernel(num_layers: int, input_feed: bool, T: int, K: int,
                  b0: int, bt: int, use_trie: bool, count_lengths: bool):
     def kernel(*refs):
         (ctx_ref, c1_ref, h1_ref, attn1_ref) = refs[:4]
@@ -247,6 +247,22 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, K: int, V: int,
                 parents = jnp.concatenate(parents_l, axis=-1)   # (bt, K)
                 toks = jnp.concatenate(toks_l, axis=-1)
 
+                # A fully-frozen ROW is final (same rule as the XLA
+                # while_loop body, decode.py): without this, a frozen row
+                # inside a still-live tile could "resurrect" a beam — only
+                # frozen beams' PAD column is zeroed, so the best frozen
+                # beam's non-PAD continuation can displace a low-scoring
+                # beam, and under length_normalize that longer beam wins
+                # selection — making transcripts depend on tile boundaries
+                # and batchmates.  Identity parents + PAD tokens + kept
+                # scores make every downstream update (state gather, node
+                # step, length count, history write) a no-op for the row.
+                row_live = ~jnp.all(frozen, axis=-1, keepdims=True)
+                col_k = jax.lax.broadcasted_iota(jnp.int32, (bt, K), 1)
+                nsc = jnp.where(row_live, nsc, score_scr[:])
+                parents = jnp.where(row_live, parents, col_k)
+                toks = jnp.where(row_live, toks, vocab.PAD)
+
                 # ---- parent gather of the whole beam state ----
                 def gathered(src_kk):
                     # src_kk: kk -> (bt, H); returns per-new-beam slices
@@ -300,12 +316,11 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, K: int, V: int,
                         toks == vocab.PAD, parent_nodes,
                         jnp.maximum(stepped, 0))
                     # refill bookkeeping (per row; reduced outside)
-                    live = ~jnp.all(frozen, axis=-1, keepdims=True)
                     nvalid = K - nbad[:, None]  # (bt, 1)
                     refill_ref[:] = refill_ref[:] + jnp.where(
-                        live & (nvalid < K), 1, 0)
+                        row_live & (nvalid < K), 1, 0)
                     minv_ref[:] = jnp.minimum(
-                        minv_ref[:], jnp.where(live, nvalid, K))
+                        minv_ref[:], jnp.where(row_live, nvalid, K))
 
                 if count_lengths:
                     parent_froz = gather_cols(frozen.astype(jnp.int32))
@@ -346,20 +361,32 @@ def vmem_bytes(L: int, H: int, T: int, K: int, num_layers: int,
         + H * H * itemsize + 2 * H * H * itemsize
         + H * vp * itemsize + vp * 4
     )
+    # t=1 init-state input blocks (c1/h1/attn1 + per-extra-layer c/h, all
+    # f32) and tok0/sc0(/node0): i-dependent index maps, so Mosaic
+    # double-buffers them across the grid
+    init = 2 * ((3 + 2 * (num_layers - 1)) * bt * H * 4 + 3 * bt * K * 4)
     # c/h + their this-step temps per layer, attn + h_tilde: all f32
     state = (4 * num_layers + 2) * bt * K * H * 4
     buf = bt * K * vp * 4
     small = 8 * bt * K * 4
-    hist = 2 * bt * K * T * 4 + 4 * bt * K * 4
-    return ctx + weights + state + buf + small + hist
+    # output blocks are i-dependent too: double-buffered
+    hist = 2 * (2 * bt * K * T * 4 + 6 * bt * K * 4)
+    return ctx + weights + init + state + buf + small + hist
 
 
 def pick_bt(B0: int, est) -> Optional[int]:
     """Largest tile (<= B_TILE, multiple of 8 or the whole batch) whose
-    estimate fits; None if even 8 rows do not fit."""
+    estimate fits; None if even 8 rows do not fit.
+
+    Headroom: 8 MB under the 100 MB budget.  The estimate above accounts
+    for double-buffering of every i-dependent block (inputs, init state,
+    outputs), so the residual Mosaic slack is spill/layout only — the
+    flagship shape (L=24 H=1024 T=50 K=5, 2 layers, input_feed) estimates
+    ~86 MB and is measured to compile and run at bt=128 within the 100 MB
+    limit, bounding the real residual at well under 8 MB."""
     cands = [b for b in (B_TILE, 96, 64, 48, 32, 16, 8) if b < B0]
     for bt in [min(B0, B_TILE)] + cands:
-        if est(bt) <= VMEM_BUDGET - 16 * 1024 * 1024:
+        if est(bt) <= VMEM_BUDGET - 8 * 1024 * 1024:
             return bt
     return None
 
@@ -419,7 +446,7 @@ def fused_beam_loop(
             nodes0 = rowpad(nodes0)
     Bp = B0 + pad
 
-    kernel = _make_kernel(num_layers, input_feed, T, K, vp, B0, bt,
+    kernel = _make_kernel(num_layers, input_feed, T, K, B0, bt,
                           use_trie, count_lengths)
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),

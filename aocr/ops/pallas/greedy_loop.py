@@ -60,7 +60,7 @@ LANE = 128
 VMEM_BUDGET = 100 * 1024 * 1024
 
 
-def _make_kernel(num_layers: int, input_feed: bool, T: int, V: int,
+def _make_kernel(num_layers: int, input_feed: bool, T: int,
                  b0: int, bt: int, use_trie: bool = False):
     """Build the kernel body for a static (layers, input_feed, T[, trie])
     shape."""
@@ -345,7 +345,7 @@ def fused_greedy_loop(
     B = B0 + pad
     grid = (B // bt,)
     use_trie = trie_table is not None
-    kernel = _make_kernel(num_layers, input_feed, T, tables["vp"], B0, bt,
+    kernel = _make_kernel(num_layers, input_feed, T, B0, bt,
                           use_trie)
 
     n_extra = 2 * (num_layers - 1)

@@ -100,7 +100,17 @@ def lstm_bwd_scan(
     stack_dtype=None,    # dtype of the dgates stack (default: cd)
     interpret: bool = False,
 ):
-    """Returns (dgates (L, B, 4H), dh0 (B, H) f32, dc0 (B, H) f32)."""
+    """Returns (dgates (L, B, 4H), dh0 (B, H) f32, dc0 (B, H) f32).
+
+    The dgates stack is emitted in the COMPUTE dtype by default: in bf16
+    that halves the kernel's dominant HBM write (L*B*4H) at the cost of
+    rounding each per-step gate cotangent to bf16 before the outside
+    weight/bias-grad sums — the XLA fallback sums exact f32 (lstm.py),
+    so bf16 bias grads drift slightly between the two paths.  This is a
+    deliberate perf/precision trade: dgates also feed dx through a bf16
+    matmul either way, and bf16 end-to-end training with this kernel
+    converges to 100% val accuracy (docs/performance.md).  Pass
+    stack_dtype=jnp.float32 to restore exact-f32 accumulation parity."""
     L, B0, H = dhs.shape
     cd = wh_t.dtype
     bt, _pad = tiling.pick_bt(

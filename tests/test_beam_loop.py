@@ -172,3 +172,54 @@ def test_beam_loop_fits_gate():
     assert not beam_loop.fits(24, 1024, 50, 9, 2, True, 128, 128, 2)  # K
     assert not beam_loop.fits(24, 1024, 50, 5, 2, True, 128, 128, 2,
                               num_trie_nodes=500_000)  # table > VMEM
+
+
+def test_beam_loop_row_finality_multitile(monkeypatch):
+    """A fully-frozen ROW is final — in the kernel this must hold across
+    tile boundaries (a frozen row's tile may exit while other tiles run;
+    a frozen row inside a live tile must not 'resurrect' a beam), and it
+    must match the XLA while_loop, which keeps stepping frozen rows while
+    any batch row is live.  length_normalize is the config where a
+    resurrected longer beam could win final selection; the trie's
+    mixed-length words make rows freeze at different steps."""
+    monkeypatch.setattr(beam_loop, "pick_bt", lambda B0, est: 2)
+    table = jnp.asarray(trie_lib.build_transition_table(
+        ["a", "z", "abcdef", "zyxwvu", "mn"]))
+    for seed in (0, 7, 21):
+        cfg = _cfg(length_normalize=True)
+        ms = model.init(jax.random.PRNGKey(seed), cfg)
+        imgs = _imgs(["a", "zy", "ab", "mn", "zz", "q", "ef", "x0"])
+        (lab_r, sc_r), (lab_k, sc_k) = _run_both(
+            cfg, ms, imgs, 3, trie_table=table, use_trie=True)
+        np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_r))
+        np.testing.assert_allclose(np.asarray(sc_k), np.asarray(sc_r),
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("use_trie", [False, True])
+def test_beam_row_finality_batch_independent(use_trie):
+    """A row's beam transcript must not depend on its BATCHMATES: decoding
+    a row alone and inside a batch must agree (XLA path).  Before the
+    row-finality rule, a frozen row kept being stepped while batchmates
+    were live, so its beams could churn batch-dependently (visible under
+    length_normalize)."""
+    cfg = _cfg(length_normalize=True, use_pallas=False)
+    table = (jnp.asarray(trie_lib.build_transition_table(
+        ["a", "z", "abcdef", "zyxwvu"])) if use_trie else None)
+    kw = dict(trie_table=table, use_trie=use_trie)
+    for seed in (1, 13):
+        ms = model.init(jax.random.PRNGKey(seed), cfg)
+        words = ["a", "zyxw", "ab", "q"]
+        imgs = _imgs(words)
+        lab_b, sc_b = decode.beam_decode(
+            ms.params, ms.batch_stats, imgs, cfg, 3, cfg.max_decoder_l,
+            **kw)
+        for r in range(len(words)):
+            lab_1, sc_1 = decode.beam_decode(
+                ms.params, ms.batch_stats, imgs[r:r + 1], cfg, 3,
+                cfg.max_decoder_l, **kw)
+            np.testing.assert_array_equal(np.asarray(lab_1)[0],
+                                          np.asarray(lab_b)[r])
+            np.testing.assert_allclose(np.asarray(sc_1)[0],
+                                       np.asarray(sc_b)[r],
+                                       rtol=1e-5, atol=1e-5)
