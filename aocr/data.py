@@ -115,6 +115,8 @@ def load_and_preprocess(
             arr = np.load(path)
             if arr.ndim == 3:
                 arr = _rgb_to_luminance(arr)
+            if arr.ndim != 2 or arr.size == 0:
+                return None  # malformed array: skip, don't crash the epoch
             img = arr.astype(np.float32)
             if img.max() <= 1.0 + 1e-6:
                 img = img * 255.0
@@ -159,6 +161,8 @@ def load_raw(path: str, cfg: Config):
             arr = np.load(path)
             if arr.ndim == 2:
                 arr = arr[..., None]
+            if arr.ndim != 3 or arr.size == 0:
+                return None  # malformed array: skip, don't crash the epoch
             raw = arr.astype(np.float32)
             if raw.max() <= 1.0 + 1e-6:
                 raw = raw * 255.0
@@ -198,22 +202,48 @@ class DataGen:
     """Width-bucketed batch generator over a `path label` manifest."""
 
     def __init__(self, data_base_dir: str, data_path: str, cfg: Config,
-                 rng: Optional[random.Random] = None):
+                 rng: Optional[random.Random] = None, log=None):
         self.cfg = cfg
         self.data_base_dir = data_base_dir
         self.rng = rng or random.Random(cfg.seed)
+        self._log = log or print
         manifest = data_path
         if not os.path.exists(manifest):
             manifest = os.path.join(data_base_dir, data_path)
         if not os.path.exists(manifest):
             raise FileNotFoundError(f"Data file {data_path} not found")
         self.lines: List[List] = []
+        # Labels are validated/truncated HERE, once: both checks are
+        # path-independent, so doing them per-epoch in _load_record wasted
+        # a full image decode per bad-label record per sweep.
+        # - out-of-vocab labels: skipped like a bad image (the reference
+        #   would assert at batch time, utils.lua str2numlist)
+        # - over-length labels: fair truncation cap (closes the reference's
+        #   open TODO, README.md:12 — it asserts at model.lua:264)
+        cap = cfg.max_decoder_l - 1
+        n_oov = n_trunc = 0
         with open(manifest) as f:
             for line in f:
                 parts = line.split()
-                if len(parts) >= 2:
-                    # [path, label, cached_img, cached_target_ids]
-                    self.lines.append([parts[0], parts[1], None, None])
+                if len(parts) < 2:
+                    continue
+                label = parts[1]
+                try:
+                    vocab.encode(label)
+                except ValueError:
+                    n_oov += 1
+                    continue
+                if len(label) > cap:
+                    n_trunc += 1
+                    label = label[:cap]
+                # [path, label, cached_img]
+                self.lines.append([parts[0], label, None])
+        if n_oov:
+            self._log(f"Warning: skipped {n_oov} manifest lines with "
+                      f"out-of-vocab labels")
+        if n_trunc:
+            self._log(f"Warning: truncating {n_trunc} labels longer than "
+                      f"{cap} chars to fit max_decoder_l")
         self.cursor = 0
         self.buffer: Dict[int, List] = {}
         self._device = cfg.device_preprocess
@@ -223,7 +253,6 @@ class DataGen:
         self._pad_targets_to = (
             cfg.max_decoder_l if (cfg.multihost or cfg.pad_targets)
             else None)
-        self._warned_truncate = False
         self._pool = None
         self._pending: Dict[int, object] = {}  # id(rec) -> Future
         if cfg.decode_workers > 0:
@@ -301,8 +330,9 @@ class DataGen:
                 )
 
     def _load_record(self, rec) -> Optional[np.ndarray]:
-        """Decode + validate one manifest record.  Returns the image or
-        None (undecodable / out-of-vocab — the reference's pcall-skip)."""
+        """Decode one manifest record.  Returns the image or None
+        (undecodable — the reference's pcall-skip).  Labels were already
+        validated/truncated at manifest load."""
         fut = self._pending.pop(id(rec), None)
         if fut is not None:
             img = fut.result()
@@ -311,22 +341,6 @@ class DataGen:
             img = loader(
                 os.path.join(self.data_base_dir, rec[0]), self.cfg
             )
-        if img is None:
-            return None
-        try:
-            vocab.encode(rec[1])
-        except ValueError:
-            return None  # label outside vocab: skip like a bad image
-        # Fair max-target-length cap (closes the reference's open TODO,
-        # README.md:12: the reference *asserts* when a batch's target
-        # length exceeds max_decoder_l, model.lua:264).
-        cap = self.cfg.max_decoder_l - 1
-        if len(rec[1]) > cap:
-            if not self._warned_truncate:
-                self._warned_truncate = True
-                print(f"Warning: truncating labels longer than {cap} "
-                      f"chars to fit max_decoder_l")
-            rec[1] = rec[1][:cap]
         return img
 
     # Record cache states: None = not (successfully) decoded yet — failures
@@ -432,4 +446,15 @@ def prefetched(iterator: Iterator[Batch], depth: int) -> Iterator[Batch]:
             yield item
     finally:
         stop.set()
-        t.join(timeout=5.0)
+        # Wait until the worker has actually finished: returning with it
+        # still inside next_batch would hand the caller a DataGen with a
+        # live concurrent mutator (the next epoch/validation would then
+        # race it).  _put observes `stop` within 0.1 s, so this is bounded
+        # by one in-flight next_batch call; drain the queue anyway in case
+        # a consumer-side error left it full.
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=0.2)

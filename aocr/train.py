@@ -301,6 +301,27 @@ class Trainer:
                 im, tg, te, jnp.asarray(lr, jnp.float32), sub,
                 row_mask=mk,
             )
+        elif im.shape[0] < self.cfg.batch_size:
+            # Partial final buckets (epoch tails): pad rows to batch_size
+            # with PAD targets (zero-loss) + a row mask (keeps BN moments
+            # and the loss/grad normalization count exact) so EVERY train
+            # step compiles one program per (width, T) instead of one per
+            # flush size — the same treatment the mesh path above applies.
+            want = self.cfg.batch_size
+            pad = want - im.shape[0]
+            mask = (np.arange(want) < valid_rows).astype(np.float32)
+            xp = jnp if isinstance(im, jax.Array) else np
+            im = xp.concatenate([im, xp.repeat(im[-1:], pad, 0)], 0)
+            ztg = np.full((pad, tg.shape[1]), vocab.PAD, tg.dtype)
+            tg = np.concatenate([tg, ztg], 0)
+            te = np.concatenate([te, ztg], 0)
+            out = self._train_step(
+                self.params, self.batch_stats, self.opt_state,
+                jnp.asarray(im), jnp.asarray(tg), jnp.asarray(te),
+                jnp.asarray(lr, jnp.float32), sub,
+                real_bs=jnp.float32(valid_rows),
+                row_mask=jnp.asarray(mask),
+            )
         else:
             out = self._train_step(
                 self.params, self.batch_stats, self.opt_state,
@@ -624,7 +645,6 @@ class Trainer:
                     )
                     steps_in_window = 0
                     window_images = 0
-                    window_t0 = _time.perf_counter()
                     log.info(f"Step {self.global_step} - training perplexity = {ppl:f}")
                     log.info("Saving model")
                     self._save()
@@ -636,6 +656,10 @@ class Trainer:
                         f"{math.exp(min(val_loss / max(val_nnz, 1), 700)):f}"
                     )
                     decay_lr(val_loss)
+                    # Reset the window AFTER save+validate so the next
+                    # throughput line measures training steps only, not
+                    # the checkpoint write and validation sweep.
+                    window_t0 = _time.perf_counter()
             drain()
             self._save()
             val_loss, val_nnz, val_acc, val_n = self.validate(val_data)
@@ -716,7 +740,8 @@ def main(argv=None) -> None:
 
     log.info(f"Data base dir {cfg.data_base_dir}")
     log.info(f"Load training data from {cfg.data_path}")
-    train_data = data.DataGen(cfg.data_base_dir, cfg.data_path, cfg)
+    train_data = data.DataGen(cfg.data_base_dir, cfg.data_path, cfg,
+                              log=log.info)
     log.info(f"Training data loaded from {cfg.data_path}")
     if jax.process_count() > 1:
         train_data.shard(jax.process_index(), jax.process_count())
@@ -724,7 +749,8 @@ def main(argv=None) -> None:
                  f"{jax.process_index()}")
     if cfg.phase == "train":
         log.info(f"Load validation data from {cfg.val_data_path}")
-        val_data = data.DataGen(cfg.data_base_dir, cfg.val_data_path, cfg)
+        val_data = data.DataGen(cfg.data_base_dir, cfg.val_data_path, cfg,
+                                log=log.info)
         log.info(f"Validation data loaded from {cfg.val_data_path}")
         if jax.process_count() > 1:
             val_data.shard(jax.process_index(), jax.process_count())

@@ -236,3 +236,67 @@ def test_pad_targets_fixed_length(tmp_path):
     gen2 = data.DataGen(d, "t.txt", cfg2)
     b2 = gen2.next_batch(4)
     assert b2.targets.shape[1] == 5  # 'cdef' -> GO+4 = 5 columns
+
+
+def test_malformed_npy_skipped(tmp_path, cfg):
+    """A .npy with the wrong rank must be SKIPPED (pcall-skip contract),
+    not crash the epoch — in both host- and device-preprocess modes."""
+    synth.make_dataset(str(tmp_path), ["ab"])
+    np.save(os.path.join(str(tmp_path), "vec.npy"),
+            np.zeros((512,), np.float32))
+    np.save(os.path.join(str(tmp_path), "batch4d.npy"),
+            np.zeros((2, 32, 100, 1), np.float32))
+    with open(os.path.join(str(tmp_path), "train.txt"), "a") as f:
+        f.write("vec.npy cd\nbatch4d.npy ef\n")
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg)
+    assert sum(b.images.shape[0] for b in gen.epoch(4)) == 1
+    gen_dev = data.DataGen(str(tmp_path), "train.txt",
+                           cfg.replace(device_preprocess=True))
+    assert sum(b.rows for b in gen_dev.epoch(4)) == 1
+
+
+def test_oov_labels_skipped_at_manifest_load(tmp_path, cfg):
+    """Out-of-vocab labels are skipped ONCE at manifest load (not
+    image-decoded and discarded every sweep) and reported through the
+    injected logger."""
+    synth.make_dataset(str(tmp_path), ["ab", "cd"])
+    with open(os.path.join(str(tmp_path), "train.txt"), "a") as f:
+        f.write("x.png ÜBER\ny.png w!rd\n")
+    logged = []
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg, log=logged.append)
+    assert gen.size() == 2  # the two valid rows only
+    assert any("out-of-vocab" in m for m in logged)
+
+
+def test_truncation_logged_at_manifest_load(tmp_path):
+    cfg = Config(batch_size=2, max_decoder_l=5, image_width=32)
+    synth.make_dataset(str(tmp_path), ["abcdefghij", "xy"])
+    logged = []
+    gen = data.DataGen(str(tmp_path), "train.txt", cfg, log=logged.append)
+    assert any("truncat" in m for m in logged)
+    b = gen.next_batch(2)
+    row = [int(t) for t in b.targets_eval[0]]
+    assert vocab.decode(row) == "abcd"
+
+
+def test_prefetched_close_waits_for_worker():
+    """Closing a prefetched() iterator early must not return while the
+    worker thread is still inside the underlying generator — a later
+    epoch over the same DataGen would race a live concurrent mutator."""
+    import threading
+    import time
+
+    before = set(threading.enumerate())
+
+    def slow_gen():
+        yield 0
+        time.sleep(1.5)  # worker is IN here when the consumer closes
+        yield 1
+
+    it = data.prefetched(slow_gen(), depth=1)
+    assert next(it) == 0
+    time.sleep(0.1)  # let the worker enter the sleep
+    it.close()  # must block until the worker thread is dead
+    extra = [t for t in threading.enumerate()
+             if t not in before and t.is_alive()]
+    assert not extra, f"worker still alive after close: {extra}"

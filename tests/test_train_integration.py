@@ -324,3 +324,46 @@ def test_beam_fuzz_matches_host_reference(seed):
         [vocab.decode(r) for r in ref_labels]
     np.testing.assert_allclose(np.asarray(dev_scores), ref_scores,
                                rtol=1e-3, atol=1e-3)
+
+
+def test_padded_masked_train_step_matches_unpadded():
+    """Partial final buckets run through the SAME compiled program as full
+    batches by row-padding + masking (Trainer.step_train non-mesh branch):
+    the padded+masked step must produce bit-equal parameter updates and
+    loss to the unpadded step."""
+    cfg = Config(batch_size=4, input_feed=True, encoder_num_hidden=32,
+                 target_embedding_size=8, max_decoder_l=8,
+                 image_width=32).validate()
+    ms = model.init(jax.random.PRNGKey(2), cfg)
+    opt = optim.sgd_init(ms.params)
+    step = train_step.make_train_step(cfg)
+    words = ["ab", "cde", "f"]  # 3 rows < batch_size 4
+    imgs = np.stack([synth.render_word(w, 32, 32)
+                     for w in words])[..., None].astype(np.float32)
+    targets, targets_eval, _ = vocab.encode_batch(words)
+    rng = jax.random.PRNGKey(0)
+    lr = jnp.float32(0.1)
+
+    ref = step(ms.params, ms.batch_stats, opt, jnp.asarray(imgs),
+               jnp.asarray(targets), jnp.asarray(targets_eval), lr, rng)
+
+    pad = 1
+    imp = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)], 0)
+    ztg = np.full((pad, targets.shape[1]), vocab.PAD, targets.dtype)
+    tgp = np.concatenate([targets, ztg], 0)
+    tep = np.concatenate([targets_eval, ztg], 0)
+    mask = (np.arange(4) < 3).astype(np.float32)
+    got = step(ms.params, ms.batch_stats, opt, jnp.asarray(imp),
+               jnp.asarray(tgp), jnp.asarray(tep), lr, rng,
+               real_bs=jnp.float32(3), row_mask=jnp.asarray(mask))
+
+    np.testing.assert_allclose(float(got.loss_sum), float(ref.loss_sum),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref.params),
+                    jax.tree.leaves(got.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(ref.batch_stats),
+                    jax.tree.leaves(got.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
