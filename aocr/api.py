@@ -115,11 +115,26 @@ class AttentionOCR:
         count are padded by repeating the last row (sliced off after the
         fetch).  `num_shards=None` uses all local devices; `shard(1)` or
         `unshard()` restores single-device dispatch.
+
+        Only recognize() runs sharded.  Other entry points (score(),
+        custom jit over .params) still work but execute fully REPLICATED
+        on every mesh device — N x redundant compute; unshard() first if
+        you need them at speed.
         """
         from aocr.parallel import mesh as mesh_lib
 
-        if num_shards is not None and num_shards < 1 and devices is None:
+        if num_shards is not None and num_shards < 1:
             raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+        if devices is not None and len(devices) == 0:
+            raise ValueError("devices must be non-empty")
+        if jax.process_count() > 1:
+            # shard_batch would switch to the multi-host lockstep path
+            # (make_array_from_process_local_data), which independent
+            # per-host inference traffic cannot satisfy — each host of a
+            # pod should serve its own local mesh instead.
+            raise ValueError(
+                "AttentionOCR.shard() is single-process; on a multi-host "
+                "pod run one server per host over its local devices")
         if num_shards == 1 and devices is None:
             return self.unshard()
         self._mesh = mesh_lib.make_mesh(num_data=num_shards, num_model=1,
@@ -139,6 +154,16 @@ class AttentionOCR:
         self.batch_stats = jax.device_put(self.batch_stats, rep)
         if self._trie is not None:
             self._trie = jax.device_put(self._trie, rep)
+
+    @property
+    def num_shards(self) -> int:
+        """Data-mesh width recognize() currently shards over (1 = single
+        device)."""
+        if self._mesh is None:
+            return 1
+        from aocr.parallel.mesh import DATA_AXIS
+
+        return self._mesh.shape[DATA_AXIS]
 
     def unshard(self) -> "AttentionOCR":
         if self._mesh is not None:

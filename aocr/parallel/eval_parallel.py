@@ -31,6 +31,21 @@ from aocr.config import Config
 from aocr.models import model
 from aocr.parallel.mesh import DATA_AXIS
 
+_DUMMY_TRIES: dict = {}
+
+
+def _trie_or_dummy(trie_table, vocab_size: int):
+    """A (1, V) all-invalid stand-in keeps ONE jit signature for both
+    trie and trie-free modes (use_trie=False never reads it).  Cached per
+    vocab size so trie-free steps don't re-allocate it every call."""
+    if trie_table is not None:
+        return trie_table
+    dummy = _DUMMY_TRIES.get(vocab_size)
+    if dummy is None:
+        dummy = _DUMMY_TRIES[vocab_size] = jnp.zeros((1, vocab_size),
+                                                     jnp.int32)
+    return dummy
+
 
 class EvalOut(NamedTuple):
     labels: jax.Array  # (B, T) int32, batch-sharded
@@ -110,9 +125,7 @@ def make_dp_eval_step(cfg: Config, mesh: Mesh, use_trie: bool):
     def step(params, batch_stats, images, targets, targets_eval,
              trie_table: Optional[jax.Array] = None,
              row_mask: Optional[jax.Array] = None) -> EvalOut:
-        if trie_table is None:
-            # dummy replicated operand keeps one signature for both modes
-            trie_table = jnp.zeros((1, cfg.target_vocab_size), jnp.int32)
+        trie_table = _trie_or_dummy(trie_table, cfg.target_vocab_size)
         if row_mask is None:
             row_mask = jnp.ones((images.shape[0],), jnp.float32)
         return jitted(params, batch_stats, images, targets, targets_eval,
@@ -132,8 +145,7 @@ def make_dp_decode_step(cfg: Config, mesh: Mesh, use_trie: bool,
     Each shard runs the full single-device decode path — including the
     whole-loop Pallas kernels — on its batch slice; there is no cross-shard
     communication at all (beam state is per-sample), so throughput scales
-    linearly with chips and the only collective-free sync point is the
-    host fetch.
+    linearly with chips; the only sync point is the host fetch.
     """
     K = min(beam_size, cfg.target_vocab_size)
 
@@ -153,9 +165,8 @@ def make_dp_decode_step(cfg: Config, mesh: Mesh, use_trie: bool,
 
     def step(params, batch_stats, images,
              trie_table: Optional[jax.Array] = None):
-        if trie_table is None:
-            trie_table = jnp.zeros((1, cfg.target_vocab_size), jnp.int32)
-        return jitted(params, batch_stats, images, trie_table)
+        return jitted(params, batch_stats, images,
+                      _trie_or_dummy(trie_table, cfg.target_vocab_size))
 
     return step
 

@@ -28,9 +28,15 @@ def make_mesh(
     devs = list(devices if devices is not None else jax.devices())
     if num_data is None:
         num_data = len(devs) // num_model
-    assert num_data * num_model <= len(devs), (
-        f"need {num_data}x{num_model} devices, have {len(devs)}"
-    )
+    # user-facing validation (CLI -num_shards / AttentionOCR.shard reach
+    # here): raise real errors, not asserts that vanish under python -O
+    if num_data < 1 or num_model < 1:
+        raise ValueError(
+            f"mesh axes must be >= 1, got data={num_data} "
+            f"model={num_model}")
+    if num_data * num_model > len(devs):
+        raise ValueError(
+            f"need {num_data}x{num_model} devices, have {len(devs)}")
     grid = np.array(devs[: num_data * num_model]).reshape(num_data, num_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

@@ -367,19 +367,27 @@ def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
           dictionary_path: Optional[str] = None,
           allow_digit_prefix: bool = False,
           num_shards: int = 1):
-    ocr = AttentionOCR.load(model_dir, cfg=cfg)
+    # validate the flag BEFORE the (potentially minutes-long) checkpoint
+    # load so a typo fails fast (the device-count check does initialize
+    # the backend, which the load needs anyway)
     if num_shards < 0:
         raise ValueError(
             f"-num_shards must be >= 0 (0 = all local devices), "
             f"got {num_shards}")
+    if num_shards > 1:
+        import jax
+
+        if num_shards > len(jax.devices()):
+            raise ValueError(
+                f"-num_shards {num_shards} but only {len(jax.devices())} "
+                f"local devices")
+    ocr = AttentionOCR.load(model_dir, cfg=cfg)
     if num_shards != 1:
         # Data-parallel serving: each coalesced batch shards over the mesh
         # (params replicated, zero cross-chip communication in the decode),
         # so one server front-end drives N chips at N x the throughput.
         ocr.shard(None if num_shards == 0 else num_shards)
-        from aocr.parallel.mesh import DATA_AXIS
-
-        print(f"sharded inference over {ocr._mesh.shape[DATA_AXIS]} devices")
+        print(f"sharded inference over {ocr.num_shards} devices")
     if dictionary_path:
         # Dictionary-constrained decoding (the reference's -use_dictionary,
         # model.lua:406-514): every served transcript is a prefix-trie walk

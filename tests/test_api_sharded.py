@@ -72,9 +72,7 @@ def test_shard_all_devices_and_unshard(ocr):
     base_words, _ = ocr.recognize(imgs)
     try:
         ocr.shard()  # all local devices
-        from aocr.parallel.mesh import DATA_AXIS
-
-        assert ocr._mesh.shape[DATA_AXIS] == len(jax.devices())
+        assert ocr.num_shards == len(jax.devices())
         words, _ = ocr.recognize(imgs)
     finally:
         ocr.unshard()
@@ -101,8 +99,16 @@ def test_shard_replicates_weights_once(ocr):
 
 
 def test_shard_rejects_bad_counts(ocr):
+    import jax
+
     with pytest.raises(ValueError):
         ocr.shard(0)
     with pytest.raises(ValueError):
         ocr.shard(-2)
-    assert ocr._mesh is None
+    with pytest.raises(ValueError):
+        ocr.shard(0, devices=jax.devices())  # devices does not bypass it
+    with pytest.raises(ValueError):
+        ocr.shard(len(jax.devices()) + 1)
+    with pytest.raises(ValueError):
+        ocr.shard(devices=[])
+    assert ocr._mesh is None and ocr.num_shards == 1

@@ -251,9 +251,7 @@ def test_num_shards_serving(tmp_path):
     t.start()
     assert ready.wait(120), "sharded server did not start"
     httpd, recognizer = box[0]
-    from aocr.parallel.mesh import DATA_AXIS
-
-    assert recognizer.ocr._mesh.shape[DATA_AXIS] == 4
+    assert recognizer.ocr.num_shards == 4
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
     try:
         words = ["ab", "cd", "ef"]
