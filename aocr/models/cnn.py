@@ -127,13 +127,21 @@ def _batch_norm(
         else:
             mean = jnp.mean(xf, axis=(0, 1, 2))
             ex2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            count = jnp.float32(x.shape[0] * x.shape[1] * x.shape[2])
             if axis_name is not None:
                 mean = jax.lax.pmean(mean, axis_name)
                 ex2 = jax.lax.pmean(ex2, axis_name)
+                count = count * jax.lax.psum(1.0, axis_name)
         var = ex2 - jnp.square(mean)
+        # Normalization uses the biased variance (as Torch does), but the
+        # RUNNING estimate stores the unbiased n/(n-1) form — Torch7's
+        # nn.SpatialBatchNormalization:updateOutput saves
+        # `unbiased_var = sum_sq/(n-1)` into running_var, and eval-mode
+        # parity with a reference-trained model depends on matching it.
+        unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
         new_s = {
             "mean": BN_MOMENTUM * s["mean"] + (1.0 - BN_MOMENTUM) * mean,
-            "var": BN_MOMENTUM * s["var"] + (1.0 - BN_MOMENTUM) * var,
+            "var": BN_MOMENTUM * s["var"] + (1.0 - BN_MOMENTUM) * unbiased,
         }
     else:
         mean, var = s["mean"], s["var"]

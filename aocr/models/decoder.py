@@ -195,6 +195,9 @@ def step(
     XLA step remains the beam-search and fallback path."""
     stack_rng = tail_rng = None
     if dropout > 0.0 and train:
+        if dropout_rng is None:
+            raise ValueError("dropout > 0 with train=True needs a "
+                             "dropout_rng")
         stack_rng, tail_rng = jax.random.split(dropout_rng)
     cs, hs = lstm_stack(
         params, state, tokens, input_feed=input_feed, dropout=dropout,
@@ -238,9 +241,6 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
     The forward scan body is the exact computation teacher_forced's
     autodiff path runs, so primal outputs are bit-identical.
     """
-    from aocr.ops import lstm as lstm_ops
-    from aocr.ops.mm import einsum as mm_einsum, matmul as mm_matmul
-
     key = (num_layers, input_feed, jnp.dtype(cd).name, allow_kernel)
     if key in _TF_VJP_CACHE:
         return _TF_VJP_CACHE[key]
@@ -263,30 +263,30 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
                 )
             else:
                 ah = state.hs[0].astype(cd)
-            gates = xp_t + mm_matmul(ah, wfh0)
-            c0n, h0n, ifog0 = lstm_ops.gate_math_parts(gates, state.cs[0])
+            gates = xp_t + matmul(ah, wfh0)
+            c0n, h0n, ifog0 = lstm.gate_math_parts(gates, state.cs[0])
             cs, hs, ifogs = [c0n], [h0n], [ifog0]
             x = h0n
             for li in range(1, num_layers):
                 w, bi_, bh_ = weights["rest"][li - 1]
                 xh = jnp.concatenate([x, state.hs[li]], axis=-1).astype(cd)
                 # + bi + bh separately: bit-identical to lstm.lstm_step
-                g = mm_matmul(xh, w) + bi_ + bh_
-                c, h, ifog = lstm_ops.gate_math_parts(g, state.cs[li])
+                g = matmul(xh, w) + bi_ + bh_
+                c, h, ifog = lstm.gate_math_parts(g, state.cs[li])
                 cs.append(c)
                 hs.append(h)
                 ifogs.append(ifog)
                 x = h
             # attention, inlined so alpha/cvec can be saved as residuals
             # (same op sequence as attention(); bit-identical outputs)
-            query = mm_matmul(hs[-1].astype(cd), weights["wa"])
-            scores = mm_einsum("blh,bh->bl", context.astype(cd),
+            query = matmul(hs[-1].astype(cd), weights["wa"])
+            scores = einsum("blh,bh->bl", context.astype(cd),
                                query.astype(cd))
             alpha = jax.nn.softmax(scores, axis=-1)
-            cvec = mm_einsum("bl,blh->bh", alpha.astype(cd),
+            cvec = einsum("bl,blh->bh", alpha.astype(cd),
                              context.astype(cd))
             cat = jnp.concatenate([cvec, hs[-1]], axis=-1)
-            h_tilde = jnp.tanh(mm_matmul(cat.astype(cd), weights["wc"]))
+            h_tilde = jnp.tanh(matmul(cat.astype(cd), weights["wc"]))
             new_state = DecoderState(attn=h_tilde, cs=tuple(cs),
                                      hs=tuple(hs))
             if collect:
@@ -301,7 +301,7 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
                 out = h_tilde
             return new_state, out
 
-        return lax.scan(body, state0, xp, unroll=lstm_ops.SCAN_UNROLL)
+        return lax.scan(body, state0, xp, unroll=lstm.SCAN_UNROLL)
 
     @jax.custom_vjp
     def core(weights, xp, context, c0, h0):
@@ -355,11 +355,14 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
             cprev_seq.append(shifted(cs_cd[li], cinit.astype(cs_cd[li].dtype)))
         h_top_seq = hs_layers[-1]  # (T, B, H)
         ctx_cd = context.astype(cd)
-        q_seq = mm_matmul(h_top_seq.astype(cd), wa)  # for dctx only
+        q_seq = matmul(h_top_seq.astype(cd), wa)  # for dctx only
         alpha = alpha_seq
         cvec_seq = cvec_cd
 
-        use_kernel = bool(_PALLAS_TF_BWD_INTERPRET)
+        # Interpret mode tests the kernel path on CPU — but never where
+        # allow_kernel=False (tensor parallelism forbids the opaque pallas
+        # call precisely because GSPMD cannot partition it).
+        use_kernel = allow_kernel and bool(_PALLAS_TF_BWD_INTERPRET)
         if (not use_kernel and allow_kernel and cd == jnp.bfloat16
                 and jax.default_backend() == "tpu"):
             from aocr.ops.pallas import tf_bwd as _tfb
@@ -405,25 +408,26 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
         # conv emitter; a flattened (T*B, .) single-axis form measured a
         # wash — tools/ab_wgrad.py — so the direct einsum stays.)
         dweights = {"wfh0": None, "rest": [], "wa": None, "wc": None}
-        dweights["wfh0"] = mm_einsum("tbd,tbg->dg", ah_seq,
-                                     dxp.astype(cd))
+        dweights["wfh0"] = einsum("tbd,tbg->dg", ah_seq,
+                                     dxp.astype(cd)).astype(
+                                         weights["wfh0"].dtype)
         for li in range(1, num_layers):
             w, bi_, bh_ = weights["rest"][li - 1]
-            dw = mm_einsum("tbd,tbg->dg", xh_seqs[li], dgates_rest[li - 1])
+            dw = einsum("tbd,tbg->dg", xh_seqs[li], dgates_rest[li - 1])
             db = jnp.sum(dgates_rest[li - 1].astype(f32), axis=(0, 1))
             dweights["rest"].append((dw.astype(w.dtype),
                                      db.astype(bi_.dtype),
                                      db.astype(bh_.dtype)))
         cat_seq = jnp.concatenate(
             [cvec_seq.astype(cd), h_top_seq.astype(cd)], axis=-1)
-        dweights["wc"] = mm_einsum("tbd,tbh->dh", cat_seq,
+        dweights["wc"] = einsum("tbd,tbh->dh", cat_seq,
                                    dht_seq).astype(wc.dtype)
-        dweights["wa"] = mm_einsum("tbh,tbj->hj", h_top_seq.astype(cd),
+        dweights["wa"] = einsum("tbh,tbj->hj", h_top_seq.astype(cd),
                                    dq_seq).astype(wa.dtype)
         dweights["rest"] = tuple(dweights["rest"])
         dctx = (
-            mm_einsum("tbl,tbh->blh", alpha.astype(cd), dcvec_seq)
-            + mm_einsum("tbl,tbh->blh", dscore_seq.astype(cd),
+            einsum("tbl,tbh->blh", alpha.astype(cd), dcvec_seq)
+            + einsum("tbl,tbh->blh", dscore_seq.astype(cd),
                         q_seq.astype(cd))
         ).astype(context.dtype)
         return (dweights, dxp.astype(xp.dtype), dctx,
@@ -439,7 +443,6 @@ def _tf_bwd_scan_xla(weights, num_layers, input_feed, cd, ctx_cd, dys, htl,
     """XLA lax.scan fallback for the decoder backward recurrence (float32
     mode / non-TPU backends); gradient-exact vs autodiff.  Returns the same
     stacks as ops/pallas/tf_bwd.decoder_bwd_scan."""
-    from aocr.ops.mm import einsum as mm_einsum, matmul as mm_matmul
 
     f32 = jnp.float32
     T, B, H = htl.shape
@@ -455,14 +458,14 @@ def _tf_bwd_scan_xla(weights, num_layers, input_feed, cd, ctx_cd, dys, htl,
         dattn, dcs, dhs = carry
         (dy_t, dtanh_t, alpha_t, per_layer) = per_t
         dht = (dattn + dy_t) * dtanh_t  # d(pre-tanh) (B, H) f32
-        dcat = mm_matmul(dht.astype(cd), wc_t)  # (B, 2H)
+        dcat = matmul(dht.astype(cd), wc_t)  # (B, 2H)
         dcvec = dcat[:, :H]
         dtop = dcat[:, H:].astype(f32)
-        dalpha = mm_einsum("bh,blh->bl", dcvec.astype(cd), ctx_cd)
+        dalpha = einsum("bh,blh->bl", dcvec.astype(cd), ctx_cd)
         tmp = alpha_t * dalpha
         dscore = tmp - alpha_t * jnp.sum(tmp, axis=-1, keepdims=True)
-        dq = mm_einsum("bl,blh->bh", dscore.astype(cd), ctx_cd)
-        dtop = dtop + mm_matmul(dq.astype(cd), wa_t).astype(f32)
+        dq = einsum("bl,blh->bh", dscore.astype(cd), ctx_cd)
+        dtop = dtop + matmul(dq.astype(cd), wa_t).astype(f32)
         new_dcs, new_dhs = list(dcs), list(dhs)
         dgates_out = []
         dx_above = None
@@ -484,11 +487,11 @@ def _tf_bwd_scan_xla(weights, num_layers, input_feed, cd, ctx_cd, dys, htl,
             ], axis=-1)  # (B, 4H) f32
             dgates_out.append(dgates)
             if li > 0:
-                dxh = mm_matmul(dgates.astype(cd), rest_t[li - 1])
+                dxh = matmul(dgates.astype(cd), rest_t[li - 1])
                 dx_above = dxh[:, :H].astype(f32)
                 new_dhs[li] = dxh[:, H:].astype(f32)
             else:
-                dah = mm_matmul(dgates.astype(cd), wfh0_t)
+                dah = matmul(dgates.astype(cd), wfh0_t)
                 if input_feed:
                     new_dattn = dah[:, :H].astype(f32)
                     new_dhs[0] = dah[:, H:].astype(f32)

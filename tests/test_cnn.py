@@ -58,3 +58,39 @@ def test_jit_compiles(rng):
     x = jnp.zeros((1, 32, 100, 1))
     feats, _ = f(params, stats, x)
     assert feats.shape == (1, 24, 512)
+
+
+def test_batch_norm_running_stats_match_torch():
+    """Running stats must match Torch BN exactly: normalization uses the
+    biased batch variance, but running_var stores the UNBIASED n/(n-1)
+    estimate (nn.SpatialBatchNormalization semantics) — eval-mode parity
+    with a reference-trained model depends on it."""
+    torch = pytest.importorskip("torch")
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(3, 5, 7, 4).astype(np.float32)  # (B, H, W, C)
+    p = {"scale": jnp.ones((4,)), "bias": jnp.zeros((4,))}
+    s = {"mean": jnp.asarray(rng.randn(4).astype(np.float32)),
+         "var": jnp.abs(jnp.asarray(rng.randn(4).astype(np.float32))) + 0.5}
+    y, new_s = cnn._batch_norm(jnp.asarray(x), p, s, train=True)
+
+    bn = torch.nn.BatchNorm2d(4, momentum=1 - cnn.BN_MOMENTUM)
+    bn.train()
+    with torch.no_grad():
+        bn.running_mean.copy_(torch.tensor(np.asarray(s["mean"])))
+        bn.running_var.copy_(torch.tensor(np.asarray(s["var"])))
+    yt = bn(torch.tensor(x).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(new_s["mean"]),
+                               bn.running_mean.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_s["var"]),
+                               bn.running_var.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(y), yt.permute(0, 2, 3, 1).detach().numpy(),
+        rtol=1e-5, atol=1e-5)
+    # the masked path with an all-ones mask must agree with the unmasked
+    y2, new_s2 = cnn._batch_norm(jnp.asarray(x), p, s, train=True,
+                                 row_mask=jnp.ones((3,)))
+    np.testing.assert_allclose(np.asarray(new_s2["var"]),
+                               np.asarray(new_s["var"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y),
+                               rtol=1e-5, atol=1e-6)
