@@ -51,6 +51,11 @@ def _flatten(tree, prefix: str, out: Dict[str, np.ndarray]):
     arr = np.asarray(tree)  # jax.Array / np scalar / ndarray
     if arr.dtype == object:
         raise TypeError(f"non-array checkpoint leaf at {prefix}: {tree!r}")
+    if prefix in out:
+        # '/'-joined names can collide (a key containing '/', or a
+        # numeric-string dict key vs a list index); silent last-writer-wins
+        # would corrupt one tensor on load
+        raise ValueError(f"checkpoint member name collision: {prefix}")
     out[prefix] = arr
     return {_LEAF_TAG: prefix}
 
@@ -131,7 +136,15 @@ def save(
     os.replace(tmp, path)
     if publish_final:
         final_tmp = os.path.join(model_dir, f".{FINAL_NAME}.tmp")
-        shutil.copyfile(path, final_tmp)  # bounded-buffer copy
+        # model-<step> is immutable once written, so publishing is a hard
+        # link + atomic rename (O(1) instead of re-copying hundreds of MB
+        # per checkpoint); fall back to a copy where links aren't possible
+        try:
+            if os.path.exists(final_tmp):
+                os.unlink(final_tmp)
+            os.link(path, final_tmp)
+        except OSError:
+            shutil.copyfile(path, final_tmp)  # bounded-buffer copy
         os.replace(final_tmp, os.path.join(model_dir, FINAL_NAME))
     return path
 
@@ -147,9 +160,11 @@ def load(path: str, allow_pickle: bool = False) -> Dict[str, Any]:
     file — only enable for checkpoints you wrote yourself)."""
     if _is_zip(path):
         payload = _read_npz(path)
-        assert payload.get("version") == FORMAT_VERSION, (
-            f"unsupported checkpoint version {payload.get('version')}"
-        )
+        # file-content validation must raise unconditionally (asserts
+        # vanish under python -O)
+        if payload.get("version") != FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported checkpoint version {payload.get('version')}")
         return payload
     if not allow_pickle:
         raise ValueError(
@@ -161,9 +176,9 @@ def load(path: str, allow_pickle: bool = False) -> Dict[str, Any]:
 
     with open(path, "rb") as f:
         payload = pickle.load(f)
-    assert payload.get("version") == 1, (
-        f"unsupported checkpoint version {payload.get('version')}"
-    )
+    if payload.get("version") != 1:
+        raise ValueError(
+            f"unsupported checkpoint version {payload.get('version')}")
     return payload
 
 

@@ -261,30 +261,6 @@ GEOMETRY_FIELDS = (
     "keep_aspect_ratio", "max_aspect_ratio", "min_aspect_ratio",
 )
 
-_BOOL_FLAGS = {
-    "simple_attention",
-    "decoder_custom_vjp",
-    "nesterov",
-    "allow_pickle_ckpt",
-    "multihost",
-    "pad_targets",
-    "device_preprocess",
-    "cache_images",
-    "length_normalize",
-    "remat",
-    "profile",
-    "log_norms",
-    "use_dictionary",
-    "allow_digit_prefix",
-    "input_feed",
-    "load_model",
-    "visualize",
-    "prealloc",
-    "use_pallas",
-    "keep_aspect_ratio",
-}
-
-
 def build_arg_parser() -> argparse.ArgumentParser:
     """Derive an argparse CLI from the Config dataclass fields.
 
@@ -301,12 +277,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         if name in ("cnn_feature_size", "explicit_geometry"):
             continue
         opts = [f"-{name}", f"--{name}"]
-        if name in _BOOL_FLAGS:
+        if isinstance(f.default, bool):
+            # EVERY boolean gets both spellings: -<name> / -no_<name>.
+            # Default-on flags need -no_<name> to disable (v0.1 scripts'
+            # affirmative -use_pallas stays a valid no-op); default-off
+            # flags need it because a checkpoint can restore the field
+            # True (e.g. keep_aspect_ratio rides GEOMETRY_FIELDS) and the
+            # CLI must be able to override it off (model.lua:75-77).
+            # Registration order makes the first action own the default.
             if f.default:
-                # default-on booleans are disabled with -no_<name>; the
-                # affirmative form stays accepted as a no-op so scripts
-                # written when the default was off (e.g. -use_pallas in
-                # v0.1) keep working
                 p.add_argument(
                     f"-no_{name}", f"--no_{name}", dest=name,
                     action="store_false", default=f.default,
@@ -314,6 +293,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                 p.add_argument(*opts, dest=name, action="store_true")
             else:
                 p.add_argument(*opts, action="store_true", default=f.default)
+                p.add_argument(
+                    f"-no_{name}", f"--no_{name}", dest=name,
+                    action="store_false",
+                )
         elif f.type in ("float", float) or isinstance(f.default, float):
             p.add_argument(*opts, type=float, default=f.default)
         elif f.type in ("int", int) or isinstance(f.default, int):

@@ -253,7 +253,14 @@ def import_checkpoint(path: str, long_size: int = 8) -> Dict[str, Any]:
     if isinstance(optim_state, dict):
         if "learningRate" in optim_state:
             opt["learning_rate"] = float(optim_state["learningRate"])
-        if "evalCounter" in optim_state:
+        # The reference's sgd_list keeps a state table PER PARAM GROUP
+        # (optim_state[1..5].evalCounter, optim_sgd.lua:45,94), advanced
+        # in lockstep — the counter never lives at the top level (that
+        # spelling is kept as a fallback for hand-built states).
+        group1 = optim_state.get(1)
+        if isinstance(group1, dict) and "evalCounter" in group1:
+            opt["eval_counter"] = int(group1["evalCounter"])
+        elif "evalCounter" in optim_state:
             opt["eval_counter"] = int(optim_state["evalCounter"])
     return {
         "params": params,

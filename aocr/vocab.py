@@ -73,7 +73,15 @@ def encode_batch(labels: Sequence[str], pad_to: int | None = None):
     seqs = [encode(s) for s in labels]
     width = max(len(s) for s in seqs) - 1
     if pad_to is not None:
-        width = max(width, pad_to)
+        # pad_to is a fixed-shape CONTRACT (multihost lockstep and
+        # -pad_targets rely on every batch having identical target
+        # width), not a floor — silently widening past it would wedge
+        # cross-host collectives / defeat the bounded jit-cache goal.
+        if width > pad_to:
+            raise ValueError(
+                f"label of length {width} exceeds pad_to={pad_to} "
+                f"(truncate labels to max_decoder_l - 1 upstream)")
+        width = pad_to
     n = len(seqs)
     targets = np.full((n, width), PAD, dtype=np.int32)
     targets_eval = np.full((n, width), PAD, dtype=np.int32)

@@ -217,3 +217,37 @@ def test_val_driven_lr_schedule():
     # resume below the floor clamps up
     s2 = ValDrivenLR(initial=1e-5, minimum=0.001, decay=0.5)
     assert s2.lr == 0.001
+
+
+def test_no_spelling_for_default_off_booleans(tmp_path):
+    """EVERY boolean flag has a -no_<name> spelling: a checkpoint can
+    restore a default-off field like keep_aspect_ratio=True, and the CLI
+    must be able to override it back off (reference model.lua:75-77)."""
+    from aocr.config import parse_args
+
+    cfg = parse_args(["-no_keep_aspect_ratio"])
+    assert not cfg.keep_aspect_ratio
+    assert "keep_aspect_ratio" in cfg.explicit_geometry
+
+    # end-to-end: checkpoint trained with the flag on, -no_... wins on load
+    from aocr.api import AttentionOCR
+    from aocr.config import Config
+
+    trained = Config(keep_aspect_ratio=True, image_width=32,
+                     encoder_num_hidden=32, target_embedding_size=8,
+                     max_decoder_l=8)
+    d = str(tmp_path / "m")
+    AttentionOCR.create(trained).save(d)
+    from aocr.train import Trainer
+    from aocr.utils.logging_util import Logger
+
+    over = parse_args([
+        "-phase", "test", "-load_model", "-model_dir", d,
+        "-no_keep_aspect_ratio",
+    ])
+    tr = Trainer(over, Logger(str(tmp_path / "log.txt")))
+    assert tr.cfg.keep_aspect_ratio is False
+    # and WITHOUT the flag the checkpoint's True is restored
+    plain = parse_args(["-phase", "test", "-load_model", "-model_dir", d])
+    tr2 = Trainer(plain, Logger(str(tmp_path / "log2.txt")))
+    assert tr2.cfg.keep_aspect_ratio is True
