@@ -166,6 +166,16 @@ def greedy_from_context(
                       or _PALLAS_GREEDY_INTERPRET)
                  and (jax.default_backend() == "tpu"
                       or _PALLAS_GREEDY_INTERPRET))
+    if (not use_fused and cfg.pallas_greedy in ("loop", "tail")
+            and cfg.use_pallas and not cfg.simple_attention
+            and jax.default_backend() == "tpu"):
+        # forced A/B modes must never measure a different path silently
+        import warnings
+
+        warnings.warn(
+            f"pallas_greedy='{cfg.pallas_greedy}' requested but the fused "
+            f"paths are unavailable (H={context.shape[2]} not "
+            "lane-aligned); using the XLA path", stacklevel=2)
     if use_fused:
         # Preferred: the ENTIRE decode loop as one Pallas kernel — weights,
         # context, and decoder state VMEM-resident across all max_len steps,
@@ -519,6 +529,17 @@ def beam_from_context(
         from aocr.ops.pallas import decode_step as _pds
 
         use_fused_beam = _pbs.fits_vmem(L, H, K, V, jnp.dtype(cd).itemsize)
+    if (cfg.pallas_beam == "tail" and not use_fused_beam
+            and (jax.default_backend() == "tpu" or _PALLAS_BEAM_INTERPRET)):
+        # a forced 'tail' silently measuring the XLA path would corrupt
+        # A/B numbers exactly like a silently-falling-back 'loop' — warn
+        # the same way (tools/ab_pallas.py)
+        import warnings
+
+        warnings.warn(
+            "pallas_beam='tail' requested but the fused beam tail is "
+            f"unavailable (L={L}, H={H}, K={K}); falling back to the XLA "
+            "beam path", stacklevel=2)
     if use_fused_beam:
         pwb_pad, pbb_pad = _pds.pad_projector(proj["w"].astype(cd), proj["b"])
         wab_cd = dec_params["w_a"].astype(cd)

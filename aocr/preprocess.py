@@ -35,10 +35,7 @@ def preprocess_batch(
     x = raw.astype(jnp.float32)
     if x.ndim == 3:
         x = x[..., None]
-    if x.shape[-1] >= 3:
-        y = (LUMA[0] * x[..., 0] + LUMA[1] * x[..., 1] + LUMA[2] * x[..., 2])
-    else:
-        y = x[..., 0]
+    y = _luminance(x)
     B = y.shape[0]
     # antialias=False: plain bilinear sampling, matching the reference's
     # torch image.scale and aocr.data's host resize (no triangle prefilter).

@@ -18,18 +18,22 @@ class Logger:
     def __init__(self, log_path: str):
         mode = "a"
         if os.path.exists(log_path) and sys.stdin.isatty():
-            while True:
+            # reference key map (logging.lua:12-22): o/O overwrite, q/Q
+            # abort, a/A or ANY other input appends; EOF aborts cleanly
+            # (the reference would re-prompt forever there)
+            try:
                 ans = input(
-                    f"Logging file {log_path} exists, Overwrite/Append/Abort? (o/a/A) "
-                ).strip()
-                if ans == "o":
-                    mode = "w"
-                    break
-                if ans == "a":
-                    mode = "a"
-                    break
-                if ans == "A":
-                    raise SystemExit(1)
+                    f"Logging file {log_path} exists, "
+                    f"Overwrite(o)? Append(a)? Abort(q)? "
+                ).strip().lower()
+            except EOFError:
+                raise SystemExit(1)
+            if ans == "o":
+                mode = "w"
+            elif ans == "q":
+                raise SystemExit(1)
+            else:
+                mode = "a"
         d = os.path.dirname(log_path)
         if d:
             os.makedirs(d, exist_ok=True)

@@ -57,7 +57,32 @@ def build_transition_table(
             node = nxt
         if rows[node][vocab.EOS] < 0:
             rows[node][vocab.EOS] = new_node()  # terminal leaf
-    return np.stack(rows).astype(np.int32)
+    return _minimize(np.stack(rows).astype(np.int32))
+
+
+def _minimize(table: np.ndarray) -> np.ndarray:
+    """Merge states with identical transition rows until fixpoint (Moore
+    automaton minimization).  Decoding only ever consumes the transition
+    function from the root — node ids appear nowhere else — so merging
+    indistinguishable states is semantics-preserving and collapses the
+    trie into a DAWG: every word's terminal leaf becomes ONE shared node,
+    and shared word suffixes ('talking'/'walking' -> 'alking') share one
+    chain.  On large flat lexicons this shrinks num_nodes several-fold,
+    which is what keeps Synth90k-scale dictionaries under the VMEM gate
+    of the whole-loop Pallas decode kernels (decode.py)."""
+    while True:
+        _, first_idx, inverse = np.unique(
+            table, axis=0, return_index=True, return_inverse=True)
+        if len(first_idx) == len(table):
+            return table
+        # renumber merge classes by first occurrence so the root stays 0
+        order = np.argsort(first_idx)
+        rank = np.empty_like(order)
+        rank[order] = np.arange(len(order))
+        node_to_new = rank[inverse].astype(table.dtype)
+        table = table[np.sort(first_idx)].copy()
+        valid = table >= 0
+        table[valid] = node_to_new[table[valid]]
 
 
 def load_dictionary(path: str, allow_digit_prefix: bool = False) -> np.ndarray:

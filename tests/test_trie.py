@@ -30,8 +30,28 @@ def test_basic_words():
 def test_shared_prefix_nodes():
     t1 = trie.build_transition_table(["cat", "car"])
     t2 = trie.build_transition_table(["cat"])
-    # "cat"+"car" shares the "ca" chain: only 2 extra nodes (r + its EOS leaf)
-    assert len(t1) == len(t2) + 2
+    # "cat"+"car" shares the "ca" chain AND (post-minimization) the
+    # terminal nodes + EOS leaf: same node count as "cat" alone
+    assert len(t1) == len(t2) == 5  # root, c, ca, terminal, shared leaf
+
+
+def test_minimization_shares_suffixes_and_leaves():
+    """The table is a minimized DAWG: one shared leaf per lexicon, shared
+    suffix chains — and membership semantics unchanged."""
+    words = ["talking", "walking", "stalking"]
+    t = trie.build_transition_table(words)
+    # suffix "alking" + terminal + leaf shared: nodes = root + {t,w,s,st}
+    # prefixes + 6 suffix chars + terminal + leaf
+    assert len(t) < 1 + 4 + 3 * 7  # far fewer than the unshared trie
+    for w in words:
+        node = _walk(t, w)
+        assert node is not None and t[node, vocab.EOS] >= 0
+    assert _walk(t, "talkin") is not None  # prefix valid, no EOS
+    assert t[_walk(t, "talkin"), vocab.EOS] < 0
+    assert _walk(t, "talkingx") is None
+    # one shared all-invalid leaf row
+    leaf_rows = int(((t == -1).all(axis=1)).sum())
+    assert leaf_rows == 1
 
 
 def test_terminal_leaf_has_no_children():
