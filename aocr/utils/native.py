@@ -9,19 +9,31 @@ from __future__ import annotations
 
 import ctypes
 import os
+import threading
 from typing import Optional
 
 import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_LOAD_LOCK = threading.Lock()
 
 
 def _lib() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    with _LOAD_LOCK:
+        return _lib_locked()
+
+
+def _lib_locked() -> Optional[ctypes.CDLL]:
+    # under _LOAD_LOCK: decode worker threads racing the first load must
+    # block rather than see _TRIED=True with _LIB still None and silently
+    # take the numpy fallback for their in-flight images
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     for cand in (
@@ -53,6 +65,7 @@ def _lib() -> Optional[ctypes.CDLL]:
                 break
             except (OSError, AttributeError):
                 continue
+    _TRIED = True  # set LAST: racing threads block on the lock until done
     return _LIB
 
 

@@ -22,23 +22,12 @@
 
 extern "C" {
 
-// RGB (or grayscale) float image -> luminance, bilinear-resized.
-// in:  (h, w, c) float32, c in {1, 3, 4}; values in [0, 255] (luma of the
-//      [0,1]-scaled image times 255 equals luma of the [0,255] image).
-// out: (oh, ow) float32.
-void aocr_luminance_resize(const float* in, int h, int w, int c,
-                           float* out, int oh, int ow) {
-  std::vector<float> lum(static_cast<size_t>(h) * w);
-  if (c >= 3) {
-    for (int i = 0; i < h * w; ++i) {
-      const float* p = in + static_cast<size_t>(i) * c;
-      lum[i] = 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
-    }
-  } else {
-    for (int i = 0; i < h * w; ++i) lum[i] = in[static_cast<size_t>(i) * c];
-  }
+// Bilinear resample of a (h, w) luminance plane into (oh, ow); shared by
+// the float32 and uint8 entry points so neither pays a redundant copy.
+static void resize_bilinear(const float* lum, int h, int w,
+                            float* out, int oh, int ow) {
   if (h == oh && w == ow) {
-    std::memcpy(out, lum.data(), sizeof(float) * lum.size());
+    std::memcpy(out, lum, sizeof(float) * static_cast<size_t>(h) * w);
     return;
   }
   const float sy = static_cast<float>(h) / oh;
@@ -70,6 +59,24 @@ void aocr_luminance_resize(const float* in, int h, int w, int c,
   }
 }
 
+// RGB (or grayscale) float image -> luminance, bilinear-resized.
+// in:  (h, w, c) float32, c in {1, 3, 4}; values in [0, 255] (luma of the
+//      [0,1]-scaled image times 255 equals luma of the [0,255] image).
+// out: (oh, ow) float32.
+void aocr_luminance_resize(const float* in, int h, int w, int c,
+                           float* out, int oh, int ow) {
+  std::vector<float> lum(static_cast<size_t>(h) * w);
+  if (c >= 3) {
+    for (int i = 0; i < h * w; ++i) {
+      const float* p = in + static_cast<size_t>(i) * c;
+      lum[i] = 0.299f * p[0] + 0.587f * p[1] + 0.114f * p[2];
+    }
+  } else {
+    for (int i = 0; i < h * w; ++i) lum[i] = in[static_cast<size_t>(i) * c];
+  }
+  resize_bilinear(lum.data(), h, w, out, oh, ow);
+}
+
 // uint8 RGB (or gray) image -> luminance in [0, 255], bilinear-resized.
 // Operates directly on PIL's raw bytes so the Python side does no float
 // math (ctypes releases the GIL for the whole call, letting decode worker
@@ -87,7 +94,7 @@ void aocr_luminance_resize_u8(const unsigned char* in, int h, int w, int c,
       lum[i] = static_cast<float>(in[static_cast<size_t>(i) * c]);
     }
   }
-  aocr_luminance_resize(lum.data(), h, w, 1, out, oh, ow);
+  resize_bilinear(lum.data(), h, w, out, oh, ow);
 }
 
 // Batched EOS-truncated Levenshtein distance over token id rows.

@@ -57,7 +57,7 @@ def measure(
     sub-ms ops raise `rep` so the signal clears the RTT noise.
     """
     if floor_ms is None:
-        floor_ms = dispatch_floor_ms()
+        floor_ms = dispatch_floor_ms(stat=stat)  # floor stat must pair
 
     @jax.jit
     def rep_fn(x):

@@ -53,12 +53,17 @@ def run_phase(args):
 
 def last_metrics(log_path):
     txt = open(log_path).read()
-    acc = float(re.findall(r"Number of samples \d+ - Accuracy = ([\d.]+)",
-                           txt)[-1])
-    cer = float(re.findall(
+    accs = re.findall(r"Number of samples \d+ - Accuracy = ([\d.]+)", txt)
+    cers = re.findall(
         r"Character error rate \(normalized edit distance\) = ([\d.]+)",
-        txt)[-1])
-    return acc, cer
+        txt)
+    if not accs or not cers:
+        # a failed/format-drifted test phase must name its log, not
+        # IndexError after hours of training
+        raise RuntimeError(
+            f"no accuracy/CER lines found in {log_path} — the test phase "
+            f"failed or train.py's log format changed (see that log)")
+    return float(accs[-1]), float(cers[-1])
 
 
 def main():

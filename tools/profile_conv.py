@@ -116,7 +116,8 @@ def main():
             g = wgrad9(x, dy, kh, kw, pad, in_c, out_c)
             return x + (g.sum() * 1e-20).astype(x.dtype)
 
-        probes = os.environ.get("AOCR_CONV_PROBES", "fwd,dgrad,wgrad,wgrad9")
+        probes = os.environ.get("AOCR_CONV_PROBES",
+                                "fwd,dgrad,wgrad,wgrad9").split(",")
         floor = dispatch_floor_ms(stat="min")  # re-measured per layer
         t_f = t_d = t_w = t_w9 = float("nan")
         if "fwd" in probes:

@@ -104,17 +104,26 @@ def main():
 
         return fwd_only, fwd_bwd, fwd_bwd_decoder_only, fwd_bwd_encoder_only
 
-    step = train_step.make_train_step(cfg)
     opt0 = optim.sgd_init(ms.params)
 
-    def full(carry):
-        params, stats, opt = carry
-        out = step(params, stats, opt, images, tg, te,
-                   jnp.float32(0.1), jax.random.PRNGKey(0))
-        return (out.params, out.batch_stats, out.opt_state)
+    def make_full():
+        # rebuilt (and caches cleared) per unroll flip: a step object
+        # built once would serve its first-unroll jaxpr from the pjit
+        # cache for every later flip — a silent A/A
+        step = train_step.make_train_step(cfg)
+
+        def full(carry):
+            params, stats, opt = carry
+            out = step(params, stats, opt, images, tg, te,
+                       jnp.float32(0.1), jax.random.PRNGKey(0))
+            return (out.params, out.batch_stats, out.opt_state)
+
+        return full
 
     for unroll in (1,) if os.environ.get("AOCR_PROF_NO_SWEEP") else (1, 2, 4):
         lstm.SCAN_UNROLL = unroll
+        jax.clear_caches()
+        full = make_full()
         f, fb, fbd, fbe = make_probes()
         t_f = measure(jax.jit(f), images, rep=8, outer=5, floor_ms=floor,
                       stat="min")
