@@ -528,7 +528,8 @@ def beam_from_context(
         from aocr.ops.pallas import beam_step as _pbs
         from aocr.ops.pallas import decode_step as _pds
 
-        use_fused_beam = _pbs.fits_vmem(L, H, K, V, jnp.dtype(cd).itemsize)
+        use_fused_beam = _pbs.fits_vmem(L, H, K, V, jnp.dtype(cd).itemsize,
+                                        use_trie=use_trie)
     if (cfg.pallas_beam == "tail" and not use_fused_beam
             and (jax.default_backend() == "tpu" or _PALLAS_BEAM_INTERPRET)):
         # a forced 'tail' silently measuring the XLA path would corrupt

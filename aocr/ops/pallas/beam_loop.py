@@ -43,12 +43,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aocr import vocab
+from aocr.ops.pallas.decode_step import attention_logp_tail
 from aocr.ops.pallas.greedy_loop import (_gate_math, pad_trie_table,
                                          trie_table_bytes)
 
-B_TILE = 128
-LANE = 128
-VMEM_BUDGET = 100 * 1024 * 1024
+from aocr.ops.pallas.tiling import B_TILE, LANE, VMEM_BUDGET
 MAX_K = 8  # K^2 in-kernel selects; larger beams use the tail kernel
 
 
@@ -141,7 +140,6 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, K: int,
             @pl.when(jnp.logical_not(jnp.all(frozen)))
             def _():
                 context = ctx_ref[:]  # (L, bt, H) resident
-                ctx_f32 = context.astype(f32)
                 # ---- per-beam LSTM stack + attention + scored logits ----
                 for kk in range(K):
                     sl = slice(kk * H, (kk + 1) * H)
@@ -173,31 +171,10 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, K: int,
                         th_scr[l, :, sl] = h
                         x = h
                     h_top = x  # (bt, H) f32
-                    q = jnp.dot(h_top.astype(cd), wa_ref[:], precision=prec,
-                                preferred_element_type=f32)
-                    scores_l = jnp.sum(ctx_f32 * q[None, :, :], axis=-1)
-                    sb = scores_l.T  # lane-axis softmax
-                    m = jnp.max(sb, axis=-1, keepdims=True)
-                    e = jnp.exp(sb - m)
-                    alpha = (e / jnp.sum(e, axis=-1, keepdims=True)).T
-                    cv = jnp.sum(alpha[:, :, None] * ctx_f32, axis=0)
-                    wc = wc_ref[:]
-                    pre = (
-                        jnp.dot(cv.astype(cd), wc[:H], precision=prec,
-                                preferred_element_type=f32)
-                        + jnp.dot(h_top.astype(cd), wc[H:], precision=prec,
-                                  preferred_element_type=f32)
-                    )
-                    h_tilde = jnp.tanh(pre)
+                    h_tilde, logp = attention_logp_tail(
+                        h_top, context, wa_ref[:], wc_ref[:], pw_ref[:],
+                        pb_ref[:], cd)
                     htld_scr[:, sl] = h_tilde
-                    logits = jnp.dot(h_tilde.astype(cd), pw_ref[:],
-                                     precision=prec,
-                                     preferred_element_type=f32) + pb_ref[:]
-                    m2 = jnp.max(logits, axis=-1, keepdims=True)
-                    lse = m2 + jnp.log(
-                        jnp.sum(jnp.exp(logits - m2), axis=-1,
-                                keepdims=True))
-                    logp = logits - lse  # (bt, vp) f32
                     froz_k = frozen[:, kk:kk + 1]
                     logp = jnp.where((col_v == vocab.PAD) & froz_k, 0.0,
                                      logp)
@@ -353,7 +330,10 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, K: int,
 def vmem_bytes(L: int, H: int, T: int, K: int, num_layers: int,
                input_feed: bool, vp_in: int, vp: int, itemsize: int,
                bt: int, trie_bytes: int = 0) -> int:
-    ctx = 2 * L * bt * H * itemsize + trie_bytes
+    # the per-beam trie lookups materialize (bt, num_nodes) f32 one-hots
+    # (same accounting as greedy_loop.vmem_bytes)
+    ctx = (2 * L * bt * H * itemsize + trie_bytes
+           + (2 * bt * (trie_bytes // (vp * 4)) * 4 if trie_bytes else 0))
     weights = (
         vp_in * 4 * H * itemsize
         + ((2 * H) if input_feed else H) * 4 * H * itemsize

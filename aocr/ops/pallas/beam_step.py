@@ -42,13 +42,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aocr import vocab
-
-B_TILE = 128
-LANE = 128
-VMEM_BUDGET = 100 * 1024 * 1024
+from aocr.ops.pallas.decode_step import attention_logp_tail
+from aocr.ops.pallas.tiling import B_TILE, LANE, VMEM_BUDGET
 
 
-def fits_vmem(L: int, H: int, K: int, V: int, itemsize: int) -> bool:
+def fits_vmem(L: int, H: int, K: int, V: int, itemsize: int,
+              use_trie: bool = False) -> bool:
     """Whether the fused beam tail fits the VMEM budget for this shape.
 
     The accounting below sums the obvious buffers; Mosaic's real scoped
@@ -63,6 +62,10 @@ def fits_vmem(L: int, H: int, K: int, V: int, itemsize: int) -> bool:
         + B_TILE * K * H * (itemsize + 4)        # h_top in, h_tilde out
         + 3 * H * H * itemsize + H * vp * itemsize  # weights
         + B_TILE * K * vp * 4                    # top-K buffer
+        # trie validity plane input (f32, i-dependent => double-buffered
+        # by the same 2x calibration below) + the small per-row blocks
+        + (B_TILE * K * vp * 4 if use_trie else 0)
+        + 6 * B_TILE * K * 4
     )
     return 2 * est <= VMEM_BUDGET - 16 * 1024 * 1024
 
@@ -87,39 +90,13 @@ def _make_kernel(K: int, V: int, use_trie: bool = False):
         vp = pw_ref.shape[-1]
         bt = h_ref.shape[0]
         cd = wa_ref.dtype
-        prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
-                else jax.lax.Precision.DEFAULT)
         context = ctx_ref[:]  # (L, bt, H) — read once, reused by all K beams
         col_v = jax.lax.broadcasted_iota(jnp.int32, (bt, vp), 1)
         for k in range(K):
             h = h_ref[:, k * H:(k + 1) * H]  # (bt, H)
-            q = jnp.dot(h.astype(cd), wa_ref[:], precision=prec,
-                        preferred_element_type=jnp.float32)
-            scores = jnp.sum(
-                context.astype(jnp.float32) * q[None, :, :], axis=-1
-            )  # (L, bt)
-            sb = scores.T  # lane-axis softmax (Mosaic constraint)
-            m = jnp.max(sb, axis=-1, keepdims=True)
-            e = jnp.exp(sb - m)
-            alpha = (e / jnp.sum(e, axis=-1, keepdims=True)).T
-            cv = jnp.sum(
-                alpha[:, :, None] * context.astype(jnp.float32), axis=0
-            )  # (bt, H)
-            wc = wc_ref[:]
-            pre = (
-                jnp.dot(cv.astype(cd), wc[:H], precision=prec,
-                        preferred_element_type=jnp.float32)
-                + jnp.dot(h.astype(cd), wc[H:], precision=prec,
-                          preferred_element_type=jnp.float32)
-            )
-            h_tilde = jnp.tanh(pre)
+            h_tilde, logp = attention_logp_tail(
+                h, context, wa_ref[:], wc_ref[:], pw_ref[:], pb_ref[:], cd)
             htld_ref[:, k * H:(k + 1) * H] = h_tilde
-            logits = jnp.dot(h_tilde.astype(cd), pw_ref[:], precision=prec,
-                             preferred_element_type=jnp.float32) + pb_ref[:]
-            m2 = jnp.max(logits, axis=-1, keepdims=True)
-            lse = m2 + jnp.log(
-                jnp.sum(jnp.exp(logits - m2), axis=-1, keepdims=True))
-            logp = logits - lse  # (bt, vp) f32
             prev_k = prev_ref[:, k:k + 1]  # (bt, 1)
             frozen = (prev_k == vocab.PAD) | (prev_k == vocab.EOS)
             logp = jnp.where((col_v == vocab.PAD) & frozen, 0.0, logp)

@@ -34,7 +34,6 @@ across the batch-tile grid instead of re-streaming per tile.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -44,53 +43,75 @@ from jax.experimental.pallas import tpu as pltpu
 
 from aocr import vocab
 
-B_TILE = 128
-LANE = 128
+from aocr.ops.pallas.tiling import B_TILE, LANE
 
 
-def _kernel(h_ref, ctx_ref, prev_ref, wa_ref, wc_ref, pw_ref, pb_ref,
-            *refs):
-    # optional trie validity plane rides between the fixed inputs and the
-    # three outputs (mirrors beam_step._make_kernel's layout)
-    use_trie = len(refs) == 4
-    valid_ref = refs[0] if use_trie else None
-    htld_ref, tok_ref, delta_ref = refs[-3:]
-    h = h_ref[:]  # (Bt, H) bf16/f32
-    # context arrives scan-major (L, Bt, H): this is the layout the
-    # encoder's lax.scan naturally produces, so requesting it keeps the
-    # custom-call boundary from forcing a relayout that un-fuses the
-    # encoder's hs-stacking (measured: +1.7 ms/call with (B, L, H)).
-    context = ctx_ref[:]  # (L, Bt, H)
-    prec = (jax.lax.Precision.HIGHEST if h.dtype == jnp.float32
+def _make_kernel(use_trie: bool):
+    def kernel(h_ref, ctx_ref, prev_ref, wa_ref, wc_ref, pw_ref, pb_ref,
+               *refs):
+        # optional trie validity plane rides between the fixed inputs and
+        # the three outputs (mirrors beam_step._make_kernel's layout);
+        # use_trie is a static closure flag, not ref-count sniffing, so
+        # adding a ref can never silently rebind the plane
+        valid_ref = refs[0] if use_trie else None
+        htld_ref, tok_ref, delta_ref = refs[-3:]
+        _kernel_body(h_ref, ctx_ref, prev_ref, wa_ref, wc_ref, pw_ref,
+                     pb_ref, valid_ref, htld_ref, tok_ref, delta_ref,
+                     use_trie)
+
+    return kernel
+
+
+def attention_logp_tail(h, context, wa, wc, pw, pb, cd):
+    """The Mosaic-critical attention + projector + log-softmax chain,
+    shared by ALL FOUR decode kernels (this tail, greedy_loop, beam_step,
+    beam_loop) so its invariants — lane-axis softmax transpose (Mosaic
+    rejects the sublane-axis broadcast), f32 score chain,
+    HIGHEST-precision-for-f32 rule, and the -1e30 projector padding
+    contract — live in exactly one place.
+
+    h: (Bt, H) cd/f32; context: (L, Bt, H); wa (H, H), wc (2H, H),
+    pw (H, Vp), pb (1, Vp) — values, not refs.
+    Returns (h_tilde (Bt, H) f32, logp (Bt, Vp) f32)."""
+    prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
             else jax.lax.Precision.DEFAULT)
-    q = jnp.dot(h, wa_ref[:], precision=prec,
+    q = jnp.dot(h.astype(cd), wa, precision=prec,
                 preferred_element_type=jnp.float32)  # (Bt, H) f32
     scores = jnp.sum(context.astype(jnp.float32) * q[None, :, :], axis=-1)
-    # softmax over L: transpose the small (L, Bt) tile so the reduction
-    # runs along lanes (Mosaic rejects the sublane-axis broadcast here)
-    sb = scores.T  # (Bt, L)
+    sb = scores.T  # (Bt, L): reduce along lanes
     m = jnp.max(sb, axis=-1, keepdims=True)
     e = jnp.exp(sb - m)
     alpha = (e / jnp.sum(e, axis=-1, keepdims=True)).T  # (L, Bt)
     ctx = jnp.sum(alpha[:, :, None] * context.astype(jnp.float32), axis=0)
     H = h.shape[-1]
-    wc = wc_ref[:]
     pre = (
-        jnp.dot(ctx.astype(wc.dtype), wc[:H], precision=prec,
+        jnp.dot(ctx.astype(cd), wc[:H], precision=prec,
                 preferred_element_type=jnp.float32)
-        + jnp.dot(h, wc[H:], precision=prec,
+        + jnp.dot(h.astype(cd), wc[H:], precision=prec,
                   preferred_element_type=jnp.float32)
     )
     h_tilde = jnp.tanh(pre)  # (Bt, H) f32
+    logits = jnp.dot(h_tilde.astype(cd), pw, precision=prec,
+                     preferred_element_type=jnp.float32) + pb
+    # log-softmax in f32; padded vocab columns carry a -1e30 bias
+    # (pad_projector), so they never win the argmax
+    m2 = jnp.max(logits, axis=-1, keepdims=True)
+    lse = m2 + jnp.log(jnp.sum(jnp.exp(logits - m2), axis=-1,
+                               keepdims=True))
+    return h_tilde, logits - lse
+
+
+def _kernel_body(h_ref, ctx_ref, prev_ref, wa_ref, wc_ref, pw_ref, pb_ref,
+                 valid_ref, htld_ref, tok_ref, delta_ref, use_trie):
+    h = h_ref[:]  # (Bt, H) bf16/f32, already in the compute dtype
+    # context arrives scan-major (L, Bt, H): this is the layout the
+    # encoder's lax.scan naturally produces, so requesting it keeps the
+    # custom-call boundary from forcing a relayout that un-fuses the
+    # encoder's hs-stacking (measured: +1.7 ms/call with (B, L, H)).
+    h_tilde, logp = attention_logp_tail(
+        h, ctx_ref[:], wa_ref[:], wc_ref[:], pw_ref[:], pb_ref[:],
+        h.dtype)
     htld_ref[:] = h_tilde
-    logits = jnp.dot(h_tilde.astype(pw_ref.dtype), pw_ref[:],
-                     precision=prec,
-                     preferred_element_type=jnp.float32) + pb_ref[:]
-    # log-softmax in f32; padded vocab columns carry a -1e30 bias, so they
-    # contribute nothing here and never win the argmax
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
-    logp = logits - lse  # (Bt, Vp) f32
     if use_trie:
         # XLA gathers the (Bt, Vp) 0/1 validity plane from the dense
         # transition table between steps (the table itself can be
@@ -165,7 +186,7 @@ def fused_decode_tail(
     use_trie = valid is not None
     grid = (B // bt,)
     h_tilde, tok, delta = pl.pallas_call(
-        _kernel,
+        _make_kernel(use_trie),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, H), lambda i: (i, 0), memory_space=pltpu.VMEM),

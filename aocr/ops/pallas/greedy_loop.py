@@ -42,7 +42,6 @@ Rows past the true batch size (padding to a 128 multiple) start frozen
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -51,13 +50,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from aocr import vocab
+from aocr.ops.lstm import gate_math
 from aocr.ops.mm import matmul
-from aocr.ops.pallas.decode_step import pad_projector
+from aocr.ops.pallas.decode_step import (attention_logp_tail,
+                                          pad_projector)
 
-B_TILE = 128
-LANE = 128
-# Leave headroom under the ~128 MB v5e VMEM for Mosaic's own buffers.
-VMEM_BUDGET = 100 * 1024 * 1024
+from aocr.ops.pallas.tiling import B_TILE, LANE, VMEM_BUDGET
 
 
 def _make_kernel(num_layers: int, input_feed: bool, T: int,
@@ -142,38 +140,10 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int,
 
                 # ---- attention tail (same math as decode_step._kernel) ----
                 h_top = x  # (bt, H) f32
-                q = jnp.dot(h_top.astype(cd), wa_ref[:], precision=prec,
-                            preferred_element_type=jnp.float32)
-                context = ctx_ref[:]  # (L, bt, H), VMEM-resident
-                scores = jnp.sum(
-                    context.astype(jnp.float32) * q[None, :, :], axis=-1
-                )  # (L, bt)
-                sb = scores.T  # lane-axis softmax (see module docstring)
-                m = jnp.max(sb, axis=-1, keepdims=True)
-                e = jnp.exp(sb - m)
-                alpha = (e / jnp.sum(e, axis=-1, keepdims=True)).T
-                ctx = jnp.sum(
-                    alpha[:, :, None] * context.astype(jnp.float32), axis=0
-                )  # (bt, H)
-                wc = wc_ref[:]
-                pre = (
-                    jnp.dot(ctx.astype(cd), wc[:H], precision=prec,
-                            preferred_element_type=jnp.float32)
-                    + jnp.dot(h_top.astype(cd), wc[H:], precision=prec,
-                              preferred_element_type=jnp.float32)
-                )
-                h_tilde = jnp.tanh(pre)
+                h_tilde, logp = attention_logp_tail(
+                    h_top, ctx_ref[:], wa_ref[:], wc_ref[:], pw_ref[:],
+                    pb_ref[:], cd)
                 attn_scr[:] = h_tilde
-
-                logits = jnp.dot(h_tilde.astype(cd), pw_ref[:],
-                                 precision=prec,
-                                 preferred_element_type=jnp.float32)
-                logits = logits + pb_ref[:]
-                m2 = jnp.max(logits, axis=-1, keepdims=True)
-                lse = m2 + jnp.log(
-                    jnp.sum(jnp.exp(logits - m2), axis=-1, keepdims=True)
-                )
-                logp = logits - lse  # (bt, Vp) f32
                 logp = jnp.where((col_v == vocab.PAD) & frozen, 0.0, logp)
                 if use_trie:
                     # Dictionary constraint in-kernel (reference
@@ -221,16 +191,10 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int,
     return kernel
 
 
-def _gate_math(gates: jax.Array, c_prev: jax.Array):
-    """[i|f|o|g] fused pre-activations -> (c', h') in f32
-    (reference gate order src/model/LSTM.lua:90-105; aocr/ops/lstm.gate_math)."""
-    H = c_prev.shape[-1]
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    o = jax.nn.sigmoid(gates[:, 2 * H:3 * H])
-    g = jnp.tanh(gates[:, 3 * H:])
-    c = f * c_prev + i * g
-    return c, o * jnp.tanh(c)
+# The kernels run the SAME gate recurrence as training (jnp.split lowers
+# fine under Mosaic), so a gate-order or numerics change in ops/lstm can
+# never silently diverge the decode kernels from the trained model.
+_gate_math = gate_math
 
 
 def build_tables(dec_params: dict, proj: dict, embedding_size: int,
@@ -293,9 +257,17 @@ def vmem_bytes(L: int, H: int, T: int, num_layers: int, input_feed: bool,
         + H * H * itemsize + 2 * H * H * itemsize
         + H * vp * itemsize + vp * 4
     )
+    # the in-kernel trie lookup materializes a (B_TILE, num_nodes) f32
+    # one-hot every step — comparable to the table itself and previously
+    # uncounted (a mid-size lexicon could pass the gate yet fail Mosaic
+    # compilation); npn recovered from the table footprint
+    onehot = (2 * B_TILE * (trie_bytes // (vp * 4)) * 4
+              if trie_bytes else 0)
+    # c0/h0 init inputs are i-dependent f32 blocks: double-buffered
+    init = 2 * 2 * B_TILE * H * 4
     scratch = (2 * num_layers + 1) * B_TILE * H * 4 + 2 * B_TILE * 4
     out = B_TILE * T * 4 + B_TILE * 4
-    return ctx + weights + scratch + out
+    return ctx + weights + onehot + init + scratch + out
 
 
 def trie_table_bytes(num_nodes: int, vp: int) -> int:

@@ -39,8 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from aocr.ops.pallas import tiling
 
-B_TILE = 128
-VMEM_BUDGET = 100 * 1024 * 1024
+from aocr.ops.pallas.tiling import B_TILE, VMEM_BUDGET
 
 
 def _make_kernel(num_layers: int, input_feed: bool, T: int, bt: int):

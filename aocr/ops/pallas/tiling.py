@@ -16,7 +16,13 @@ from __future__ import annotations
 
 from typing import Callable, Tuple
 
-VMEM_BUDGET = 100 * 1024 * 1024
+# Single source for the per-kernel hardware constants: every pallas
+# module imports these, so retuning for another TPU generation is ONE
+# edit and a kernel's fits() gate can never disagree with its
+# pallas_call vmem_limit_bytes.
+B_TILE = 128
+LANE = 128
+VMEM_BUDGET = 100 * 1024 * 1024  # headroom under the ~128 MB v5e VMEM
 MARGIN = 16 * 1024 * 1024
 CALIBRATION = 1.25
 
