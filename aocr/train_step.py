@@ -134,16 +134,13 @@ def eval_decode_step(
 def gold_scores_from_logprobs(
     log_probs: jax.Array, targets_eval: jax.Array
 ) -> jax.Array:
-    """Per-sample summed gold log-prob over non-PAD target tokens — the
-    reference's score_gold (model.lua:589-627).  Shared by the single-device
-    eval step and the sharded eval path so their semantics stay locked."""
-    from aocr import vocab as _v
+    """Per-sample summed gold log-prob (reference score_gold,
+    model.lua:589-627).  Delegates to loss.gold_scores — the SAME pick +
+    PAD-mask the loss uses — so the eval paths and the training loss can
+    never diverge in masking semantics."""
+    from aocr import loss as _loss
 
-    picked = jnp.take_along_axis(
-        log_probs, targets_eval[..., None], axis=-1
-    ).squeeze(-1)
-    mask = (targets_eval != _v.PAD).astype(log_probs.dtype)
-    return jnp.sum(picked * mask, axis=1)
+    return _loss.gold_scores(log_probs, targets_eval)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -23,6 +23,7 @@ import json
 import os
 import pickle
 import shutil
+import urllib.parse
 import sys
 from typing import Dict, Optional
 
@@ -70,13 +71,39 @@ document.getElementById('summary').textContent =
 
 
 def load_freq(path: Optional[str]) -> Dict[str, int]:
-    if not path or not os.path.exists(path):
+    if not path:
         return {}
+    if not os.path.exists(path):
+        # an explicitly-passed but missing file must not silently drop the
+        # frequency annotations (the reference asserts existence)
+        raise FileNotFoundError(f"freq file {path} not found")
     if path.endswith(".json"):
         with open(path) as f:
             return json.load(f)
     with open(path, "rb") as f:
         return pickle.load(f, encoding="latin-1")
+
+
+def _npy_to_png(src: str, dst: str) -> bool:
+    """Render a (H, W[, C]) float/uint8 .npy crop to a PNG; False on any
+    decode problem (the gallery card then shows text only)."""
+    try:
+        import numpy as np
+        from PIL import Image
+
+        arr = np.load(src)
+        if arr.ndim == 3 and arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        if arr.ndim not in (2, 3):
+            return False
+        a = arr.astype("float32")
+        if a.max() <= 1.0 + 1e-6:
+            a = a * 255.0
+        a = a.clip(0, 255).astype("uint8")
+        Image.fromarray(a).save(dst)
+        return True
+    except Exception:
+        return False
 
 
 def generate(
@@ -89,6 +116,8 @@ def generate(
         raise FileNotFoundError(f"Result file {result_path} not found")
     website_dir = os.path.join(output_dir, "website")
     img_dir = os.path.join(website_dir, "images")
+    if os.path.isdir(img_dir):
+        shutil.rmtree(img_dir)  # stale copies from previous runs
     os.makedirs(img_dir, exist_ok=True)
     freq = load_freq(freq_path)
     total = sum(freq.values()) if freq else 0
@@ -108,9 +137,21 @@ def generate(
             src = os.path.join(data_base_dir, img_path)
             dst = os.path.join(img_dir, base)
             img_tag = ""
-            if os.path.exists(src) and not src.endswith(".npy"):
-                shutil.copy(src, dst)
-                img_tag = f'<img src="images/{html.escape(base)}" /><br/>\n'
+            if os.path.exists(src):
+                if src.endswith(".npy"):
+                    # synthetic datasets store raw arrays; render to PNG so
+                    # the gallery actually shows the crop
+                    base = base[: -len(".npy")] + ".png"
+                    dst = os.path.join(img_dir, base)
+                    ok = _npy_to_png(src, dst)
+                else:
+                    shutil.copy(src, dst)
+                    ok = True
+                if ok:
+                    # URL context needs percent-encoding, not just HTML
+                    # escaping ('#'/'?'/'%' in names break the src)
+                    img_tag = ('<img src="images/'
+                               f'{urllib.parse.quote(base)}" /><br/>\n')
             cls = "f-correct" if gold == pred else "f-incorrect"
             fout.write(f'<li class="{cls} f-all">\n{img_tag}')
             fout.write(
