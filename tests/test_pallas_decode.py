@@ -475,3 +475,47 @@ def test_fused_beam_tail_with_trie_matches_xla(K):
     # refill bookkeeping (refills, min_valid) matches the XLA accounting
     assert int(got[2][0]) == int(ref[2][0])
     assert int(got[2][1]) == int(ref[2][1])
+
+
+def test_auto_mode_routes_vmem_rejected_trie_to_tail(monkeypatch):
+    """pallas_greedy='auto' + a trie the whole-loop VMEM gate rejects must
+    route to the per-step fused tail (HBM table + gathered validity
+    plane), not silently to pure XLA — with XLA-identical transcripts."""
+    from aocr.ops.pallas import decode_step as pds
+    from aocr.ops.pallas import greedy_loop as pgl
+    from aocr.utils import trie as trie_lib
+
+    monkeypatch.setattr(pgl, "vmem_bytes", lambda *a, **k: 10 ** 12)
+    calls = []
+    real_tail = pds.fused_decode_tail
+
+    def counting_tail(*a, **kw):
+        calls.append(kw.get("valid") is not None)
+        return real_tail(*a, **kw)
+
+    monkeypatch.setattr(pds, "fused_decode_tail", counting_tail)
+    cfg = Config(input_feed=True, encoder_num_hidden=32,
+                 target_embedding_size=8, max_decoder_l=8,
+                 image_width=32, use_pallas=False).validate()
+    dict_words = ["ab", "cd", "zz", "mn", "q"]
+    table = jnp.asarray(trie_lib.build_transition_table(dict_words))
+    # 5 rows: distinct shape from sibling tests so no stale jit cache
+    imgs = np.stack([synth.render_word(w, 32, 32)
+                     for w in ["ab", "cd", "zz", "q", "mn"]])[..., None]
+    imgs = jnp.asarray(imgs.astype(np.float32))
+    ms = model.init(jax.random.PRNGKey(1), cfg)
+    labels_ref, scores_ref = decode.beam_decode(
+        ms.params, ms.batch_stats, imgs, cfg, 1, cfg.max_decoder_l,
+        trie_table=table, use_trie=True)
+    decode._PALLAS_GREEDY_INTERPRET = True
+    try:
+        labels_p, scores_p = decode.beam_decode(
+            ms.params, ms.batch_stats, imgs, cfg.replace(use_pallas=True),
+            1, cfg.max_decoder_l, trie_table=table, use_trie=True)
+    finally:
+        decode._PALLAS_GREEDY_INTERPRET = False
+    assert calls and all(calls), "fused tail not used for rejected trie"
+    np.testing.assert_array_equal(np.asarray(labels_p),
+                                  np.asarray(labels_ref))
+    np.testing.assert_allclose(np.asarray(scores_p), np.asarray(scores_ref),
+                               rtol=1e-5, atol=1e-5)
