@@ -104,6 +104,10 @@ class AttentionOCR:
             self._trie = jax.device_put(
                 self._trie, NamedSharding(self._mesh, PartitionSpec()))
 
+    def clear_dictionary(self) -> None:
+        """Drop the dictionary constraint set by use_dictionary()."""
+        self._trie = None
+
     def shard(self, num_shards: Optional[int] = None,
               devices: Optional[Sequence] = None) -> "AttentionOCR":
         """Shard recognize() batches across a device mesh (data parallel).

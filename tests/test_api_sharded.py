@@ -58,7 +58,7 @@ def test_sharded_with_dictionary(ocr):
         words, scores = ocr.recognize(imgs, beam_size=2)
     finally:
         ocr.unshard()
-        ocr._trie = None
+        ocr.clear_dictionary()
     assert words == base_words
     np.testing.assert_allclose(scores, base_scores, rtol=1e-5, atol=1e-5)
     for w in words:  # every transcript is a trie walk

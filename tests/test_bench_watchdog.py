@@ -48,8 +48,12 @@ def _runner(tmp_path, child_body: str) -> str:
 
 def _env(**kw):
     env = dict(os.environ, **{k: str(v) for k, v in kw.items()})
-    env.pop("AOCR_BENCH_ATTEMPT", None)
-    env.pop("AOCR_BENCH_SUPERVISED", None)
+    # neutralize EVERY inherited bench knob: a developer shell with
+    # AOCR_BENCH_WATCHDOG=0 exported must not flip these tests
+    for k in ("AOCR_BENCH_ATTEMPT", "AOCR_BENCH_SUPERVISED",
+              "AOCR_BENCH_WATCHDOG", "AOCR_BENCH_HEARTBEAT"):
+        env.pop(k, None)
+    env.update({k: str(v) for k, v in kw.items()})
     return env
 
 
@@ -85,7 +89,7 @@ def test_supervisor_quiet_while_progress_ticks(tmp_path):
     proc = subprocess.run(
         [sys.executable, runner],
         capture_output=True, text=True, timeout=120,
-        env=_env(AOCR_BENCH_STALL_S=8, AOCR_BENCH_MAX_ATTEMPTS=2),
+        env=_env(AOCR_BENCH_STALL_S=15, AOCR_BENCH_MAX_ATTEMPTS=2),
     )
     assert proc.returncode == 0
     assert proc.stdout.strip() == "done"
@@ -107,6 +111,28 @@ def test_supervisor_propagates_crash_without_retry(tmp_path):
     )
     assert proc.stdout.split() == ["attempt", "1"]
     assert proc.returncode == 7
+
+
+def test_supervisor_default_argv_respawns_self(tmp_path):
+    """With no child_argv, _supervise respawns `[sys.executable] + sys.argv`
+    — the path production bench.py uses; flags must survive the respawn."""
+    script = tmp_path / "selfsup.py"
+    script.write_text(textwrap.dedent(f"""
+        import os, sys
+        sys.path.insert(0, {REPO!r})
+        import bench
+        bench._supervise()  # parent: supervises; child: returns
+        print("args", " ".join(sys.argv[1:]),
+              "attempt", os.environ.get("AOCR_BENCH_ATTEMPT", "?"),
+              flush=True)
+    """))
+    proc = subprocess.run(
+        [sys.executable, str(script), "--flag", "x1"],
+        capture_output=True, text=True, timeout=120,
+        env=_env(AOCR_BENCH_STALL_S=30, AOCR_BENCH_MAX_ATTEMPTS=2),
+    )
+    assert proc.returncode == 0
+    assert proc.stdout.strip() == "args --flag x1 attempt 1"
 
 
 def test_supervisor_disabled(tmp_path):

@@ -402,7 +402,8 @@ def test_fused_greedy_tail_with_trie_matches_xla():
         calls.append(kw.get("valid") is not None)
         return real_tail(*a, **kw)
 
-    for seed in (0, 3):
+    for i, seed in enumerate((0, 3)):
+        calls.clear()
         ms = model.init(jax.random.PRNGKey(seed), cfg)
         labels_ref, scores_ref = decode.beam_decode(
             ms.params, ms.batch_stats, imgs, cfg, 1, cfg.max_decoder_l,
@@ -416,7 +417,10 @@ def test_fused_greedy_tail_with_trie_matches_xla():
         finally:
             decode._PALLAS_GREEDY_INTERPRET = False
             pds.fused_decode_tail = real_tail
-        assert calls and all(calls), "tail kernel not exercised with trie"
+        if i == 0:
+            # only the first seed TRACES (later ones hit the jit cache and
+            # legitimately never re-enter the python wrapper)
+            assert calls and all(calls), "tail kernel not exercised"
         np.testing.assert_array_equal(np.asarray(labels_p),
                                       np.asarray(labels_ref))
         np.testing.assert_allclose(np.asarray(scores_p),

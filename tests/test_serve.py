@@ -270,6 +270,8 @@ def test_num_shards_serving(tmp_path):
             th.start()
         for th in threads:
             th.join(60)
+        assert all(r is not None for r in results), results
+        assert len(results) == len(expected)
         for (status, payload), want in zip(results, expected):
             assert status == 200
             assert payload["text"] == want
