@@ -152,6 +152,85 @@ def _scan_collect(layer, xs, c0, h0, reverse, cd):
     return jnp.swapaxes(hs, 0, 1), (c_f, h_f), (ifog, cs)
 
 
+def _bwd_recurrence(layer, hs, c0, h0, ifog, cs_t, dhs, dc_f, dh_f,
+                    reverse: bool, cd):
+    """Shared backward recurrence for the custom-VJP scans.
+
+    From the forward residuals (gate activations `ifog` (L,B,4H) and cell
+    states `cs_t` (L,B,H), both scan-major) and the output cotangents,
+    carries ONLY the recurrent (dh, dc) chain — on TPU/bf16 as one Pallas
+    kernel (ops/pallas/lstm_bwd.py) — and returns the per-step
+    pre-activation gate cotangents plus everything the weight-gradient
+    matmuls need:
+
+      (dg_cd (L,B,4H) cd, dgates_f32 (same stack, f32-summable),
+       dh0, dc0, h_prev (L,B,H) scan-major)
+    """
+    hs_t = jnp.swapaxes(hs, 0, 1)  # (L, B, H) scan-major
+    if reverse:
+        # step t consumed state from t+1; the initial state feeds t=L-1
+        h_prev = jnp.concatenate([hs_t[1:], h0[None]], axis=0)
+        c_prev_t = jnp.concatenate(
+            [cs_t[1:], c0[None].astype(cs_t.dtype)], axis=0)
+    else:
+        h_prev = jnp.concatenate([h0[None], hs_t[:-1]], axis=0)
+        c_prev_t = jnp.concatenate(
+            [c0[None].astype(cs_t.dtype), cs_t[:-1]], axis=0)
+    dhs_t = jnp.swapaxes(dhs, 0, 1).astype(jnp.float32)  # (L, B, H)
+    wh_cd = layer["wh"].astype(cd)
+    H = hs.shape[-1]
+
+    use_kernel = bool(_PALLAS_LSTM_BWD_INTERPRET)
+    if (not use_kernel and cd == jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        from aocr.ops.pallas import lstm_bwd as _lb
+
+        use_kernel = _lb.fits(H, jnp.dtype(cd).itemsize)
+    if use_kernel:
+        from aocr.ops.pallas import lstm_bwd as _lb
+
+        dg_cd, dh0, dc0 = _lb.lstm_bwd_scan(
+            wh_cd.T, dhs_t, ifog, cs_t, c_prev_t,
+            dc_f, dh_f, reverse,
+            interpret=_PALLAS_LSTM_BWD_INTERPRET,
+        )
+        dgates_f32 = dg_cd  # bias sum casts as needed
+    else:
+        i_ = ifog[..., :H]
+        f_ = ifog[..., H:2 * H]
+        o_ = ifog[..., 2 * H:3 * H]
+        g_ = ifog[..., 3 * H:]
+
+        def body(carry, per_t):
+            dh, dc = carry
+            i_t, f_t, o_t, g_t, c_t, cp_t, dy_t = per_t
+            dh = dh + dy_t
+            tc = jnp.tanh(c_t.astype(jnp.float32))
+            do = dh * tc
+            dc = dc + dh * o_t * (1.0 - tc * tc)
+            di = dc * g_t
+            dg = dc * i_t
+            df = dc * cp_t
+            dc_prev = dc * f_t
+            dgates = jnp.concatenate([
+                di * i_t * (1.0 - i_t),
+                df * f_t * (1.0 - f_t),
+                do * o_t * (1.0 - o_t),
+                dg * (1.0 - g_t * g_t),
+            ], axis=-1)  # (B, 4H) f32
+            dh_prev = matmul(dgates.astype(cd), wh_cd.T)
+            return (dh_prev, dc_prev), dgates
+
+        carry0 = (dh_f.astype(jnp.float32), dc_f.astype(jnp.float32))
+        (dh0, dc0), dgates_t = lax.scan(
+            body, carry0, (i_, f_, o_, g_, cs_t, c_prev_t, dhs_t),
+            reverse=not reverse,
+        )
+        dg_cd = dgates_t.astype(cd)
+        dgates_f32 = dgates_t
+    return dg_cd, dgates_f32, dh0, dc0, h_prev
+
+
 def _scan_custom(reverse: bool, cd):
     """Build (and cache) the custom-VJP LSTM scan for a static
     (reverse, compute_dtype).
@@ -185,68 +264,8 @@ def _scan_custom(reverse: bool, cd):
     def bwd(res, cotangents):
         layer, xs, c0, h0, hs, ifog, cs_t = res
         dhs, (dc_f, dh_f) = cotangents
-        hs_t = jnp.swapaxes(hs, 0, 1)  # (L, B, H) scan-major
-        if reverse:
-            # step t consumed state from t+1; the initial state feeds t=L-1
-            h_prev = jnp.concatenate([hs_t[1:], h0[None]], axis=0)
-            c_prev_t = jnp.concatenate(
-                [cs_t[1:], c0[None].astype(cs_t.dtype)], axis=0)
-        else:
-            h_prev = jnp.concatenate([h0[None], hs_t[:-1]], axis=0)
-            c_prev_t = jnp.concatenate(
-                [c0[None].astype(cs_t.dtype), cs_t[:-1]], axis=0)
-        dhs_t = jnp.swapaxes(dhs, 0, 1).astype(jnp.float32)  # (L, B, H)
-        wh_cd = layer["wh"].astype(cd)
-        H = hs.shape[-1]
-
-        use_kernel = bool(_PALLAS_LSTM_BWD_INTERPRET)
-        if (not use_kernel and cd == jnp.bfloat16
-                and jax.default_backend() == "tpu"):
-            from aocr.ops.pallas import lstm_bwd as _lb
-
-            use_kernel = _lb.fits(H, jnp.dtype(cd).itemsize)
-        if use_kernel:
-            from aocr.ops.pallas import lstm_bwd as _lb
-
-            dg_cd, dh0, dc0 = _lb.lstm_bwd_scan(
-                wh_cd.T, dhs_t, ifog, cs_t, c_prev_t,
-                dc_f, dh_f, reverse,
-                interpret=_PALLAS_LSTM_BWD_INTERPRET,
-            )
-            dgates_f32 = dg_cd  # bias sum below casts as needed
-        else:
-            i_ = ifog[..., :H]
-            f_ = ifog[..., H:2 * H]
-            o_ = ifog[..., 2 * H:3 * H]
-            g_ = ifog[..., 3 * H:]
-
-            def body(carry, per_t):
-                dh, dc = carry
-                i_t, f_t, o_t, g_t, c_t, cp_t, dy_t = per_t
-                dh = dh + dy_t
-                tc = jnp.tanh(c_t.astype(jnp.float32))
-                do = dh * tc
-                dc = dc + dh * o_t * (1.0 - tc * tc)
-                di = dc * g_t
-                dg = dc * i_t
-                df = dc * cp_t
-                dc_prev = dc * f_t
-                dgates = jnp.concatenate([
-                    di * i_t * (1.0 - i_t),
-                    df * f_t * (1.0 - f_t),
-                    do * o_t * (1.0 - o_t),
-                    dg * (1.0 - g_t * g_t),
-                ], axis=-1)  # (B, 4H) f32
-                dh_prev = matmul(dgates.astype(cd), wh_cd.T)
-                return (dh_prev, dc_prev), dgates
-
-            carry0 = (dh_f.astype(jnp.float32), dc_f.astype(jnp.float32))
-            (dh0, dc0), dgates_t = lax.scan(
-                body, carry0, (i_, f_, o_, g_, cs_t, c_prev_t, dhs_t),
-                reverse=not reverse,
-            )
-            dg_cd = dgates_t.astype(cd)
-            dgates_f32 = dgates_t
+        dg_cd, dgates_f32, dh0, dc0, h_prev = _bwd_recurrence(
+            layer, hs, c0, h0, ifog, cs_t, dhs, dc_f, dh_f, reverse, cd)
         # Weight/bias/input grads: batched over the whole sequence.
         dwh = einsum("lbh,lbg->hg", h_prev.astype(cd), dg_cd)
         dwi = einsum("lbd,lbg->dg",
