@@ -153,6 +153,12 @@ class Config:
     # Gradient-parity-tested against autodiff; -no_decoder_custom_vjp
     # reverts to the plain autodiff scan.
     decoder_custom_vjp: bool = True
+    # Fuse the encoder fw+bw layer-0 input projections into one
+    # (L*B, D) @ (D, 8H) matmul (lstm.bidirectional_scan), in both the
+    # forward and the backward pass.  Same math as the per-direction
+    # scans (parity-tested); default off until chip-A/B'd
+    # (docs/performance.md "Known headroom").
+    fused_encoder_proj: bool = False
     # Number of data-parallel shards (devices along the "data" mesh axis).
     num_shards: int = 1
     # Number of tensor-parallel shards (devices along the "model" mesh

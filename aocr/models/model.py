@@ -77,7 +77,8 @@ def encode(
         row_mask=row_mask, axis_name=axis_name,
     )
     context, dec_init = encoder.apply(
-        params["encoder_fw"], params["encoder_bw"], features, compute_dtype=cd
+        params["encoder_fw"], params["encoder_bw"], features,
+        compute_dtype=cd, fused_l0=cfg.fused_encoder_proj,
     )
     return context, dec_init, new_stats
 

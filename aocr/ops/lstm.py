@@ -89,6 +89,34 @@ def lstm_step(
     return gate_math(gates, c_prev)
 
 
+def _proj_input(layer: dict, xs: jax.Array, cd) -> jax.Array:
+    """Hoisted input projection, computed scan-major: transposing the small
+    (B, L, D) input first means the matmul emits (L, B, 4H) in its natural
+    layout, so the scan's per-step dynamic-slice is contiguous.  Producing
+    (B, L, 4H) and swapping axes instead left the stack in a transposed
+    layout whose per-step slices ran ~25x off bandwidth (1.7 ms/step at
+    B=400 in the train trace, T(1,128)-tiled slices)."""
+    return (
+        matmul(jnp.swapaxes(xs, 0, 1).astype(cd), layer["wi"].astype(cd))
+        + layer["bi"] + layer["bh"]
+    )  # (L, B, 4H) scan-major
+
+
+def _scan_from_proj(wh, x_proj, c0, h0, reverse: bool, cd):
+    """Recurrence only: h2h matmul + gate math over a precomputed
+    scan-major input projection (L, B, 4H)."""
+
+    def body(carry, xp):
+        c, h = carry
+        gates = xp + matmul(h.astype(cd), wh)
+        c, h = gate_math(gates, c)
+        return (c, h), h
+
+    (c_f, h_f), hs = lax.scan(body, (c0, h0), x_proj, reverse=reverse,
+                              unroll=SCAN_UNROLL)
+    return jnp.swapaxes(hs, 0, 1), (c_f, h_f)
+
+
 def _scan_ad(
     layer: dict,
     xs: jax.Array,
@@ -98,29 +126,9 @@ def _scan_ad(
     compute_dtype=jnp.float32,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Plain-autodiff LSTM scan (see unidirectional_scan)."""
-    B, L, _D = xs.shape
-    # Hoisted input projection, computed scan-major: transposing the small
-    # (B, L, D) input first means the matmul emits (L, B, 4H) in its natural
-    # layout, so the scan's per-step dynamic-slice is contiguous.  Producing
-    # (B, L, 4H) and swapping axes instead left the stack in a transposed
-    # layout whose per-step slices ran ~25x off bandwidth (1.7 ms/step at
-    # B=400 in the train trace, T(1,128)-tiled slices).
-    x_proj = (
-        matmul(jnp.swapaxes(xs, 0, 1).astype(compute_dtype),
-               layer["wi"].astype(compute_dtype))
-        + layer["bi"] + layer["bh"]
-    )  # (L, B, 4H) scan-major
+    x_proj = _proj_input(layer, xs, compute_dtype)
     wh = layer["wh"].astype(compute_dtype)
-
-    def body(carry, xp):
-        c, h = carry
-        gates = xp + matmul(h.astype(compute_dtype), wh)
-        c, h = gate_math(gates, c)
-        return (c, h), h
-
-    (c_f, h_f), hs = lax.scan(body, (c0, h0), x_proj, reverse=reverse,
-                              unroll=SCAN_UNROLL)
-    return jnp.swapaxes(hs, 0, 1), (c_f, h_f)
+    return _scan_from_proj(wh, x_proj, c0, h0, reverse, compute_dtype)
 
 
 _SCAN_VJP_CACHE: dict = {}
@@ -130,15 +138,10 @@ _SCAN_VJP_CACHE: dict = {}
 _PALLAS_LSTM_BWD_INTERPRET = False
 
 
-def _scan_collect(layer, xs, c0, h0, reverse, cd):
-    """_scan_ad plus residual stacks: returns (hs, (c_f, h_f),
+def _collect_from_proj(wh, x_proj, c0, h0, reverse: bool, cd):
+    """_scan_from_proj plus residual stacks: returns (hs, (c_f, h_f),
     (ifog (L,B,4H) cd, cs (L,B,H) cd)) with hs/finals bit-identical to
-    _scan_ad (same ops in the same order)."""
-    x_proj = (
-        matmul(jnp.swapaxes(xs, 0, 1).astype(cd), layer["wi"].astype(cd))
-        + layer["bi"] + layer["bh"]
-    )  # (L, B, 4H) scan-major (see _scan_ad)
-    wh = layer["wh"].astype(cd)
+    _scan_from_proj (same ops in the same order)."""
 
     def body(carry, xp):
         c, h = carry
@@ -150,6 +153,13 @@ def _scan_collect(layer, xs, c0, h0, reverse, cd):
     (c_f, h_f), (hs, ifog, cs) = lax.scan(
         body, (c0, h0), x_proj, reverse=reverse, unroll=SCAN_UNROLL)
     return jnp.swapaxes(hs, 0, 1), (c_f, h_f), (ifog, cs)
+
+
+def _scan_collect(layer, xs, c0, h0, reverse, cd):
+    """_scan_ad plus residual stacks (see _collect_from_proj)."""
+    x_proj = _proj_input(layer, xs, cd)
+    return _collect_from_proj(layer["wh"].astype(cd), x_proj, c0, h0,
+                              reverse, cd)
 
 
 def _bwd_recurrence(layer, hs, c0, h0, ifog, cs_t, dhs, dc_f, dh_f,
@@ -310,3 +320,123 @@ def unidirectional_scan(
     if custom_grad:
         return _scan_custom(reverse, compute_dtype)(layer, xs, c0, h0)
     return _scan_ad(layer, xs, c0, h0, reverse, compute_dtype)
+
+
+def _bidir_proj(layer_fw: dict, layer_bw: dict, xs: jax.Array, cd):
+    """Fused layer-0 input projection for BOTH encoder directions: one
+    (L*B, D) @ (D, 8H) MXU matmul instead of two (D, 4H) ones — the
+    feature stack is read from HBM once and the wider matmul amortizes
+    better on the systolic array.  Returns (xp_fw, xp_bw), each
+    (L, B, 4H) scan-major (see _proj_input for the layout rationale)."""
+    x_t = jnp.swapaxes(xs, 0, 1).astype(cd)  # (L, B, D)
+    w8 = jnp.concatenate(
+        [layer_fw["wi"].astype(cd), layer_bw["wi"].astype(cd)], axis=1)
+    proj = matmul(x_t, w8)  # (L, B, 8H)
+    G = layer_fw["wi"].shape[1]
+    xp_fw = proj[..., :G] + layer_fw["bi"] + layer_fw["bh"]
+    xp_bw = proj[..., G:] + layer_bw["bi"] + layer_bw["bh"]
+    return xp_fw, xp_bw
+
+
+def _bidir_ad(layer_fw, layer_bw, xs, c0f, h0f, c0b, h0b, cd):
+    """Plain-autodiff fused bidirectional layer-0 scan (see
+    bidirectional_scan)."""
+    xp_fw, xp_bw = _bidir_proj(layer_fw, layer_bw, xs, cd)
+    hs_f, fin_f = _scan_from_proj(layer_fw["wh"].astype(cd), xp_fw,
+                                  c0f, h0f, False, cd)
+    hs_b, fin_b = _scan_from_proj(layer_bw["wh"].astype(cd), xp_bw,
+                                  c0b, h0b, True, cd)
+    return hs_f, fin_f, hs_b, fin_b
+
+
+_BIDIR_VJP_CACHE: dict = {}
+
+
+def _bidir_custom(cd):
+    """Build (and cache) the custom-VJP fused bidirectional scan for a
+    static compute_dtype.  Backward fuses the x-side gradients across
+    both directions: dWi is one (D, L*B) x (L*B, 8H) matmul and dxs one
+    (L*B, 8H) x (8H, D) matmul (which inherently sums the two directions'
+    input cotangents) — x and the gate-grad stacks each cross HBM once."""
+    key = jnp.dtype(cd).name
+    if key in _BIDIR_VJP_CACHE:
+        return _BIDIR_VJP_CACHE[key]
+
+    @jax.custom_vjp
+    def scan_fn(layer_fw, layer_bw, xs, c0f, h0f, c0b, h0b):
+        return _bidir_ad(layer_fw, layer_bw, xs, c0f, h0f, c0b, h0b, cd)
+
+    def fwd(layer_fw, layer_bw, xs, c0f, h0f, c0b, h0b):
+        xp_fw, xp_bw = _bidir_proj(layer_fw, layer_bw, xs, cd)
+        hs_f, fin_f, (ifog_f, cs_f) = _collect_from_proj(
+            layer_fw["wh"].astype(cd), xp_fw, c0f, h0f, False, cd)
+        hs_b, fin_b, (ifog_b, cs_b) = _collect_from_proj(
+            layer_bw["wh"].astype(cd), xp_bw, c0b, h0b, True, cd)
+        res = (layer_fw, layer_bw, xs, c0f, h0f, c0b, h0b,
+               hs_f, ifog_f, cs_f, hs_b, ifog_b, cs_b)
+        return (hs_f, fin_f, hs_b, fin_b), res
+
+    def bwd(res, cotangents):
+        (layer_fw, layer_bw, xs, c0f, h0f, c0b, h0b,
+         hs_f, ifog_f, cs_f, hs_b, ifog_b, cs_b) = res
+        dhs_f, (dcf_f, dhf_f), dhs_b, (dcf_b, dhf_b) = cotangents
+        dg_f, dgf32_f, dh0f, dc0f, h_prev_f = _bwd_recurrence(
+            layer_fw, hs_f, c0f, h0f, ifog_f, cs_f,
+            dhs_f, dcf_f, dhf_f, False, cd)
+        dg_b, dgf32_b, dh0b, dc0b, h_prev_b = _bwd_recurrence(
+            layer_bw, hs_b, c0b, h0b, ifog_b, cs_b,
+            dhs_b, dcf_b, dhf_b, True, cd)
+        # x-side grads fused across directions: one wide matmul each.
+        dg8 = jnp.concatenate([dg_f, dg_b], axis=-1)  # (L, B, 8H) cd
+        x_t = jnp.swapaxes(xs, 0, 1).astype(cd)
+        dwi8 = einsum("lbd,lbg->dg", x_t, dg8)  # (D, 8H)
+        w8 = jnp.concatenate(
+            [layer_fw["wi"].astype(cd), layer_bw["wi"].astype(cd)], axis=1)
+        dxs = jnp.swapaxes(einsum("lbg,dg->lbd", dg8, w8), 0, 1)
+        # h-side grads stay per direction (distinct h_prev stacks).
+        dwh_f = einsum("lbh,lbg->hg", h_prev_f.astype(cd), dg_f)
+        dwh_b = einsum("lbh,lbg->hg", h_prev_b.astype(cd), dg_b)
+        db_f = jnp.sum(dgf32_f.astype(jnp.float32), axis=(0, 1))
+        db_b = jnp.sum(dgf32_b.astype(jnp.float32), axis=(0, 1))
+        G = layer_fw["wi"].shape[1]
+        dlayer_fw = {"wi": dwi8[:, :G].astype(layer_fw["wi"].dtype),
+                     "wh": dwh_f.astype(layer_fw["wh"].dtype),
+                     "bi": db_f.astype(layer_fw["bi"].dtype),
+                     "bh": db_f.astype(layer_fw["bh"].dtype)}
+        dlayer_bw = {"wi": dwi8[:, G:].astype(layer_bw["wi"].dtype),
+                     "wh": dwh_b.astype(layer_bw["wh"].dtype),
+                     "bi": db_b.astype(layer_bw["bi"].dtype),
+                     "bh": db_b.astype(layer_bw["bh"].dtype)}
+        return (dlayer_fw, dlayer_bw, dxs.astype(xs.dtype),
+                dc0f.astype(c0f.dtype), dh0f.astype(h0f.dtype),
+                dc0b.astype(c0b.dtype), dh0b.astype(h0b.dtype))
+
+    scan_fn.defvjp(fwd, bwd)
+    _BIDIR_VJP_CACHE[key] = scan_fn
+    return scan_fn
+
+
+def bidirectional_scan(
+    layer_fw: dict,
+    layer_bw: dict,
+    xs: jax.Array,
+    c0_fw: jax.Array,
+    h0_fw: jax.Array,
+    c0_bw: jax.Array,
+    h0_bw: jax.Array,
+    compute_dtype=jnp.float32,
+    custom_grad: bool = True,
+):
+    """Run forward AND backward LSTM layers over xs with a fused input
+    projection (one (L*B, D) @ (D, 8H) matmul feeding both recurrences).
+
+    Same math as two unidirectional_scan calls (reference encoders,
+    src/model/model.lua:292-316); the fusion halves the HBM traffic on
+    the shared input in both the forward and the backward pass.  Returns
+    (hs_fw (B, L, H), (c_f, h_f) fw, hs_bw (B, L, H), (c_f, h_f) bw).
+    """
+    if custom_grad:
+        return _bidir_custom(compute_dtype)(
+            layer_fw, layer_bw, xs, c0_fw, h0_fw, c0_bw, h0_bw)
+    return _bidir_ad(layer_fw, layer_bw, xs, c0_fw, h0_fw, c0_bw, h0_bw,
+                     compute_dtype)

@@ -97,6 +97,97 @@ def test_custom_vjp_pallas_kernel_matches_autodiff(reverse):
         lstm._SCAN_VJP_CACHE.clear()
 
 
+def _bidir_inputs():
+    np_rng = np.random.RandomState(7)
+    B, L, D, H = 3, 5, 4, 8
+    layer_fw = lstm.init_lstm_layer(jax.random.PRNGKey(10), D, H)
+    layer_bw = lstm.init_lstm_layer(jax.random.PRNGKey(11), D, H)
+    xs = jnp.asarray(np_rng.uniform(-1, 1, (B, L, D)), jnp.float32)
+    zeros = jnp.zeros((B, H), jnp.float32)
+    w_h = jnp.asarray(np_rng.uniform(-1, 1, (B, L, H)), jnp.float32)
+    w_f = jnp.asarray(np_rng.uniform(-1, 1, (B, H)), jnp.float32)
+    return layer_fw, layer_bw, xs, zeros, w_h, w_f
+
+
+def test_bidir_fused_forward_matches_unfused():
+    """bidirectional_scan (one (L*B,D)@(D,8H) projection) produces the
+    same outputs as two unidirectional scans."""
+    layer_fw, layer_bw, xs, zeros, _, _ = _bidir_inputs()
+    hs_f, (cf_f, hf_f), hs_b, (cf_b, hf_b) = lstm.bidirectional_scan(
+        layer_fw, layer_bw, xs, zeros, zeros, zeros, zeros)
+    ref_f, (rcf_f, rhf_f) = lstm.unidirectional_scan(
+        layer_fw, xs, zeros, zeros, reverse=False)
+    ref_b, (rcf_b, rhf_b) = lstm.unidirectional_scan(
+        layer_bw, xs, zeros, zeros, reverse=True)
+    for got, want in [(hs_f, ref_f), (cf_f, rcf_f), (hf_f, rhf_f),
+                      (hs_b, ref_b), (cf_b, rcf_b), (hf_b, rhf_b)]:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def _bidir_check_vjp():
+    layer_fw, layer_bw, xs, zeros, w_h, w_f = _bidir_inputs()
+
+    def loss(layer_fw, layer_bw, xs, custom):
+        hs_f, (cf_f, hf_f), hs_b, (cf_b, hf_b) = lstm.bidirectional_scan(
+            layer_fw, layer_bw, xs, zeros, zeros, zeros, zeros,
+            custom_grad=custom)
+        return (jnp.sum(hs_f * w_h) + jnp.sum(hs_b * w_h[..., ::-1])
+                + jnp.sum(hf_f * w_f) + jnp.sum(hf_b * w_f)
+                + jnp.sum(jnp.tanh(cf_f)) + jnp.sum(jnp.tanh(cf_b)))
+
+    ga = jax.grad(lambda *a: loss(*a, False), argnums=(0, 1, 2))(
+        layer_fw, layer_bw, xs)
+    gc = jax.grad(lambda *a: loss(*a, True), argnums=(0, 1, 2))(
+        layer_fw, layer_bw, xs)
+    jax.tree.map(
+        lambda a, c: np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=2e-5, atol=2e-6),
+        ga, gc)
+    np.testing.assert_allclose(
+        float(loss(layer_fw, layer_bw, xs, True)),
+        float(loss(layer_fw, layer_bw, xs, False)), rtol=1e-6)
+
+
+def test_bidir_custom_vjp_matches_autodiff():
+    """The fused bidirectional VJP (x-side grads as one wide matmul per
+    pass) must match plain autodiff of the same fused primal."""
+    _bidir_check_vjp()
+
+
+def test_bidir_custom_vjp_pallas_kernel_matches_autodiff():
+    """Same parity through the Pallas backward-recurrence kernel
+    (interpret mode on CPU), covering both scan directions in one VJP."""
+    lstm._PALLAS_LSTM_BWD_INTERPRET = True
+    lstm._BIDIR_VJP_CACHE.clear()
+    try:
+        _bidir_check_vjp()
+    finally:
+        lstm._PALLAS_LSTM_BWD_INTERPRET = False
+        lstm._BIDIR_VJP_CACHE.clear()
+
+
+def test_encoder_fused_l0_matches_default():
+    """encoder.apply(fused_l0=True) == default path, context and decoder
+    init states, including with a second stacked layer."""
+    from aocr.models import encoder
+
+    rng = jax.random.PRNGKey(3)
+    B, L, D, H = 2, 6, 4, 8
+    for num_layers in (1, 2):
+        pf = encoder.init_params(jax.random.PRNGKey(20), D, H, num_layers)
+        pb = encoder.init_params(jax.random.PRNGKey(21), D, H, num_layers)
+        feats = jax.random.normal(rng, (B, L, D))
+        ctx0, (c0, h0) = encoder.apply(pf, pb, feats)
+        ctx1, (c1, h1) = encoder.apply(pf, pb, feats, fused_l0=True)
+        np.testing.assert_allclose(np.asarray(ctx1), np.asarray(ctx0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c0),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(h1), np.asarray(h0),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def _check_custom_vjp(reverse, interpret):
     np_rng = np.random.RandomState(3)
     B, L, D, H = 3, 5, 4, 8

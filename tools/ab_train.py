@@ -24,6 +24,7 @@ VARIANTS = {
     # donation would invalidate — a prealloc entry would silently A/A.
     "autodiff": {"decoder_custom_vjp": False},
     "custom": {"decoder_custom_vjp": True},
+    "fusedproj": {"fused_encoder_proj": True},
 }
 
 
