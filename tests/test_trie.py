@@ -89,6 +89,67 @@ def test_case_folding():
     assert _walk(table, "cat") is not None
 
 
+def test_single_sweep_minimize_matches_fixpoint_oracle():
+    """_minimize's bottom-up single sweep must produce the same DAWG as
+    the iterated whole-table fixpoint (_minimize_fixpoint): identical node
+    count and identical membership language — with and without the root
+    self-loops of allow_digit_prefix."""
+    import random
+
+    rng = random.Random(4)
+    chars = "abcdefghij"
+    words = ["".join(rng.choice(chars) for _ in range(rng.randint(1, 9)))
+             for _ in range(400)]
+    for digit_prefix in (False, True):
+        # raw (unminimized) table: bypass the builder's _minimize call
+        orig = trie._minimize
+        trie._minimize = lambda t: t
+        try:
+            raw = trie.build_transition_table(words, digit_prefix)
+        finally:
+            trie._minimize = orig
+        fast = trie._minimize(raw)
+        slow = trie._minimize_fixpoint(raw)
+        assert fast.shape == slow.shape
+        assert fast[0, vocab.EOS] == (0 if digit_prefix else -1)
+        probes = words + ["", "a", "zz"] + [
+            "".join(rng.choice(chars) for _ in range(rng.randint(1, 9)))
+            for _ in range(300)]
+        for w in probes:
+            na, nb = _walk(fast, w), _walk(slow, w)
+            assert (na is None) == (nb is None), w
+            if na is not None:
+                assert (fast[na, vocab.EOS] >= 0) == (slow[nb, vocab.EOS] >= 0), w
+        if digit_prefix:
+            assert fast[0, vocab.char_to_id("7")] == 0
+
+
+def test_load_dictionary_dawg_cache(tmp_path):
+    """load_dictionary caches the built DAWG next to the word list, keyed
+    on source mtime+size and build options; edits invalidate it."""
+    import os
+
+    p = tmp_path / "words.txt"
+    p.write_text("cat\ncar\ndog\n")
+    t1 = trie.load_dictionary(str(p))
+    cache = str(p) + ".dawg.npz"
+    assert os.path.exists(cache)
+    t2 = trie.load_dictionary(str(p))  # warm: served from cache
+    np.testing.assert_array_equal(t1, t2)
+    # different options -> rebuild, not a stale hit
+    t3 = trie.load_dictionary(str(p), allow_digit_prefix=True)
+    assert t3[0, vocab.EOS] == 0
+    # edit the source (force a different mtime) -> rebuild
+    p.write_text("cat\n")
+    os.utime(p, ns=(1, 1))
+    t4 = trie.load_dictionary(str(p))
+    assert _walk(t4, "dog") is None
+    # cache=False never writes
+    os.remove(cache)
+    trie.load_dictionary(str(p), cache=False)
+    assert not os.path.exists(cache)
+
+
 def test_synth90k_scale_dictionary():
     """The Synth90k lexicon is ~88k words (SURVEY.md section 6); the dense
     transition table must stay device-friendly at that scale."""
