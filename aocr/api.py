@@ -108,6 +108,11 @@ class AttentionOCR:
         """Drop the dictionary constraint set by use_dictionary()."""
         self._trie = None
 
+    @property
+    def dictionary_table(self):
+        """The active trie transition table (None when unconstrained)."""
+        return self._trie
+
     def shard(self, num_shards: Optional[int] = None,
               devices: Optional[Sequence] = None) -> "AttentionOCR":
         """Shard recognize() batches across a device mesh (data parallel).

@@ -1,0 +1,305 @@
+"""Serialized inference artifacts (StableHLO export).
+
+The reference deploys by shipping the Lua model code next to a t7
+checkpoint (`/root/reference/src/train.lua` + `model.lua:720-725`) — the
+serving host must run the exact model-building code.  This module removes
+that coupling the JAX way: `export_recognizer` lowers the ENTIRE decode
+program (CNN + bi-LSTM encoder + greedy/beam attention decode, optionally
+trie-constrained) to StableHLO via `jax.export` and packs it with the
+weights, the dictionary table, and the vocab codec into one self-contained
+`.aocrx` zip.  `ExportedRecognizer.load` runs it with no model code, no
+Config, and no tracing — the program is replayed, not rebuilt, so an
+artifact's numerics are frozen at export time.
+
+Design notes (TPU-first):
+
+- The batch dimension is exported SYMBOLICALLY by default
+  (`jax.export.symbolic_shape`), so one artifact serves any batch size;
+  `batch=<int>` pins it instead (the loader then pads partial batches).
+- The exported program uses the portable XLA decode path
+  (`use_pallas=False`): Mosaic kernel custom-calls carry much narrower
+  version-compatibility guarantees than pure StableHLO, and an artifact's
+  whole point is surviving environment changes.  Export with
+  `use_pallas=True` on a TPU host to freeze the fused kernels instead.
+- `platforms=("cpu", "tpu")` by default: lowering is platform-parametric,
+  so a CPU-only build box can produce artifacts that run on TPU servers.
+- Weights live in the artifact as plain npz members (the checkpoint v2
+  scheme — no pickle anywhere), NOT baked into the program as constants:
+  constant-folding 30M parameters into StableHLO would bloat the module
+  and defeat weight-only updates (re-export with new weights reuses the
+  cached lowering).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from aocr import vocab
+from aocr.checkpoint import _flatten, _unflatten
+
+FORMAT = "aocrx"
+FORMAT_VERSION = 1
+_PROGRAM_MEMBER = "__program__.bin"
+_META_MEMBER = "__meta__.json"
+
+
+def _canonicalize(tree):
+    """Round-trip a pytree through the checkpoint flatten/unflatten so the
+    export-time treedef (dicts + lists of np arrays) is bit-identical to
+    what the loader reconstructs — a tuple-vs-list mismatch would make
+    `Exported.call` reject the loader's weights."""
+    arrays: dict = {}
+    skel = _flatten(tree, "t", arrays)
+    return _unflatten(skel, {k: np.asarray(v) for k, v in arrays.items()})
+
+
+def export_recognizer(
+    ocr,
+    path: str,
+    *,
+    beam_size: Optional[int] = None,
+    max_len: Optional[int] = None,
+    batch: Union[str, int] = "poly",
+    platforms: Sequence[str] = ("cpu", "tpu"),
+    use_pallas: bool = False,
+) -> str:
+    """Export an `AttentionOCR`'s decode program to a `.aocrx` artifact.
+
+    `ocr` supplies the weights, geometry, and (if `ocr.use_dictionary()`
+    was called) the trie constraint, all of which are frozen into the
+    artifact.  `beam_size`/`max_len` default to the model config.
+    `batch="poly"` exports a symbolic batch dimension; an int pins it.
+    Returns `path`.
+    """
+    import jax
+    from jax import export as jax_export
+
+    from aocr import decode
+    from aocr.config import GEOMETRY_FIELDS
+
+    cfg = ocr.cfg.replace(use_pallas=use_pallas)
+    K = min(beam_size or cfg.beam_size, cfg.target_vocab_size)
+    T = max_len or cfg.max_decoder_l
+    trie = ocr.dictionary_table
+    use_trie = trie is not None
+
+    params = _canonicalize(ocr.params)
+    batch_stats = _canonicalize(ocr.batch_stats)
+
+    if use_trie:
+        def fn(p, bs, images, trie_table):
+            return decode.beam_decode(p, bs, images, cfg, beam_size=K,
+                                      max_len=T, trie_table=trie_table,
+                                      use_trie=True)
+    else:
+        def fn(p, bs, images):
+            return decode.beam_decode(p, bs, images, cfg, beam_size=K,
+                                      max_len=T)
+
+    if batch == "poly":
+        (b,) = jax_export.symbolic_shape("b")
+    else:
+        b = int(batch)
+        if b < 1:
+            raise ValueError(f"batch must be >= 1, got {batch}")
+    img_spec = jax.ShapeDtypeStruct(
+        (b, cfg.image_height, cfg.image_width, 1), np.float32)
+    spec = lambda t: jax.tree.map(  # noqa: E731
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), t)
+    args = [spec(params), spec(batch_stats), img_spec]
+    if use_trie:
+        args.append(spec(np.asarray(trie)))
+
+    exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
+        *args)
+
+    arrays: dict = {}
+    skeleton = {"params": _flatten(params, "params", arrays),
+                "batch_stats": _flatten(batch_stats, "batch_stats", arrays)}
+    if use_trie:
+        skeleton["trie"] = _flatten(np.asarray(trie), "trie", arrays)
+    meta = {
+        "format": FORMAT,
+        "version": FORMAT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(platforms),
+        "beam_size": K,
+        "max_len": T,
+        "use_dictionary": use_trie,
+        "use_pallas": use_pallas,
+        "batch": "poly" if batch == "poly" else b,
+        "geometry": {k: getattr(cfg, k) for k in GEOMETRY_FIELDS},
+        "compute_dtype": cfg.compute_dtype,
+        # codec spec so even a non-aocr consumer can map ids -> text
+        "vocab": {
+            "pad": vocab.PAD, "go": vocab.GO, "eos": vocab.EOS,
+            "id_to_char": {
+                str(i): vocab.id_to_char(i)
+                for i in range(vocab.NUM_SPECIAL, vocab.VOCAB_SIZE)
+            },
+        },
+        "skeleton": skeleton,
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED,
+                         allowZip64=True) as z:
+        z.writestr(_META_MEMBER, json.dumps(meta))
+        z.writestr(_PROGRAM_MEMBER, exported.serialize())
+        for name, arr in arrays.items():
+            buf = io.BytesIO()
+            np.lib.format.write_array(buf, np.ascontiguousarray(arr),
+                                      allow_pickle=False)
+            z.writestr(name + ".npy", buf.getvalue())
+    return path
+
+
+class ExportedRecognizer:
+    """Run a `.aocrx` artifact: deserialized StableHLO + packed weights.
+
+    No model code executes — `recognize` replays the exported program.
+    """
+
+    def __init__(self, exported, params, batch_stats, trie, meta):
+        self._exported = exported
+        self._params = params
+        self._batch_stats = batch_stats
+        self._trie = trie
+        self.meta = meta
+
+    @classmethod
+    def load(cls, path: str) -> "ExportedRecognizer":
+        from jax import export as jax_export
+
+        with zipfile.ZipFile(path, "r") as z:
+            meta = json.loads(z.read(_META_MEMBER).decode())
+            if meta.get("format") != FORMAT:
+                raise ValueError(f"{path} is not an {FORMAT} artifact")
+            if meta.get("version", 0) > FORMAT_VERSION:
+                raise ValueError(
+                    f"{path} has {FORMAT} version {meta['version']}; this "
+                    f"build reads up to {FORMAT_VERSION}")
+            program = z.read(_PROGRAM_MEMBER)
+            arrays = {}
+            for info in z.infolist():
+                if info.filename.endswith(".npy"):
+                    buf = io.BytesIO(z.read(info))
+                    arrays[info.filename[:-4]] = np.lib.format.read_array(
+                        buf, allow_pickle=False)
+        skel = meta["skeleton"]
+        params = _unflatten(skel["params"], arrays)
+        batch_stats = _unflatten(skel["batch_stats"], arrays)
+        trie = (_unflatten(skel["trie"], arrays)
+                if meta["use_dictionary"] else None)
+        exported = jax_export.deserialize(bytearray(program))
+        return cls(exported, params, batch_stats, trie, meta)
+
+    # ------------------------------------------------------------ running
+
+    def _preprocess_paths(self, paths: Sequence[str]) -> np.ndarray:
+        from aocr import data
+        from aocr.config import Config
+
+        g = dict(self.meta["geometry"])
+        # the exported program has one fixed width — resize every image to
+        # it even if the source model bucketed by aspect ratio
+        g["keep_aspect_ratio"] = False
+        cfg = Config(**g)
+        out = []
+        for p in paths:
+            img = data.load_and_preprocess(p, cfg)
+            if img is None:
+                raise ValueError(f"cannot decode image {p}")
+            out.append(img[..., None])
+        return np.stack(out)
+
+    def recognize(
+        self,
+        images: Union[np.ndarray, Sequence[str]],
+    ) -> Tuple[List[str], np.ndarray]:
+        """Decode a stacked (B, H, W[, 1]) float batch or a list of image
+        paths.  Returns (transcripts, best-beam log-prob scores)."""
+        if not hasattr(images, "ndim") and len(images) and isinstance(
+                images[0], str):
+            images = self._preprocess_paths(images)
+        images = np.asarray(images, np.float32)
+        if images.ndim == 3:
+            images = images[..., None]
+        n = images.shape[0]
+        fixed = self.meta["batch"]
+        if fixed != "poly":
+            # pinned-batch artifact: chunk, padding the tail by repeating
+            # the last row (sliced off after the fetch)
+            labels_l, scores_l = [], []
+            for lo in range(0, n, fixed):
+                chunk = images[lo:lo + fixed]
+                real = chunk.shape[0]
+                if real < fixed:
+                    pad = np.repeat(chunk[-1:], fixed - real, axis=0)
+                    chunk = np.concatenate([chunk, pad])
+                lab, sc = self._call(chunk)
+                labels_l.append(np.asarray(lab)[:real])
+                scores_l.append(np.asarray(sc)[:real])
+            labels = np.concatenate(labels_l)
+            scores = np.concatenate(scores_l)
+        else:
+            labels, scores = self._call(images)
+            labels, scores = np.asarray(labels), np.asarray(scores)
+        return ([vocab.decode(row) for row in labels],
+                scores.astype(np.float32))
+
+    def _call(self, images: np.ndarray):
+        args = [self._params, self._batch_stats, images]
+        if self._trie is not None:
+            args.append(self._trie)
+        return self._exported.call(*args)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    """CLI: `python -m aocr.export -model_dir train/ -out model.aocrx`."""
+    import argparse
+
+    from aocr.api import AttentionOCR
+
+    ap = argparse.ArgumentParser(
+        prog="aocr.export",
+        description="Export a checkpoint to a self-contained .aocrx "
+                    "inference artifact (StableHLO + weights)")
+    ap.add_argument("-model_dir", required=True,
+                    help="checkpoint dir (or file) to export")
+    ap.add_argument("-out", required=True, help="output .aocrx path")
+    ap.add_argument("-beam_size", type=int, default=None)
+    ap.add_argument("-max_len", type=int, default=None)
+    ap.add_argument("-batch", default="poly",
+                    help='"poly" (any batch size) or a fixed int')
+    ap.add_argument("-platforms", default="cpu,tpu",
+                    help="comma-separated lowering targets")
+    ap.add_argument("-use_pallas", action="store_true",
+                    help="freeze the fused TPU kernels into the artifact "
+                         "(TPU-only artifact; narrower forward compat)")
+    ap.add_argument("-dictionary_path", default=None,
+                    help="constrain decoding to this word list")
+    ap.add_argument("-allow_digit_prefix", action="store_true")
+    args = ap.parse_args(argv)
+
+    ocr = AttentionOCR.load(args.model_dir)
+    if args.dictionary_path:
+        with open(args.dictionary_path) as f:
+            ocr.use_dictionary(f, args.allow_digit_prefix)
+    batch = args.batch if args.batch == "poly" else int(args.batch)
+    export_recognizer(
+        ocr, args.out, beam_size=args.beam_size, max_len=args.max_len,
+        batch=batch, platforms=tuple(args.platforms.split(",")),
+        use_pallas=args.use_pallas)
+    import os
+    size = os.path.getsize(args.out) / 1e6
+    print(f"wrote {args.out} ({size:.1f} MB, platforms="
+          f"{args.platforms}, batch={batch})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

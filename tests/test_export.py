@@ -1,0 +1,119 @@
+"""Serialized inference artifacts (aocr.export).
+
+The exported StableHLO program must reproduce the live model's transcripts
+and scores exactly — it is the same traced computation, replayed — across
+symbolic-batch and pinned-batch artifacts, greedy and dictionary-beam
+decodes, and the CLI entry point.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import numpy as np
+import pytest
+
+from aocr import export as export_lib
+from aocr.api import AttentionOCR
+from aocr.config import Config
+from tests import synth
+
+CFG = Config(input_feed=True, encoder_num_hidden=32,
+             target_embedding_size=8, max_decoder_l=8, image_width=32)
+
+
+@pytest.fixture(scope="module")
+def ocr():
+    return AttentionOCR.create(CFG)
+
+
+@pytest.fixture(scope="module")
+def images():
+    return np.stack([synth.render_word(w, 32, 32)[..., None]
+                     for w in ["ab", "cd", "ef", "gh", "ij"]])
+
+
+def test_poly_batch_roundtrip(ocr, images, tmp_path):
+    """One symbolic-batch artifact serves any batch size, matching the
+    live model bit-for-bit on transcripts and to fp tolerance on scores."""
+    path = str(tmp_path / "m.aocrx")
+    export_lib.export_recognizer(ocr, path)
+    r = export_lib.ExportedRecognizer.load(path)
+    w_live, s_live = ocr.recognize(images)
+    w_exp, s_exp = r.recognize(images)
+    assert w_exp == w_live
+    np.testing.assert_allclose(s_exp, s_live, rtol=1e-5)
+    # a different batch size through the same program
+    w2, _ = r.recognize(images[:2])
+    assert w2 == w_live[:2]
+
+
+def test_pinned_batch_beam_dictionary(ocr, images, tmp_path):
+    """A pinned-batch artifact chunks + pads internally; the dictionary
+    trie rides in the artifact and constrains the exported beam search."""
+    ocr.use_dictionary(["cat", "car", "dog"])
+    try:
+        path = str(tmp_path / "m5.aocrx")
+        export_lib.export_recognizer(ocr, path, beam_size=5, batch=2)
+        r = export_lib.ExportedRecognizer.load(path)
+        w_live, s_live = ocr.recognize(images, beam_size=5)
+        w_exp, s_exp = r.recognize(images)  # 5 rows -> 3 chunks of 2
+        assert w_exp == w_live
+        np.testing.assert_allclose(s_exp, s_live, rtol=1e-5)
+        assert r.meta["use_dictionary"] is True
+    finally:
+        ocr.clear_dictionary()
+
+
+def test_recognize_paths(ocr, tmp_path):
+    """Path inputs go through the same preprocessing as the live API."""
+    _, names = synth.make_dataset(str(tmp_path), ["ab", "cd"], width=32)
+    paths = [str(tmp_path / p) for p in names]
+    art = str(tmp_path / "m.aocrx")
+    export_lib.export_recognizer(ocr, art)
+    r = export_lib.ExportedRecognizer.load(art)
+    w_live, _ = ocr.recognize(paths)
+    w_exp, _ = r.recognize(paths)
+    assert w_exp == w_live
+
+
+def test_load_rejects_foreign_and_future(ocr, tmp_path):
+    art = str(tmp_path / "m.aocrx")
+    export_lib.export_recognizer(ocr, art, max_len=4)
+    # not an aocrx zip
+    bad = str(tmp_path / "bad.zip")
+    with zipfile.ZipFile(bad, "w") as z:
+        z.writestr("__meta__.json", json.dumps({"format": "other"}))
+    with pytest.raises(ValueError, match="not an aocrx"):
+        export_lib.ExportedRecognizer.load(bad)
+    # future format version
+    fut = str(tmp_path / "future.aocrx")
+    with zipfile.ZipFile(art) as zin, zipfile.ZipFile(fut, "w") as zout:
+        for info in zin.infolist():
+            data = zin.read(info)
+            if info.filename == "__meta__.json":
+                meta = json.loads(data)
+                meta["version"] = export_lib.FORMAT_VERSION + 1
+                data = json.dumps(meta).encode()
+            zout.writestr(info.filename, data)
+    with pytest.raises(ValueError, match="version"):
+        export_lib.ExportedRecognizer.load(fut)
+
+
+def test_cli_export(ocr, images, tmp_path):
+    """`python -m aocr.export` exports a saved checkpoint dir."""
+    ocr.save(str(tmp_path))
+    out = str(tmp_path / "cli.aocrx")
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu")
+    res = subprocess.run(
+        [sys.executable, "-m", "aocr.export", "-model_dir", str(tmp_path),
+         "-out", out, "-max_len", "8"],
+        capture_output=True, text=True, env=env, timeout=580)
+    assert res.returncode == 0, res.stderr
+    assert "wrote" in res.stdout
+    r = export_lib.ExportedRecognizer.load(out)
+    w_live, _ = ocr.recognize(images)
+    w_exp, _ = r.recognize(images)
+    assert w_exp == w_live
