@@ -60,6 +60,33 @@ class QueueFull(Exception):
     HTTP layer turns it into 429 so overload sheds instead of piling up."""
 
 
+class _ArtifactRecognizer:
+    """AttentionOCR-shaped facade over an `.aocrx` deployment artifact
+    (aocr.export.ExportedRecognizer) so the batcher serves frozen
+    StableHLO programs and live checkpoints through one code path.
+
+    The artifact fixes the decode mode at export time: exactly one beam
+    size (and dictionary constraint) is available, and the exported
+    width is the only served width — keep_aspect_ratio ingest resizes
+    to it."""
+
+    def __init__(self, rec):
+        self._rec = rec
+        g = dict(rec.meta["geometry"])
+        g["keep_aspect_ratio"] = False  # the program has one fixed width
+        self.beam_size = int(rec.meta["beam_size"])
+        self.cfg = Config(**g).replace(beam_size=self.beam_size)
+
+    def recognize(self, images, beam_size=None):
+        if beam_size is not None and beam_size != self.beam_size:
+            raise ValueError(
+                f"artifact was exported with beam_size={self.beam_size}; "
+                f"{beam_size} is not available")
+        arr = np.stack([i if i.ndim == 3 else i[..., None]
+                        for i in images])
+        return self._rec.recognize(arr)
+
+
 class BatchingRecognizer:
     """Coalesce concurrent recognize() calls into device batches.
 
@@ -357,7 +384,8 @@ def make_handler(recognizer: BatchingRecognizer, cfg: Config,
     return Handler
 
 
-def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
+def serve(model_dir: Optional[str] = None, host: str = "0.0.0.0",
+          port: int = 8000,
           max_batch: int = 64, batch_window_ms: float = 5.0,
           cfg: Optional[Config] = None, warmup: bool = True,
           warmup_beams=(), max_queue: int = 1024,
@@ -366,10 +394,26 @@ def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
           server_box: Optional[list] = None,
           dictionary_path: Optional[str] = None,
           allow_digit_prefix: bool = False,
-          num_shards: int = 1):
-    # validate the flag BEFORE the (potentially minutes-long) checkpoint
+          num_shards: int = 1,
+          artifact: Optional[str] = None):
+    # validate the flags BEFORE the (potentially minutes-long) checkpoint
     # load so a typo fails fast (the device-count check does initialize
     # the backend, which the load needs anyway)
+    if (model_dir is None) == (artifact is None):
+        raise ValueError("pass exactly one of -model_dir / -artifact")
+    if artifact is not None:
+        # the artifact froze its decode mode at export time; these knobs
+        # have nothing to act on, so reject them instead of ignoring them
+        frozen = {"-dictionary": dictionary_path,
+                  "-num_shards != 1": num_shards != 1 or None,
+                  "-beam_size/cfg": cfg, "-warmup_beams": warmup_beams or
+                  None}
+        bad = [k for k, v in frozen.items() if v]
+        if bad:
+            raise ValueError(
+                f"{', '.join(bad)} cannot be combined with -artifact: "
+                "beam size, dictionary, and sharding are frozen into the "
+                "artifact at export time")
     if num_shards < 0:
         raise ValueError(
             f"-num_shards must be >= 0 (0 = all local devices), "
@@ -381,7 +425,16 @@ def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
             raise ValueError(
                 f"-num_shards {num_shards} but only {len(jax.devices())} "
                 f"local devices")
-    ocr = AttentionOCR.load(model_dir, cfg=cfg)
+    if artifact is not None:
+        from aocr.export import ExportedRecognizer
+
+        ocr = _ArtifactRecognizer(ExportedRecognizer.load(artifact))
+        model_dir = artifact  # for the startup banner
+        print(f"artifact: beam_size={ocr.beam_size}, "
+              f"dictionary={ocr._rec.meta['use_dictionary']}, "
+              f"batch={ocr._rec.meta['batch']}")
+    else:
+        ocr = AttentionOCR.load(model_dir, cfg=cfg)
     if num_shards != 1:
         # Data-parallel serving: each coalesced batch shards over the mesh
         # (params replicated, zero cross-chip communication in the decode),
@@ -452,7 +505,10 @@ def serve(model_dir: str, host: str = "0.0.0.0", port: int = 8000,
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="aocr.serve", description="micro-batching OCR HTTP server")
-    p.add_argument("-model_dir", "--model_dir", required=True)
+    p.add_argument("-model_dir", "--model_dir", default=None)
+    p.add_argument("-artifact", "--artifact", default=None,
+                   help=".aocrx deployment artifact (python -m aocr.export)"
+                        " to serve instead of a checkpoint dir")
     p.add_argument("-host", "--host", default="0.0.0.0")
     p.add_argument("-port", "--port", type=int, default=8000)
     p.add_argument("-max_batch", "--max_batch", type=int, default=64)
@@ -484,7 +540,8 @@ def main(argv=None):
           request_timeout_s=args.request_timeout_s,
           dictionary_path=args.dictionary,
           allow_digit_prefix=args.allow_digit_prefix,
-          num_shards=args.num_shards)
+          num_shards=args.num_shards,
+          artifact=args.artifact)
 
 
 if __name__ == "__main__":

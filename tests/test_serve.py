@@ -278,3 +278,51 @@ def test_num_shards_serving(tmp_path):
     finally:
         httpd.shutdown()
         recognizer.close()
+
+
+def test_serve_artifact(tmp_path):
+    """-artifact serves a frozen .aocrx program: transcripts match the
+    live model, the frozen beam size is enforced, and decode-mode knobs
+    are rejected up front."""
+    from aocr import export as export_lib
+    from aocr import serve as serve_mod
+
+    ocr = AttentionOCR.create(CFG)
+    art = str(tmp_path / "m.aocrx")
+    export_lib.export_recognizer(ocr, art)
+
+    ready = threading.Event()
+    box = []
+    t = threading.Thread(
+        target=serve_mod.serve,
+        kwargs=dict(artifact=art, host="127.0.0.1", port=0,
+                    batch_window_ms=20.0, ready_event=ready,
+                    server_box=box),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(120), "artifact server did not start"
+    httpd, recognizer = box[0]
+    port = httpd.server_address[1]
+    try:
+        status, payload = _post(f"http://127.0.0.1:{port}/recognize",
+                                _png_bytes("ab"))
+        assert status == 200
+        img = synth.render_word("ab", 32, 32).astype(np.float32)
+        want, _ = ocr.recognize(img[None])
+        assert payload["text"] == want[0]
+        # the artifact's frozen beam size is the only one served
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/recognize?beam_size=5",
+            data=_png_bytes("ab"), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()
+        recognizer.close()
+    # frozen-knob combinations fail fast
+    with pytest.raises(ValueError, match="frozen into the artifact"):
+        serve_mod.serve(artifact=art, dictionary_path="words.txt")
+    with pytest.raises(ValueError, match="exactly one"):
+        serve_mod.serve()
