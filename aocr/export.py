@@ -199,15 +199,21 @@ class ExportedRecognizer:
 
     # ------------------------------------------------------------ running
 
-    def _preprocess_paths(self, paths: Sequence[str]) -> np.ndarray:
-        from aocr import data
+    def preprocess_config(self):
+        """Geometry `Config` for turning raw images into program inputs.
+        The exported program has ONE fixed width, so keep_aspect_ratio is
+        forced off — every image resizes to the exported width.  Shared
+        by path ingest here and by `aocr.serve -artifact` HTTP ingest."""
         from aocr.config import Config
 
         g = dict(self.meta["geometry"])
-        # the exported program has one fixed width — resize every image to
-        # it even if the source model bucketed by aspect ratio
         g["keep_aspect_ratio"] = False
-        cfg = Config(**g)
+        return Config(**g)
+
+    def _preprocess_paths(self, paths: Sequence[str]) -> np.ndarray:
+        from aocr import data
+
+        cfg = self.preprocess_config()
         out = []
         for p in paths:
             img = data.load_and_preprocess(p, cfg)
@@ -222,6 +228,8 @@ class ExportedRecognizer:
     ) -> Tuple[List[str], np.ndarray]:
         """Decode a stacked (B, H, W[, 1]) float batch or a list of image
         paths.  Returns (transcripts, best-beam log-prob scores)."""
+        if isinstance(images, str):
+            images = [images]  # a bare path is one image, not N characters
         if not hasattr(images, "ndim") and len(images) and isinstance(
                 images[0], str):
             images = self._preprocess_paths(images)
@@ -229,6 +237,9 @@ class ExportedRecognizer:
         if images.ndim == 3:
             images = images[..., None]
         n = images.shape[0]
+        if n == 0:
+            # symbolic dims are constrained >= 1; short-circuit instead
+            return [], np.empty((0,), np.float32)
         fixed = self.meta["batch"]
         if fixed != "poly":
             # pinned-batch artifact: chunk, padding the tail by repeating

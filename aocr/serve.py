@@ -72,10 +72,15 @@ class _ArtifactRecognizer:
 
     def __init__(self, rec):
         self._rec = rec
-        g = dict(rec.meta["geometry"])
-        g["keep_aspect_ratio"] = False  # the program has one fixed width
         self.beam_size = int(rec.meta["beam_size"])
-        self.cfg = Config(**g).replace(beam_size=self.beam_size)
+        self.cfg = rec.preprocess_config().replace(
+            beam_size=self.beam_size)
+        b = rec.meta["batch"]
+        # pinned-batch artifacts have exactly one compiled device shape
+        # (ExportedRecognizer chunks + pads to it internally), which the
+        # batcher must know: ladder-padding request groups on top of that
+        # would be pure wasted decode rows
+        self.fixed_device_batch = None if b == "poly" else int(b)
 
     def recognize(self, images, beam_size=None):
         if beam_size is not None and beam_size != self.beam_size:
@@ -101,11 +106,20 @@ class BatchingRecognizer:
 
     def __init__(self, ocr: AttentionOCR, max_batch: int = 64,
                  batch_window_ms: float = 5.0, max_queue: int = 1024,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 120.0,
+                 fixed_device_batch: Optional[int] = None):
         self.ocr = ocr
         self.max_batch = max_batch
-        self.ladder = sorted({n for n in (1, 8, 32, max_batch)
-                              if n <= max_batch})
+        # fixed_device_batch: the model runs ONE pinned device shape
+        # regardless of group size (pinned-batch .aocrx artifacts chunk
+        # internally) — no ladder padding needed, and warmup compiles
+        # exactly that one shape.
+        self.fixed_device_batch = fixed_device_batch
+        if fixed_device_batch:
+            self.ladder = [fixed_device_batch]
+        else:
+            self.ladder = sorted({n for n in (1, 8, 32, max_batch)
+                                  if n <= max_batch})
         # Width ladder under -keep_aspect_ratio: each distinct image width
         # is a distinct jitted program (a multi-second XLA compile on the
         # batcher thread mid-traffic).  Mirroring the batch ladder, widths
@@ -163,6 +177,8 @@ class BatchingRecognizer:
         return img  # wider than the ladder top (clamped upstream)
 
     def _pad_to(self, n: int) -> int:
+        if self.fixed_device_batch:
+            return n  # the device shape is pinned; padding adds nothing
         for step in self.ladder:
             if n <= step:
                 return step
@@ -452,7 +468,8 @@ def serve(model_dir: Optional[str] = None, host: str = "0.0.0.0",
         print(f"dictionary: {len(words)} words from {dictionary_path}")
     recognizer = BatchingRecognizer(
         ocr, max_batch, batch_window_ms, max_queue=max_queue,
-        request_timeout_s=request_timeout_s)
+        request_timeout_s=request_timeout_s,
+        fixed_device_batch=getattr(ocr, "fixed_device_batch", None))
     allowed_beams = {ocr.cfg.beam_size} | set(warmup_beams)
     if warmup:
         # compile every (ladder, beam) shape before accepting traffic —

@@ -92,16 +92,21 @@ def _minimize(table: np.ndarray) -> np.ndarray:
         return _minimize_fixpoint(table)
     # Height: longest path to a sink, over nodes 1..N-1 (root excluded —
     # it is never merged and its self-loops would diverge).  Relaxation
-    # converges in max-word-length passes.
+    # converges within N passes on any acyclic graph (longest path < N);
+    # a table still changing after that has a non-root cycle the cheap
+    # edges-into-root check above couldn't see — fall back to the
+    # fixpoint oracle rather than diverge.
     idx = np.maximum(table, 0)
     edge_valid = table >= 0
     edge_valid[0] = False  # drop the root's (possibly self-loop) edges
-    height = np.zeros(N, np.int32)
-    while True:
+    height = np.zeros(N, np.int64)
+    for _ in range(N):
         new_h = ((height[idx] + 1) * edge_valid).max(axis=1)
         if (new_h == height).all():
             break
         height = new_h
+    else:
+        return _minimize_fixpoint(table)
     new_id = np.arange(N, dtype=np.int64)
     for h in range(int(height[1:].min()), int(height[1:].max()) + 1):
         idx = np.nonzero(height == h)[0]
@@ -154,7 +159,10 @@ def load_dictionary(
     st = os.stat(path)
     key = (f"v1:{st.st_mtime_ns}:{st.st_size}:{int(allow_digit_prefix)}"
            f":{vocab.VOCAB_SIZE}")
-    cache_path = path + ".dawg.npz"
+    # option bits ride in the filename so e.g. a -allow_digit_prefix
+    # trainer and a plain server sharing one word list keep separate
+    # cache entries instead of thrashing a single file
+    cache_path = f"{path}.dp{int(allow_digit_prefix)}.dawg.npz"
     if cache and os.path.exists(cache_path):
         try:
             with np.load(cache_path, allow_pickle=False) as z:
@@ -165,10 +173,15 @@ def load_dictionary(
     with open(path) as f:
         table = build_transition_table(f, allow_digit_prefix)
     if cache:
+        tmp = f"{cache_path}.{os.getpid()}.tmp.npz"
         try:
-            tmp = f"{cache_path}.{os.getpid()}.tmp.npz"
             np.savez(tmp, key=key, table=table)
             os.replace(tmp, cache_path)
         except OSError:
-            pass  # read-only dictionary dir: skip caching
+            # read-only dictionary dir / disk full: skip caching, but
+            # don't leave a half-written temp file behind
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
     return table

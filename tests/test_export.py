@@ -117,3 +117,16 @@ def test_cli_export(ocr, images, tmp_path):
     w_live, _ = ocr.recognize(images)
     w_exp, _ = r.recognize(images)
     assert w_exp == w_live
+
+
+def test_recognize_bare_string_path(ocr, tmp_path):
+    """A single path (not wrapped in a list) is one image, not a sequence
+    of one-character paths."""
+    _, names = synth.make_dataset(str(tmp_path), ["ab"], width=32)
+    path = str(tmp_path / names[0])
+    art = str(tmp_path / "m.aocrx")
+    export_lib.export_recognizer(ocr, art)
+    r = export_lib.ExportedRecognizer.load(art)
+    w1, _ = r.recognize(path)
+    w2, _ = r.recognize([path])
+    assert w1 == w2 and len(w1) == 1

@@ -326,3 +326,30 @@ def test_serve_artifact(tmp_path):
         serve_mod.serve(artifact=art, dictionary_path="words.txt")
     with pytest.raises(ValueError, match="exactly one"):
         serve_mod.serve()
+
+
+def test_pinned_artifact_skips_ladder_padding(tmp_path):
+    """A pinned-batch artifact has ONE compiled device shape; the batcher
+    must not ladder-pad request groups on top of the artifact's own
+    chunking (pure wasted decode rows)."""
+    from aocr import export as export_lib
+    from aocr.export import ExportedRecognizer
+    from aocr.serve import BatchingRecognizer, _ArtifactRecognizer
+
+    ocr = AttentionOCR.create(CFG)
+    art = str(tmp_path / "m.aocrx")
+    export_lib.export_recognizer(ocr, art, batch=2)
+    facade = _ArtifactRecognizer(ExportedRecognizer.load(art))
+    assert facade.fixed_device_batch == 2
+    rec = BatchingRecognizer(facade, max_batch=8, batch_window_ms=5.0,
+                             fixed_device_batch=facade.fixed_device_batch)
+    try:
+        assert rec._pad_to(5) == 5  # no ladder padding
+        assert rec.ladder == [2]  # warmup compiles exactly one shape
+        rec.warmup([facade.beam_size])
+        img = synth.render_word("ab", 32, 32).astype(np.float32)
+        p = rec.submit(img, facade.beam_size)
+        assert p.error is None and isinstance(p.text, str)
+        assert rec.snapshot_stats()["padded_rows"] == 0
+    finally:
+        rec.close()

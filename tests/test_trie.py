@@ -132,13 +132,15 @@ def test_load_dictionary_dawg_cache(tmp_path):
     p = tmp_path / "words.txt"
     p.write_text("cat\ncar\ndog\n")
     t1 = trie.load_dictionary(str(p))
-    cache = str(p) + ".dawg.npz"
+    cache = str(p) + ".dp0.dawg.npz"
     assert os.path.exists(cache)
     t2 = trie.load_dictionary(str(p))  # warm: served from cache
     np.testing.assert_array_equal(t1, t2)
-    # different options -> rebuild, not a stale hit
+    # different options get their OWN cache entry (no thrash)
     t3 = trie.load_dictionary(str(p), allow_digit_prefix=True)
     assert t3[0, vocab.EOS] == 0
+    assert os.path.exists(str(p) + ".dp1.dawg.npz")
+    np.testing.assert_array_equal(t1, trie.load_dictionary(str(p)))
     # edit the source (force a different mtime) -> rebuild
     p.write_text("cat\n")
     os.utime(p, ns=(1, 1))
@@ -167,3 +169,14 @@ def test_synth90k_scale_dictionary():
     # dense table memory stays modest (< 200 MB int32)
     assert table.nbytes < 200 * 1024 * 1024
     assert table.dtype == np.int32
+
+
+def test_minimize_nonroot_cycle_falls_back():
+    """A cycle among non-root nodes (never produced by the builder, but
+    the documented fallback contract) must route to the fixpoint oracle
+    instead of diverging in the height relaxation."""
+    t = np.full((3, vocab.VOCAB_SIZE), -1, np.int32)
+    t[1, 5] = 2
+    t[2, 5] = 1  # 1 <-> 2 cycle, no edge into the root
+    out = trie._minimize(t.copy())
+    np.testing.assert_array_equal(out, trie._minimize_fixpoint(t.copy()))
