@@ -42,4 +42,8 @@ def __getattr__(name):
         from aocr.api import AttentionOCR
 
         return AttentionOCR
+    if name == "ExportedRecognizer":
+        from aocr.export import ExportedRecognizer
+
+        return ExportedRecognizer
     raise AttributeError(f"module 'aocr' has no attribute {name!r}")

@@ -157,6 +157,53 @@ def export_recognizer(
     return path
 
 
+def update_weights(src_path: str, ocr, out_path: str) -> str:
+    """Weight-only re-export: write a new artifact that reuses `src_path`'s
+    already-lowered program with `ocr`'s weights (and dictionary table).
+    This is why weights are npz members instead of program constants — a
+    fine-tuned checkpoint redeploys without retracing or relowering.
+    Every leaf must match the source artifact's shape/dtype exactly."""
+    with zipfile.ZipFile(src_path, "r") as z:
+        meta = json.loads(z.read(_META_MEMBER).decode())
+        if meta.get("format") != FORMAT:
+            raise ValueError(f"{src_path} is not an {FORMAT} artifact")
+        program = z.read(_PROGRAM_MEMBER)
+        old = {info.filename[:-4]: np.lib.format.read_array(
+                   io.BytesIO(z.read(info)), allow_pickle=False)
+               for info in z.infolist() if info.filename.endswith(".npy")}
+    trie = ocr.dictionary_table
+    if meta["use_dictionary"] != (trie is not None):
+        raise ValueError(
+            "dictionary presence must match the source artifact "
+            f"(source use_dictionary={meta['use_dictionary']}) — the trie "
+            "is a program input with a fixed shape")
+    arrays: dict = {}
+    _flatten(_canonicalize(ocr.params), "params", arrays)
+    _flatten(_canonicalize(ocr.batch_stats), "batch_stats", arrays)
+    if trie is not None:
+        _flatten(np.asarray(trie), "trie", arrays)
+    if set(arrays) != set(old):
+        raise ValueError(
+            "weight tree mismatch vs the source artifact: "
+            f"missing={sorted(set(old) - set(arrays))[:3]} "
+            f"extra={sorted(set(arrays) - set(old))[:3]}")
+    for name, arr in arrays.items():
+        if arr.shape != old[name].shape or arr.dtype != old[name].dtype:
+            raise ValueError(
+                f"{name}: {arr.shape}/{arr.dtype} does not match the "
+                f"exported {old[name].shape}/{old[name].dtype}")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_STORED,
+                         allowZip64=True) as z:
+        z.writestr(_META_MEMBER, json.dumps(meta))
+        z.writestr(_PROGRAM_MEMBER, program)
+        for name, arr in arrays.items():
+            buf = io.BytesIO()
+            np.lib.format.write_array(buf, np.ascontiguousarray(arr),
+                                      allow_pickle=False)
+            z.writestr(name + ".npy", buf.getvalue())
+    return out_path
+
+
 class ExportedRecognizer:
     """Run a `.aocrx` artifact: deserialized StableHLO + packed weights.
 
@@ -294,18 +341,27 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("-dictionary_path", default=None,
                     help="constrain decoding to this word list")
     ap.add_argument("-allow_digit_prefix", action="store_true")
+    ap.add_argument("-update_from", default=None,
+                    help="source .aocrx whose lowered program is reused "
+                         "(weight-only re-export: no retracing)")
     args = ap.parse_args(argv)
 
     ocr = AttentionOCR.load(args.model_dir)
     if args.dictionary_path:
         with open(args.dictionary_path) as f:
             ocr.use_dictionary(f, args.allow_digit_prefix)
+    import os
+    if args.update_from:
+        update_weights(args.update_from, ocr, args.out)
+        size = os.path.getsize(args.out) / 1e6
+        print(f"wrote {args.out} ({size:.1f} MB, program reused from "
+              f"{args.update_from})")
+        return 0
     batch = args.batch if args.batch == "poly" else int(args.batch)
     export_recognizer(
         ocr, args.out, beam_size=args.beam_size, max_len=args.max_len,
         batch=batch, platforms=tuple(args.platforms.split(",")),
         use_pallas=args.use_pallas)
-    import os
     size = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out} ({size:.1f} MB, platforms="
           f"{args.platforms}, batch={batch})")

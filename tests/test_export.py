@@ -130,3 +130,31 @@ def test_recognize_bare_string_path(ocr, tmp_path):
     w1, _ = r.recognize(path)
     w2, _ = r.recognize([path])
     assert w1 == w2 and len(w1) == 1
+
+
+def test_update_weights_reuses_program(ocr, images, tmp_path):
+    """Weight-only re-export: a fine-tuned model redeploys by swapping the
+    npz members under the SAME lowered program — output matches a live
+    model with the new weights, and mismatched trees are rejected."""
+    src = str(tmp_path / "src.aocrx")
+    export_lib.export_recognizer(ocr, src)
+    other = AttentionOCR.create(CFG, seed=123)
+    out = str(tmp_path / "updated.aocrx")
+    export_lib.update_weights(src, other, out)
+    r = export_lib.ExportedRecognizer.load(out)
+    w_exp, s_exp = r.recognize(images)
+    w_live, s_live = other.recognize(images)
+    assert w_exp == w_live
+    np.testing.assert_allclose(s_exp, s_live, rtol=1e-5)
+    # the program member is byte-identical to the source artifact's
+    with zipfile.ZipFile(src) as a, zipfile.ZipFile(out) as b:
+        assert a.read("__program__.bin") == b.read("__program__.bin")
+    # dictionary presence must match the source
+    other.use_dictionary(["cat"])
+    with pytest.raises(ValueError, match="dictionary presence"):
+        export_lib.update_weights(src, other, str(tmp_path / "x.aocrx"))
+    other.clear_dictionary()
+    # structural mismatch is rejected
+    bigger = AttentionOCR.create(CFG.replace(encoder_num_hidden=64))
+    with pytest.raises(ValueError, match="does not match"):
+        export_lib.update_weights(src, bigger, str(tmp_path / "y.aocrx"))
