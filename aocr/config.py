@@ -170,6 +170,16 @@ class Config:
     # manifest per process, and run the lockstep data path (fixed batch
     # shapes + dummy-batch epoch drain).  See aocr/parallel/multihost.py.
     multihost: bool = False
+    # On-device training-time augmentation (aocr/augment.py): random
+    # affine jitter + brightness/contrast + Gaussian noise applied inside
+    # the jitted train step, keyed per GLOBAL row index so data-parallel
+    # training augments bit-identically to single-device.  The reference
+    # has no augmentation (its data layer only decodes/resizes,
+    # src/data/data_gen.lua).
+    augment: bool = False
+    # Scales every augmentation magnitude (0 disables geometrically but
+    # still runs the resample; prefer -no_augment to switch off).
+    augment_strength: float = 1.0
     # Pad every batch's targets to max_decoder_l instead of the batch max:
     # ONE jitted train program instead of one per distinct target length.
     # Costs decoder steps on short batches; wins whenever compiles are
@@ -236,6 +246,7 @@ class Config:
         assert self.optimizer in ("sgd", "adadelta")
         assert self.pallas_greedy in ("auto", "loop", "tail")
         assert self.pallas_beam in ("auto", "loop", "tail")
+        assert self.augment_strength >= 0, "augment_strength must be >= 0"
         # Reference assert (optim_sgd.lua:35): Nesterov momentum requires a
         # momentum and zero dampening.
         effective_damp = self.momentum if self.dampening < 0 else self.dampening

@@ -43,6 +43,17 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
         # from the mask so multi-host epoch tails with uneven local counts
         # stay correct, and BN moments exclude the padding.
         my = jax.lax.axis_index(DATA_AXIS)
+        if cfg.augment:
+            from aocr import augment as augment_lib
+            from aocr.train_step import _AUG_TAG
+
+            # global-row keying (offset = my shard's first global row):
+            # the augmented batch is bit-identical to the single-device
+            # step's, so DP == single-device parity holds with -augment on
+            images = augment_lib.augment_batch(
+                jax.random.fold_in(rng, _AUG_TAG), images,
+                strength=cfg.augment_strength,
+                row_offset=my * images.shape[0])
         rng = jax.random.fold_in(rng, my)
         real_bs = jnp.maximum(
             jax.lax.psum(jnp.sum(row_mask.astype(jnp.float32)), DATA_AXIS),

@@ -28,6 +28,11 @@ from aocr.config import Config
 from aocr.models import model
 
 
+# rng-stream tag separating augmentation randomness from dropout (both
+# derive from the per-step rng)
+_AUG_TAG = 0x6175
+
+
 class TrainOutput(NamedTuple):
     params: dict
     batch_stats: dict
@@ -54,6 +59,15 @@ def _train_step(
     # divides by the real batch size, model.lua:645-647).  row_mask marks
     # the real rows so BatchNorm moments exclude the padding.
     batch_size = images.shape[0] if real_bs is None else real_bs
+    if cfg.augment:
+        from aocr import augment as augment_lib
+
+        # distinct stream from dropout (same step rng, different fold);
+        # row_offset 0 — this step sees the whole batch (the DP wrapper
+        # passes its shard offset itself, data_parallel.py)
+        images = augment_lib.augment_batch(
+            jax.random.fold_in(dropout_rng, _AUG_TAG), images,
+            strength=cfg.augment_strength)
 
     def loss_fn(p):
         nll, new_stats, _ = model.forward_loss(
