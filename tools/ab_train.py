@@ -25,6 +25,7 @@ VARIANTS = {
     "autodiff": {"decoder_custom_vjp": False},
     "custom": {"decoder_custom_vjp": True},
     "fusedproj": {"fused_encoder_proj": True},
+    "augment": {"augment": True},
 }
 
 
