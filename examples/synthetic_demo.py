@@ -88,6 +88,23 @@ def main(argv=None):
     )
     print(f"gallery: {html}")
 
+    print("=== deployment artifact ===")
+    from aocr import export as export_lib
+    from aocr.api import AttentionOCR
+
+    art = os.path.join(args.workdir, "model.aocrx")
+    ocr = AttentionOCR.load(os.path.join(args.workdir, "model"))
+    export_lib.export_recognizer(ocr, art)
+    rec = export_lib.ExportedRecognizer.load(art)
+    sample = [os.path.join(args.workdir, line.split()[0])
+              for line in open(os.path.join(args.workdir, "val.txt"))][:8]
+    texts, _ = rec.recognize(sample)
+    live, _ = ocr.recognize(sample)
+    match = sum(a == b for a, b in zip(texts, live))
+    print(f"artifact: {art} ({os.path.getsize(art) / 1e6:.1f} MB); "
+          f"replayed {len(sample)} val images, {match}/{len(sample)} "
+          f"match the live model: {texts}")
+
 
 if __name__ == "__main__":
     main()
