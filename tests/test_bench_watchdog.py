@@ -68,9 +68,16 @@ def test_supervisor_kills_wedged_child_then_gives_up(tmp_path):
         capture_output=True, text=True, timeout=120,
         env=_env(AOCR_BENCH_STALL_S=8, AOCR_BENCH_MAX_ATTEMPTS=3),
     )
+    lines = proc.stdout.strip().splitlines()
     # one line per attempt: each respawn bumped the counter
-    assert proc.stdout.split() == [
-        "attempt", "1", "attempt", "2", "attempt", "3"]
+    assert lines[:3] == ["attempt 1", "attempt 2", "attempt 3"]
+    # the give-up path still honors the one-JSON-line contract, with an
+    # explicit error naming the stall (environment failure, not a crash)
+    import json
+
+    final = json.loads(lines[3])
+    assert final["value"] == 0 and "TPU unreachable" in final["error"]
+    assert len(lines) == 4
     assert proc.returncode == 1
     assert "giving up" in proc.stderr
     assert "killing wedged child" in proc.stderr
