@@ -98,6 +98,24 @@ def _target_width(w: int, h: int, cfg: Config) -> int:
     return cfg.image_width  # reference hard-codes 100 (data_gen.lua:78)
 
 
+def width_ladder(cfg: Config) -> List[int]:
+    """Fixed width steps covering every clamped-aspect width the
+    preprocessing can produce (x1.5 geometric steps, endpoint-clamped).
+    Under -keep_aspect_ratio each distinct image width is a distinct
+    compiled program; padding widths UP to this ladder bounds the program
+    count.  Shared by the serving batcher (aocr.serve) and multi-width
+    artifact export (aocr.export) so both sides agree on the steps."""
+    h = cfg.image_height
+    lo = max(int(h * cfg.min_aspect_ratio), 8)
+    # ceil, matching _target_width: with int() the widest clamped aspect
+    # could preprocess to ceil(h*max_ar) = hi + 1 and bypass the ladder
+    hi = int(np.ceil(h * cfg.max_aspect_ratio))
+    steps = [lo]
+    while steps[-1] < hi:
+        steps.append(min(int(steps[-1] * 1.5), hi))
+    return steps
+
+
 def load_and_preprocess(
     path, cfg: Config
 ) -> Optional[np.ndarray]:

@@ -44,8 +44,11 @@ from aocr.checkpoint import _flatten, _unflatten
 
 FORMAT = "aocrx"
 FORMAT_VERSION = 1
-_PROGRAM_MEMBER = "__program__.bin"
 _META_MEMBER = "__meta__.json"
+
+
+def _program_member(width: int) -> str:
+    return f"__program__.w{int(width)}.bin"
 
 
 def _canonicalize(tree):
@@ -67,6 +70,7 @@ def export_recognizer(
     batch: Union[str, int] = "poly",
     platforms: Sequence[str] = ("cpu", "tpu"),
     use_pallas: bool = False,
+    widths: Optional[Sequence[int]] = None,
 ) -> str:
     """Export an `AttentionOCR`'s decode program to a `.aocrx` artifact.
 
@@ -74,12 +78,15 @@ def export_recognizer(
     was called) the trie constraint, all of which are frozen into the
     artifact.  `beam_size`/`max_len` default to the model config.
     `batch="poly"` exports a symbolic batch dimension; an int pins it.
-    Returns `path`.
+    `widths` exports one program per image width — for keep_aspect_ratio
+    models it defaults to the serving width ladder (data.width_ladder),
+    so the artifact accepts every clamped-aspect width; fixed-width
+    models export the single configured width.  Returns `path`.
     """
     import jax
     from jax import export as jax_export
 
-    from aocr import decode
+    from aocr import data, decode
     from aocr.config import GEOMETRY_FIELDS
 
     cfg = ocr.cfg.replace(use_pallas=use_pallas)
@@ -87,6 +94,12 @@ def export_recognizer(
     T = max_len or cfg.max_decoder_l
     trie = ocr.dictionary_table
     use_trie = trie is not None
+    if widths is None:
+        widths = (data.width_ladder(cfg) if cfg.keep_aspect_ratio
+                  else [cfg.image_width])
+    widths = sorted({int(w) for w in widths})
+    if not widths or widths[0] < 1:
+        raise ValueError(f"bad widths {widths}")
 
     params = _canonicalize(ocr.params)
     batch_stats = _canonicalize(ocr.batch_stats)
@@ -107,16 +120,17 @@ def export_recognizer(
         b = int(batch)
         if b < 1:
             raise ValueError(f"batch must be >= 1, got {batch}")
-    img_spec = jax.ShapeDtypeStruct(
-        (b, cfg.image_height, cfg.image_width, 1), np.float32)
     spec = lambda t: jax.tree.map(  # noqa: E731
         lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), t)
-    args = [spec(params), spec(batch_stats), img_spec]
-    if use_trie:
-        args.append(spec(np.asarray(trie)))
-
-    exported = jax_export.export(jax.jit(fn), platforms=tuple(platforms))(
-        *args)
+    programs = {}
+    for w in widths:
+        img_spec = jax.ShapeDtypeStruct(
+            (b, cfg.image_height, w, 1), np.float32)
+        args = [spec(params), spec(batch_stats), img_spec]
+        if use_trie:
+            args.append(spec(np.asarray(trie)))
+        programs[w] = jax_export.export(
+            jax.jit(fn), platforms=tuple(platforms))(*args)
 
     arrays: dict = {}
     skeleton = {"params": _flatten(params, "params", arrays),
@@ -133,6 +147,7 @@ def export_recognizer(
         "use_dictionary": use_trie,
         "use_pallas": use_pallas,
         "batch": "poly" if batch == "poly" else b,
+        "widths": widths,
         "geometry": {k: getattr(cfg, k) for k in GEOMETRY_FIELDS},
         "compute_dtype": cfg.compute_dtype,
         # codec spec so even a non-aocr consumer can map ids -> text
@@ -148,7 +163,8 @@ def export_recognizer(
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED,
                          allowZip64=True) as z:
         z.writestr(_META_MEMBER, json.dumps(meta))
-        z.writestr(_PROGRAM_MEMBER, exported.serialize())
+        for w, exported in programs.items():
+            z.writestr(_program_member(w), exported.serialize())
         for name, arr in arrays.items():
             buf = io.BytesIO()
             np.lib.format.write_array(buf, np.ascontiguousarray(arr),
@@ -167,7 +183,9 @@ def update_weights(src_path: str, ocr, out_path: str) -> str:
         meta = json.loads(z.read(_META_MEMBER).decode())
         if meta.get("format") != FORMAT:
             raise ValueError(f"{src_path} is not an {FORMAT} artifact")
-        program = z.read(_PROGRAM_MEMBER)
+        programs = {w: z.read(_program_member(w))
+                    for w in meta.get("widths",
+                                      [meta["geometry"]["image_width"]])}
         old = {info.filename[:-4]: np.lib.format.read_array(
                    io.BytesIO(z.read(info)), allow_pickle=False)
                for info in z.infolist() if info.filename.endswith(".npy")}
@@ -195,7 +213,8 @@ def update_weights(src_path: str, ocr, out_path: str) -> str:
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_STORED,
                          allowZip64=True) as z:
         z.writestr(_META_MEMBER, json.dumps(meta))
-        z.writestr(_PROGRAM_MEMBER, program)
+        for w, program in programs.items():
+            z.writestr(_program_member(w), program)
         for name, arr in arrays.items():
             buf = io.BytesIO()
             np.lib.format.write_array(buf, np.ascontiguousarray(arr),
@@ -210,12 +229,17 @@ class ExportedRecognizer:
     No model code executes — `recognize` replays the exported program.
     """
 
-    def __init__(self, exported, params, batch_stats, trie, meta):
-        self._exported = exported
+    def __init__(self, programs, params, batch_stats, trie, meta):
+        self._programs = programs  # {width: jax.export.Exported}
         self._params = params
         self._batch_stats = batch_stats
         self._trie = trie
         self.meta = meta
+
+    @property
+    def widths(self) -> List[int]:
+        """Image widths the artifact has programs for (ascending)."""
+        return sorted(self._programs)
 
     @classmethod
     def load(cls, path: str) -> "ExportedRecognizer":
@@ -229,7 +253,10 @@ class ExportedRecognizer:
                 raise ValueError(
                     f"{path} has {FORMAT} version {meta['version']}; this "
                     f"build reads up to {FORMAT_VERSION}")
-            program = z.read(_PROGRAM_MEMBER)
+            widths = meta.get("widths", [meta["geometry"]["image_width"]])
+            programs = {int(w): jax_export.deserialize(
+                            bytearray(z.read(_program_member(w))))
+                        for w in widths}
             arrays = {}
             for info in z.infolist():
                 if info.filename.endswith(".npy"):
@@ -241,23 +268,40 @@ class ExportedRecognizer:
         batch_stats = _unflatten(skel["batch_stats"], arrays)
         trie = (_unflatten(skel["trie"], arrays)
                 if meta["use_dictionary"] else None)
-        exported = jax_export.deserialize(bytearray(program))
-        return cls(exported, params, batch_stats, trie, meta)
+        return cls(programs, params, batch_stats, trie, meta)
 
     # ------------------------------------------------------------ running
 
     def preprocess_config(self):
         """Geometry `Config` for turning raw images into program inputs.
-        The exported program has ONE fixed width, so keep_aspect_ratio is
-        forced off — every image resizes to the exported width.  Shared
-        by path ingest here and by `aocr.serve -artifact` HTTP ingest."""
+        A single-width artifact forces keep_aspect_ratio off (every image
+        resizes to the one exported width); a multi-width artifact keeps
+        the model's aspect-preserving preprocessing — widths then pad UP
+        to the exported ladder.  Shared by path ingest here and by
+        `aocr.serve -artifact` HTTP ingest."""
         from aocr.config import Config
 
         g = dict(self.meta["geometry"])
-        g["keep_aspect_ratio"] = False
+        if len(self._programs) == 1:
+            g["keep_aspect_ratio"] = False
+            g["image_width"] = self.widths[0]
         return Config(**g)
 
-    def _preprocess_paths(self, paths: Sequence[str]) -> np.ndarray:
+    def _pad_width(self, img: np.ndarray) -> np.ndarray:
+        """Pad an (H, W, 1) image's width up to the next exported width
+        with the background value (255 pre-normalization)."""
+        w = img.shape[1]
+        for step in self.widths:
+            if w <= step:
+                if w == step:
+                    return img
+                return np.pad(img, ((0, 0), (0, step - w), (0, 0)),
+                              constant_values=255.0)
+        raise ValueError(
+            f"image width {w} exceeds the widest exported program "
+            f"({self.widths[-1]}); re-export with wider -widths")
+
+    def _preprocess_paths(self, paths: Sequence[str]) -> List[np.ndarray]:
         from aocr import data
 
         cfg = self.preprocess_config()
@@ -267,26 +311,49 @@ class ExportedRecognizer:
             if img is None:
                 raise ValueError(f"cannot decode image {p}")
             out.append(img[..., None])
-        return np.stack(out)
+        return out
 
     def recognize(
         self,
         images: Union[np.ndarray, Sequence[str]],
     ) -> Tuple[List[str], np.ndarray]:
-        """Decode a stacked (B, H, W[, 1]) float batch or a list of image
-        paths.  Returns (transcripts, best-beam log-prob scores)."""
+        """Decode a stacked (B, H, W[, 1]) float batch, a list of image
+        paths, or a list of (H, W[, 1]) arrays (widths may mix — rows pad
+        up to the exported width ladder and bucket per program).  Returns
+        (transcripts, best-beam log-prob scores) in input order."""
         if isinstance(images, str):
             images = [images]  # a bare path is one image, not N characters
         if not hasattr(images, "ndim") and len(images) and isinstance(
                 images[0], str):
-            images = self._preprocess_paths(images)
-        images = np.asarray(images, np.float32)
-        if images.ndim == 3:
-            images = images[..., None]
-        n = images.shape[0]
+            arrs = self._preprocess_paths(images)
+        elif hasattr(images, "ndim"):
+            a = np.asarray(images, np.float32)
+            if a.ndim == 3:
+                a = a[..., None]
+            assert a.ndim == 4, f"bad image batch shape {a.shape}"
+            arrs = list(a)
+        else:
+            arrs = [np.asarray(i, np.float32) for i in images]
+            arrs = [i[..., None] if i.ndim == 2 else i for i in arrs]
+        n = len(arrs)
         if n == 0:
             # symbolic dims are constrained >= 1; short-circuit instead
             return [], np.empty((0,), np.float32)
+        arrs = [self._pad_width(a) for a in arrs]
+        words: List[Optional[str]] = [None] * n
+        scores = np.empty((n,), np.float32)
+        by_width: dict = {}
+        for i, a in enumerate(arrs):
+            by_width.setdefault(a.shape[1], []).append(i)
+        for w, idx in sorted(by_width.items()):
+            lab, sc = self._decode_width(w, np.stack([arrs[i] for i in idx]))
+            for j, i in enumerate(idx):
+                words[i] = vocab.decode(lab[j])
+                scores[i] = sc[j]
+        return words, scores
+
+    def _decode_width(self, width: int, images: np.ndarray):
+        n = images.shape[0]
         fixed = self.meta["batch"]
         if fixed != "poly":
             # pinned-batch artifact: chunk, padding the tail by repeating
@@ -298,22 +365,18 @@ class ExportedRecognizer:
                 if real < fixed:
                     pad = np.repeat(chunk[-1:], fixed - real, axis=0)
                     chunk = np.concatenate([chunk, pad])
-                lab, sc = self._call(chunk)
+                lab, sc = self._call(width, chunk)
                 labels_l.append(np.asarray(lab)[:real])
                 scores_l.append(np.asarray(sc)[:real])
-            labels = np.concatenate(labels_l)
-            scores = np.concatenate(scores_l)
-        else:
-            labels, scores = self._call(images)
-            labels, scores = np.asarray(labels), np.asarray(scores)
-        return ([vocab.decode(row) for row in labels],
-                scores.astype(np.float32))
+            return np.concatenate(labels_l), np.concatenate(scores_l)
+        lab, sc = self._call(width, images)
+        return np.asarray(lab), np.asarray(sc)
 
-    def _call(self, images: np.ndarray):
+    def _call(self, width: int, images: np.ndarray):
         args = [self._params, self._batch_stats, images]
         if self._trie is not None:
             args.append(self._trie)
-        return self._exported.call(*args)
+        return self._programs[width].call(*args)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
@@ -338,6 +401,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap.add_argument("-use_pallas", action="store_true",
                     help="freeze the fused TPU kernels into the artifact "
                          "(TPU-only artifact; narrower forward compat)")
+    ap.add_argument("-widths", default=None,
+                    help="comma-separated image widths to export programs "
+                         "for (default: the width ladder for "
+                         "keep_aspect_ratio models, else the one "
+                         "configured width)")
     ap.add_argument("-dictionary_path", default=None,
                     help="constrain decoding to this word list")
     ap.add_argument("-allow_digit_prefix", action="store_true")
@@ -358,10 +426,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
               f"{args.update_from})")
         return 0
     batch = args.batch if args.batch == "poly" else int(args.batch)
+    widths = ([int(w) for w in args.widths.split(",")]
+              if args.widths else None)
     export_recognizer(
         ocr, args.out, beam_size=args.beam_size, max_len=args.max_len,
         batch=batch, platforms=tuple(args.platforms.split(",")),
-        use_pallas=args.use_pallas)
+        use_pallas=args.use_pallas, widths=widths)
     size = os.path.getsize(args.out) / 1e6
     print(f"wrote {args.out} ({size:.1f} MB, platforms="
           f"{args.platforms}, batch={batch})")

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 import queue
 import threading
 import time
@@ -81,15 +80,20 @@ class _ArtifactRecognizer:
         # batcher must know: ladder-padding request groups on top of that
         # would be pure wasted decode rows
         self.fixed_device_batch = None if b == "poly" else int(b)
+        # multi-width artifacts carry their own width ladder; the batcher
+        # must pad ingest widths to THE ARTIFACT'S steps (a re-derived
+        # ladder could feed widths no program was exported for)
+        self.serving_width_ladder = (rec.widths if len(rec.widths) > 1
+                                     else None)
 
     def recognize(self, images, beam_size=None):
         if beam_size is not None and beam_size != self.beam_size:
             raise ValueError(
                 f"artifact was exported with beam_size={self.beam_size}; "
                 f"{beam_size} is not available")
-        arr = np.stack([i if i.ndim == 3 else i[..., None]
-                        for i in images])
-        return self._rec.recognize(arr)
+        # pass the list through: widths may mix (the loader buckets per
+        # exported program and returns results in input order)
+        return self._rec.recognize(list(images))
 
 
 class BatchingRecognizer:
@@ -127,17 +131,14 @@ class BatchingRecognizer:
         # right) so the warmed shapes cover all traffic.  None when the
         # fixed-width preprocessing already yields one width.
         self.width_ladder = None
-        if ocr.cfg.keep_aspect_ratio:
-            h = ocr.cfg.image_height
-            lo = max(int(h * ocr.cfg.min_aspect_ratio), 8)
-            # ceil, matching data._target_width: with int() the widest
-            # clamped aspect could preprocess to ceil(h*max_ar) = hi + 1
-            # and bypass the ladder into an un-warmed jit shape.
-            hi = int(math.ceil(h * ocr.cfg.max_aspect_ratio))
-            steps = [lo]
-            while steps[-1] < hi:
-                steps.append(min(int(steps[-1] * 1.5), hi))
-            self.width_ladder = steps
+        override = getattr(ocr, "serving_width_ladder", None)
+        if override:
+            # multi-width artifacts exported exactly these widths; the
+            # batcher must pad to THE ARTIFACT'S steps, not re-derive its
+            # own (a drifted derivation would feed un-exported widths)
+            self.width_ladder = sorted(override)
+        elif ocr.cfg.keep_aspect_ratio:
+            self.width_ladder = data.width_ladder(ocr.cfg)
         self.window_s = batch_window_ms / 1000.0
         self.max_queue = max_queue
         self.request_timeout_s = request_timeout_s

@@ -146,9 +146,12 @@ def test_update_weights_reuses_program(ocr, images, tmp_path):
     w_live, s_live = other.recognize(images)
     assert w_exp == w_live
     np.testing.assert_allclose(s_exp, s_live, rtol=1e-5)
-    # the program member is byte-identical to the source artifact's
+    # the program member(s) are byte-identical to the source artifact's
     with zipfile.ZipFile(src) as a, zipfile.ZipFile(out) as b:
-        assert a.read("__program__.bin") == b.read("__program__.bin")
+        progs = [n for n in a.namelist() if n.startswith("__program__")]
+        assert progs
+        for name in progs:
+            assert a.read(name) == b.read(name)
     # dictionary presence must match the source
     other.use_dictionary(["cat"])
     with pytest.raises(ValueError, match="dictionary presence"):
@@ -158,3 +161,29 @@ def test_update_weights_reuses_program(ocr, images, tmp_path):
     bigger = AttentionOCR.create(CFG.replace(encoder_num_hidden=64))
     with pytest.raises(ValueError, match="does not match"):
         export_lib.update_weights(src, bigger, str(tmp_path / "y.aocrx"))
+
+
+def test_multi_width_artifact(ocr, tmp_path):
+    """-widths exports one program per width; mixed-width inputs bucket
+    per program (exact match vs the live model at exported widths) and
+    in-between widths pad UP to the next exported step."""
+    art = str(tmp_path / "mw.aocrx")
+    export_lib.export_recognizer(ocr, art, widths=[24, 32])
+    r = export_lib.ExportedRecognizer.load(art)
+    assert r.widths == [24, 32]
+    im24 = synth.render_word("ab", 32, 24).astype(np.float32)
+    im32 = synth.render_word("cd", 32, 32).astype(np.float32)
+    w_exp, s_exp = r.recognize([im24, im32, im24])
+    w_live, s_live = ocr.recognize([im24, im32, im24])
+    assert w_exp == w_live  # same widths -> same programs' math
+    np.testing.assert_allclose(s_exp, s_live, rtol=1e-5)
+    # a width between steps pads up with background: equals the live
+    # model fed the SAME padded image
+    im20 = synth.render_word("ef", 32, 20).astype(np.float32)
+    padded = np.pad(im20, ((0, 0), (0, 4)), constant_values=255.0)
+    w_pad, _ = r.recognize([im20])
+    w_ref, _ = ocr.recognize([padded])
+    assert w_pad == w_ref
+    # wider than the ladder top is an explicit error
+    with pytest.raises(ValueError, match="widest exported"):
+        r.recognize([synth.render_word("gh", 32, 40).astype(np.float32)])

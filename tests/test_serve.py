@@ -353,3 +353,42 @@ def test_pinned_artifact_skips_ladder_padding(tmp_path):
         assert rec.snapshot_stats()["padded_rows"] == 0
     finally:
         rec.close()
+
+
+def test_multi_width_artifact_serving(tmp_path):
+    """A keep_aspect_ratio model exports one program per width-ladder
+    step; the batcher adopts the ARTIFACT'S ladder and mixed-width
+    groups decode through the right programs."""
+    from aocr import data as data_lib
+    from aocr import export as export_lib
+    from aocr.export import ExportedRecognizer
+    from aocr.serve import BatchingRecognizer, _ArtifactRecognizer
+
+    cfg = CFG.replace(keep_aspect_ratio=True, min_aspect_ratio=0.5,
+                      max_aspect_ratio=1.0)
+    ocr = AttentionOCR.create(cfg)
+    ladder = data_lib.width_ladder(cfg)
+    art = str(tmp_path / "mw.aocrx")
+    export_lib.export_recognizer(ocr, art)  # defaults to the ladder
+    facade = _ArtifactRecognizer(ExportedRecognizer.load(art))
+    assert facade.serving_width_ladder == ladder
+    assert facade.cfg.keep_aspect_ratio is True
+    rec = BatchingRecognizer(facade, max_batch=8, batch_window_ms=30.0)
+    try:
+        assert rec.width_ladder == ladder
+        rec.warmup([facade.beam_size])
+        imgs = [synth.render_word("ab", 32, 18).astype(np.float32),
+                synth.render_word("cd", 32, 32).astype(np.float32)]
+        results = []
+        threads = [threading.Thread(
+            target=lambda im=im: results.append(rec.submit(
+                rec.pad_width(im), facade.beam_size))) for im in imgs]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 2
+        assert all(p.error is None and isinstance(p.text, str)
+                   for p in results)
+    finally:
+        rec.close()
