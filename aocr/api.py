@@ -94,10 +94,17 @@ class AttentionOCR:
 
     def use_dictionary(self, words: Sequence[str],
                        allow_digit_prefix: bool = False) -> None:
-        """Constrain decoding to a word list (trie transition table)."""
-        self._trie = jnp.asarray(
-            trie_lib.build_transition_table(words, allow_digit_prefix)
-        )
+        """Constrain decoding to a word list (trie transition table).
+        For a word-list FILE prefer set_dictionary_table(
+        trie.load_dictionary(path)), which caches the built DAWG on disk
+        (~15 s builds at Synth90k scale become instant warm loads)."""
+        self.set_dictionary_table(
+            trie_lib.build_transition_table(words, allow_digit_prefix))
+
+    def set_dictionary_table(self, table) -> None:
+        """Constrain decoding to a prebuilt (nodes, V) trie transition
+        table (utils.trie.build_transition_table / load_dictionary)."""
+        self._trie = jnp.asarray(np.asarray(table))
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -202,14 +209,6 @@ class AttentionOCR:
             self._dp_steps[key] = step
         return step
 
-    @staticmethod
-    def _to_hw1(arr) -> np.ndarray:
-        a = np.asarray(arr, np.float32)
-        if a.ndim == 2:
-            a = a[..., None]
-        assert a.ndim == 3, f"expected (H, W[, 1]) image, got {a.shape}"
-        return a
-
     def _prepare_groups(self, images) -> List[Tuple[List[int], jnp.ndarray]]:
         """Normalize any accepted input into width-homogeneous device
         batches: [(original indices, (b, 32, W, 1) array), ...].
@@ -226,6 +225,8 @@ class AttentionOCR:
                 images = images[..., None]
             assert images.ndim == 4, f"bad image batch shape {images.shape}"
             return [(list(range(images.shape[0])), jnp.asarray(images))]
+        if isinstance(images, str):
+            images = [images]  # a bare path is one image
         if self.cfg.device_preprocess and images and isinstance(
                 images[0], str):
             # serving fast path: host decodes bytes only; luminance +
@@ -248,15 +249,9 @@ class AttentionOCR:
                 groups.append((idx, preprocess.preprocess_varsize(
                     buf, sizes, self.cfg.image_height, w)))
             return groups
-        arrs = []
-        for item in images:
-            if isinstance(item, str):
-                img = data.load_and_preprocess(item, self.cfg)
-                if img is None:
-                    raise ValueError(f"cannot decode image {item}")
-                arrs.append(img[..., None])
-            else:
-                arrs.append(self._to_hw1(item))
+        # shared accepted-inputs contract (mixed paths/arrays/widths) —
+        # the same normalization the .aocrx loader uses (data.py)
+        arrs = data.images_to_arrays(images, self.cfg)
         by_width: dict = {}
         for i, a in enumerate(arrs):
             by_width.setdefault(a.shape[1], []).append(i)

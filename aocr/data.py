@@ -116,6 +116,37 @@ def width_ladder(cfg: Config) -> List[int]:
     return steps
 
 
+def images_to_arrays(items, cfg: Config) -> List[np.ndarray]:
+    """Normalize a recognize()-style input into a list of (H, W, 1)
+    float32 arrays: a bare path string, a stacked (B, H, W[, 1]) array,
+    a list of paths (decoded + preprocessed via cfg), or a list of
+    (H, W[, 1]) arrays — widths may mix.  The ONE home for the
+    accepted-inputs contract, shared by the live API (aocr.api) and the
+    artifact loader (aocr.export) so the two can't drift."""
+    if isinstance(items, str):
+        items = [items]  # a bare path is one image, not N characters
+    if hasattr(items, "ndim"):
+        a = np.asarray(items, np.float32)
+        if a.ndim == 3:
+            a = a[..., None]
+        assert a.ndim == 4, f"bad image batch shape {a.shape}"
+        return list(a)
+    out = []
+    for it in items:
+        if isinstance(it, str):
+            img = load_and_preprocess(it, cfg)
+            if img is None:
+                raise ValueError(f"cannot decode image {it}")
+            out.append(img[..., None])
+        else:
+            a = np.asarray(it, np.float32)
+            if a.ndim == 2:
+                a = a[..., None]
+            assert a.ndim == 3, f"expected (H, W[, 1]) image, got {a.shape}"
+            out.append(a)
+    return out
+
+
 def load_and_preprocess(
     path, cfg: Config
 ) -> Optional[np.ndarray]:

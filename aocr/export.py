@@ -51,6 +51,22 @@ def _program_member(width: int) -> str:
     return f"__program__.w{int(width)}.bin"
 
 
+def _write_artifact(path: str, meta: dict, programs: dict,
+                    arrays: dict) -> None:
+    """Single home for the .aocrx zip layout (export_recognizer and
+    update_weights must emit byte-compatible artifacts)."""
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED,
+                         allowZip64=True) as z:
+        z.writestr(_META_MEMBER, json.dumps(meta))
+        for w, program in programs.items():
+            z.writestr(_program_member(w), program)
+        for name, arr in arrays.items():
+            buf = io.BytesIO()
+            np.lib.format.write_array(buf, np.ascontiguousarray(arr),
+                                      allow_pickle=False)
+            z.writestr(name + ".npy", buf.getvalue())
+
+
 def _canonicalize(tree):
     """Round-trip a pytree through the checkpoint flatten/unflatten so the
     export-time treedef (dicts + lists of np arrays) is bit-identical to
@@ -160,16 +176,9 @@ def export_recognizer(
         },
         "skeleton": skeleton,
     }
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED,
-                         allowZip64=True) as z:
-        z.writestr(_META_MEMBER, json.dumps(meta))
-        for w, exported in programs.items():
-            z.writestr(_program_member(w), exported.serialize())
-        for name, arr in arrays.items():
-            buf = io.BytesIO()
-            np.lib.format.write_array(buf, np.ascontiguousarray(arr),
-                                      allow_pickle=False)
-            z.writestr(name + ".npy", buf.getvalue())
+    _write_artifact(path, meta,
+                    {w: e.serialize() for w, e in programs.items()},
+                    arrays)
     return path
 
 
@@ -210,16 +219,7 @@ def update_weights(src_path: str, ocr, out_path: str) -> str:
             raise ValueError(
                 f"{name}: {arr.shape}/{arr.dtype} does not match the "
                 f"exported {old[name].shape}/{old[name].dtype}")
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_STORED,
-                         allowZip64=True) as z:
-        z.writestr(_META_MEMBER, json.dumps(meta))
-        for w, program in programs.items():
-            z.writestr(_program_member(w), program)
-        for name, arr in arrays.items():
-            buf = io.BytesIO()
-            np.lib.format.write_array(buf, np.ascontiguousarray(arr),
-                                      allow_pickle=False)
-            z.writestr(name + ".npy", buf.getvalue())
+    _write_artifact(out_path, meta, programs, arrays)
     return out_path
 
 
@@ -285,6 +285,15 @@ class ExportedRecognizer:
         if len(self._programs) == 1:
             g["keep_aspect_ratio"] = False
             g["image_width"] = self.widths[0]
+        else:
+            # a custom -widths ladder may be narrower than the model's
+            # aspect bound: clamp so ingest RESIZES wide images into the
+            # exported range instead of producing a width _pad_width must
+            # reject (which would 500 a whole coalesced serving batch)
+            top_ar = self.widths[-1] / g["image_height"]
+            g["max_aspect_ratio"] = min(g["max_aspect_ratio"], top_ar)
+            g["min_aspect_ratio"] = min(g["min_aspect_ratio"],
+                                        g["max_aspect_ratio"])
         return Config(**g)
 
     def _pad_width(self, img: np.ndarray) -> np.ndarray:
@@ -301,40 +310,18 @@ class ExportedRecognizer:
             f"image width {w} exceeds the widest exported program "
             f"({self.widths[-1]}); re-export with wider -widths")
 
-    def _preprocess_paths(self, paths: Sequence[str]) -> List[np.ndarray]:
-        from aocr import data
-
-        cfg = self.preprocess_config()
-        out = []
-        for p in paths:
-            img = data.load_and_preprocess(p, cfg)
-            if img is None:
-                raise ValueError(f"cannot decode image {p}")
-            out.append(img[..., None])
-        return out
-
     def recognize(
         self,
         images: Union[np.ndarray, Sequence[str]],
     ) -> Tuple[List[str], np.ndarray]:
-        """Decode a stacked (B, H, W[, 1]) float batch, a list of image
-        paths, or a list of (H, W[, 1]) arrays (widths may mix — rows pad
-        up to the exported width ladder and bucket per program).  Returns
-        (transcripts, best-beam log-prob scores) in input order."""
-        if isinstance(images, str):
-            images = [images]  # a bare path is one image, not N characters
-        if not hasattr(images, "ndim") and len(images) and isinstance(
-                images[0], str):
-            arrs = self._preprocess_paths(images)
-        elif hasattr(images, "ndim"):
-            a = np.asarray(images, np.float32)
-            if a.ndim == 3:
-                a = a[..., None]
-            assert a.ndim == 4, f"bad image batch shape {a.shape}"
-            arrs = list(a)
-        else:
-            arrs = [np.asarray(i, np.float32) for i in images]
-            arrs = [i[..., None] if i.ndim == 2 else i for i in arrs]
+        """Decode a stacked (B, H, W[, 1]) float batch, a bare path, a
+        list of image paths, or a list of (H, W[, 1]) arrays (widths may
+        mix — rows pad up to the exported width ladder and bucket per
+        program).  Returns (transcripts, best-beam log-prob scores) in
+        input order."""
+        from aocr import data
+
+        arrs = data.images_to_arrays(images, self.preprocess_config())
         n = len(arrs)
         if n == 0:
             # symbolic dims are constrained >= 1; short-circuit instead
@@ -416,8 +403,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     ocr = AttentionOCR.load(args.model_dir)
     if args.dictionary_path:
-        with open(args.dictionary_path) as f:
-            ocr.use_dictionary(f, args.allow_digit_prefix)
+        from aocr.utils import trie as trie_lib
+
+        # load_dictionary caches the built DAWG next to the word list
+        ocr.set_dictionary_table(trie_lib.load_dictionary(
+            args.dictionary_path, args.allow_digit_prefix))
     import os
     if args.update_from:
         update_weights(args.update_from, ocr, args.out)

@@ -65,9 +65,10 @@ class _ArtifactRecognizer:
     StableHLO programs and live checkpoints through one code path.
 
     The artifact fixes the decode mode at export time: exactly one beam
-    size (and dictionary constraint) is available, and the exported
-    width is the only served width — keep_aspect_ratio ingest resizes
-    to it."""
+    size (and dictionary constraint) is available.  A single-width
+    artifact resizes every ingest image to its one exported width; a
+    multi-width artifact serves through ITS width ladder (aspect-
+    preserving ingest, widths padded up to the exported steps)."""
 
     def __init__(self, rec):
         self._rec = rec
@@ -462,11 +463,15 @@ def serve(model_dir: Optional[str] = None, host: str = "0.0.0.0",
         # Dictionary-constrained decoding (the reference's -use_dictionary,
         # model.lua:406-514): every served transcript is a prefix-trie walk
         # over this word list.  The trie rides inside the decode kernels
-        # (docs/performance.md), so serving keeps the fused-path throughput.
-        with open(dictionary_path) as f:
-            words = [w for w in (line.strip() for line in f) if w]
-        ocr.use_dictionary(words, allow_digit_prefix=allow_digit_prefix)
-        print(f"dictionary: {len(words)} words from {dictionary_path}")
+        # (docs/performance.md), and load_dictionary caches the built DAWG
+        # next to the word list, so warm restarts skip the build.
+        from aocr.utils import trie as trie_lib
+
+        table = trie_lib.load_dictionary(
+            dictionary_path, allow_digit_prefix=allow_digit_prefix)
+        ocr.set_dictionary_table(table)
+        print(f"dictionary: {table.shape[0]} trie nodes from "
+              f"{dictionary_path}")
     recognizer = BatchingRecognizer(
         ocr, max_batch, batch_window_ms, max_queue=max_queue,
         request_timeout_s=request_timeout_s,

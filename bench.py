@@ -58,10 +58,28 @@ V5E_PEAK_FLOPS = 197e12  # TPU v5e bf16 peak (single chip)
 # the child if no stage completes within AOCR_BENCH_STALL_S (default
 # 600 s, above the worst observed ~400 s degraded-tunnel cold compile).
 # Bounded by AOCR_BENCH_MAX_ATTEMPTS attempts, after which the supervisor
-# exits nonzero with no JSON line (an honest failure, never a stale
-# number).  Disable with AOCR_BENCH_WATCHDOG=0.
+# exits nonzero, emitting an explicit value-0 JSON line with an `error`
+# field (an honest environment failure, never a stale number).  A child
+# that already printed its result but wedged in teardown writes a done
+# marker first, so the supervisor treats it as success instead of
+# retrying (duplicate lines) or stamping a bogus zero.  Disable with
+# AOCR_BENCH_WATCHDOG=0.
 
 _HB_ENV = "AOCR_BENCH_HEARTBEAT"
+
+
+def _mark_done():
+    """Call right after printing the final JSON line: a child that then
+    wedges in interpreter/jax teardown (the tunnel's known failure mode)
+    must read as success to the supervisor, not as a stall to retry."""
+    hb = os.environ.get(_HB_ENV)
+    if not hb:
+        return
+    try:
+        sys.stdout.flush()
+        open(hb + ".done", "w").close()
+    except OSError:
+        pass
 
 
 def _tick():
@@ -100,6 +118,10 @@ def _supervise(child_argv=None):
             env = dict(os.environ, AOCR_BENCH_SUPERVISED="1",
                        AOCR_BENCH_ATTEMPT=str(attempt), **{_HB_ENV: hb})
             os.utime(hb, None)
+            try:
+                os.unlink(hb + ".done")  # no stale marker across attempts
+            except OSError:
+                pass
             proc = subprocess.Popen(argv, env=env)
             while True:
                 try:
@@ -111,6 +133,17 @@ def _supervise(child_argv=None):
                         idle = 0.0
                     if idle <= stall_s:
                         continue
+                    if os.path.exists(hb + ".done"):
+                        # the child printed its JSON line, then wedged in
+                        # teardown: that's a finished measurement, not a
+                        # stall — kill the zombie and report success
+                        print("# bench: child finished but wedged in "
+                              f"teardown; reaping pid {proc.pid}",
+                              file=sys.stderr)
+                        sys.stderr.flush()
+                        proc.kill()
+                        proc.wait()
+                        sys.exit(0)
                     print(f"# bench: no progress for {idle:.0f}s (attempt "
                           f"{attempt}/{max_attempts}); killing wedged child "
                           f"pid {proc.pid}", file=sys.stderr)
@@ -139,10 +172,11 @@ def _supervise(child_argv=None):
         }))
         sys.exit(1)
     finally:
-        try:
-            os.unlink(hb)
-        except OSError:
-            pass
+        for f in (hb, hb + ".done"):
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
 # --------------------------------------------------------------------------
 
 
@@ -284,6 +318,7 @@ def main():
             "train_step_ms": round(step_ms, 2),
             "train_mfu_pct": round(train_mfu * 100, 1),
         }))
+        _mark_done()
         return
     best_ips = 0.0
     for B in batches:
@@ -358,6 +393,7 @@ def main():
             beam_vs_r2=round(beam_ips / BEAM_BASELINE_IPS, 3),
         )
     print(json.dumps(line))
+    _mark_done()
 
 
 if __name__ == "__main__":

@@ -197,3 +197,25 @@ def test_measuring_child_spawns_no_threads(tmp_path):
     )
     assert proc.returncode == 0
     assert proc.stdout.strip() == "thread-free"
+
+
+def test_supervisor_done_marker_is_success_not_stall(tmp_path):
+    """A child that printed its JSON line and then wedged in teardown
+    (the tunnel's known failure mode) must read as SUCCESS: no retry,
+    no value-0 error line, exit 0."""
+    runner = _runner(tmp_path, """
+        hb = os.environ["AOCR_BENCH_HEARTBEAT"]
+        print('{"metric": "m", "value": 1}', flush=True)
+        open(hb + ".done", "w").close()
+        time.sleep(300)  # wedged in teardown
+    """)
+    proc = subprocess.run(
+        [sys.executable, runner],
+        capture_output=True, text=True, timeout=120,
+        env=_env(AOCR_BENCH_STALL_S=6, AOCR_BENCH_MAX_ATTEMPTS=3),
+    )
+    assert proc.returncode == 0
+    lines = proc.stdout.strip().splitlines()
+    assert lines == ['{"metric": "m", "value": 1}']
+    assert "wedged in teardown" in proc.stderr
+    assert "giving up" not in proc.stderr
