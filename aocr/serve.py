@@ -42,7 +42,7 @@ from aocr.config import Config
 
 class _Pending:
     __slots__ = ("image", "beam_size", "event", "text", "score", "error",
-                 "cancelled")
+                 "cancelled", "t0")
 
     def __init__(self, image: np.ndarray, beam_size: int):
         self.image = image
@@ -52,6 +52,7 @@ class _Pending:
         self.score: Optional[float] = None
         self.error: Optional[str] = None
         self.cancelled = False
+        self.t0 = 0.0
 
 
 class QueueFull(Exception):
@@ -240,17 +241,27 @@ class BatchingRecognizer:
         self._stop.set()
         self._thread.join(timeout=5)
 
-    def submit(self, image: np.ndarray, beam_size: int) -> _Pending:
-        if self._draining.is_set() or self.q.qsize() >= self.max_queue:
+    def submit_async(self, image: np.ndarray, beam_size: int,
+                     reserve: int = 1) -> _Pending:
+        """Enqueue one image without waiting (see wait()).  `reserve` is
+        the number of rows the caller is about to enqueue as a group, so
+        a multi-image request either fits entirely or is rejected whole
+        (no half-accepted batches)."""
+        if (self._draining.is_set()
+                or self.q.qsize() + reserve > self.max_queue):
             with self._lock:
-                self.stats["rejected"] += 1
+                self.stats["rejected"] += reserve
             raise QueueFull()
-        t0 = time.monotonic()
         p = _Pending(self.pad_width(image), beam_size)
+        p.t0 = time.monotonic()
         with self._lock:
             self.stats["requests"] += 1
             self._inflight += 1
         self.q.put(p)
+        return p
+
+    def wait(self, p: _Pending) -> _Pending:
+        """Block until p resolves (or times out); records latency."""
         if not p.event.wait(self.request_timeout_s):
             # mark dead so the batcher drops it instead of decoding work
             # nobody will read — but the batcher may have completed p
@@ -263,10 +274,13 @@ class BatchingRecognizer:
                     p.error = "timeout"
                     self.stats["timeouts"] += 1
         with self._lock:
-            self._latencies.append(time.monotonic() - t0)
+            self._latencies.append(time.monotonic() - p.t0)
             if len(self._latencies) > self._lat_cap:
                 del self._latencies[: self._lat_cap // 2]
         return p
+
+    def submit(self, image: np.ndarray, beam_size: int) -> _Pending:
+        return self.wait(self.submit_async(image, beam_size))
 
     def _drain_queue(self) -> list:
         """Block for one request, then collect until max_batch or the
@@ -353,21 +367,18 @@ def make_handler(recognizer: BatchingRecognizer, cfg: Config,
             else:
                 self._json(404, {"error": "not found"})
 
-        def do_POST(self):
-            from urllib.parse import parse_qs, urlparse
+        def _beam_from_query(self, query: str):
+            """Parsed beam size, or (None, response-already-sent)."""
+            from urllib.parse import parse_qs
 
-            parsed = urlparse(self.path)
-            if parsed.path != "/recognize":
-                self._json(404, {"error": "not found"})
-                return
             beam = cfg.beam_size
-            qs = parse_qs(parsed.query)
+            qs = parse_qs(query)
             if "beam_size" in qs:
                 try:
                     beam = int(qs["beam_size"][0])
                 except ValueError:
                     self._json(400, {"error": "bad beam_size"})
-                    return
+                    return None
                 if beam not in allowed_beams:
                     # only pre-compiled beam sizes are served: an un-warmed
                     # one would trigger a minutes-long XLA compile on the
@@ -376,12 +387,79 @@ def make_handler(recognizer: BatchingRecognizer, cfg: Config,
                         "error": "beam_size not enabled on this server",
                         "allowed": sorted(allowed_beams),
                     })
-                    return
+                    return None
+            return beam
+
+        def _read_body(self):
             length = int(self.headers.get("Content-Length", 0))
             if length <= 0:
                 self._json(400, {"error": "empty body"})
+                return None
+            return self.rfile.read(length)
+
+        def _do_batch(self, query: str):
+            """POST /recognize_batch: {"images": [<base64>, ...]} -> one
+            coalesced device batch, results in input order.  Lets clients
+            amortize HTTP overhead instead of one connection per image."""
+            import base64
+
+            beam = self._beam_from_query(query)
+            if beam is None:
                 return
-            raw = self.rfile.read(length)
+            raw = self._read_body()
+            if raw is None:
+                return
+            try:
+                items = json.loads(raw)["images"]
+                assert isinstance(items, list) and items
+                blobs = [base64.b64decode(s) for s in items]
+            except Exception:
+                self._json(400, {"error": 'expected {"images": '
+                                          '[<base64>, ...]}'})
+                return
+            imgs = []
+            for i, blob in enumerate(blobs):
+                img = data.load_and_preprocess(blob, cfg)
+                if img is None:
+                    self._json(400, {"error": f"cannot decode image {i}"})
+                    return
+                imgs.append(img)
+            pending = []
+            try:
+                for img in imgs:
+                    pending.append(recognizer.submit_async(
+                        img, beam, reserve=len(imgs) - len(pending)))
+            except QueueFull:
+                for p in pending:  # all-or-nothing: drop the partial group
+                    p.cancelled = True
+                if recognizer._draining.is_set():
+                    self._json(503, {"error": "server draining"})
+                else:
+                    self._json(429, {"error": "queue full, retry later"})
+                return
+            results = [recognizer.wait(p) for p in pending]
+            self._json(200, {"results": [
+                {"error": p.error} if p.error is not None
+                else {"text": p.text, "score": p.score}
+                for p in results
+            ]})
+
+        def do_POST(self):
+            from urllib.parse import urlparse
+
+            parsed = urlparse(self.path)
+            if parsed.path == "/recognize_batch":
+                self._do_batch(parsed.query)
+                return
+            if parsed.path != "/recognize":
+                self._json(404, {"error": "not found"})
+                return
+            beam = self._beam_from_query(parsed.query)
+            if beam is None:
+                return
+            raw = self._read_body()
+            if raw is None:
+                return
             img = data.load_and_preprocess(raw, cfg)
             if img is None:
                 self._json(400, {"error": "cannot decode image"})

