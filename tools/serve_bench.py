@@ -39,24 +39,32 @@ def main(argv=None):
     p.add_argument("-max_batch", "--max_batch", type=int, default=64)
     p.add_argument("-batch_window_ms", "--batch_window_ms", type=float,
                    default=20.0)
+    p.add_argument("-artifact", "--artifact", default=None,
+                   help="load-test a frozen .aocrx artifact instead of a "
+                        "checkpoint (aocr.serve -artifact path)")
+    p.add_argument("-group", "--group", type=int, default=1,
+                   help="images per request: 1 = POST /recognize, >1 = "
+                        "POST /recognize_batch with this many rows")
     args = p.parse_args(argv)
 
     cfg = Config(input_feed=True, compute_dtype="bfloat16")
     model_dir = args.model_dir
-    if model_dir is None:
+    if model_dir is None and args.artifact is None:
         model_dir = tempfile.mkdtemp(prefix="serve_bench_")
         AttentionOCR.create(cfg).save(model_dir)
         print(f"# random-weight model in {model_dir}", file=sys.stderr)
 
     ready = threading.Event()
     box = []
+    kwargs = dict(host="127.0.0.1", port=0, max_batch=args.max_batch,
+                  batch_window_ms=args.batch_window_ms,
+                  ready_event=ready, server_box=box)
+    if args.artifact:
+        kwargs["artifact"] = args.artifact  # cfg is frozen in the artifact
+    else:
+        kwargs.update(model_dir=model_dir, cfg=cfg)
     threading.Thread(
-        target=serve_mod.serve,
-        kwargs=dict(model_dir=model_dir, host="127.0.0.1", port=0,
-                    max_batch=args.max_batch,
-                    batch_window_ms=args.batch_window_ms, cfg=cfg,
-                    ready_event=ready, server_box=box),
-        daemon=True,
+        target=serve_mod.serve, kwargs=kwargs, daemon=True,
     ).start()
     assert ready.wait(1800), "server did not start"
     httpd, rec = box[0]
@@ -71,11 +79,25 @@ def main(argv=None):
     ).save(buf, format="PNG")
     body = buf.getvalue()
 
-    def post():
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/recognize", data=body, method="POST")
-        with urllib.request.urlopen(req, timeout=600) as r:
-            return json.loads(r.read())
+    if args.group > 1:
+        import base64
+
+        batch_body = json.dumps({"images": [
+            base64.b64encode(body).decode()] * args.group}).encode()
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/recognize_batch",
+                data=batch_body, method="POST")
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return json.loads(r.read())
+    else:
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/recognize", data=body,
+                method="POST")
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return json.loads(r.read())
 
     post()  # single-request smoke outside the timed window
     ok, errors = [], []
@@ -105,8 +127,10 @@ def main(argv=None):
     # SIGTERM path (serve._graceful) exercised end to end
     drained = rec.drain(timeout_s=30.0)
     httpd.shutdown()
+    images = len(ok) * args.group
     print(f"{len(ok)} ok / {len(errors)} errors in {dt:.2f}s = "
-          f"{len(ok) / dt:.0f} req/s; drained={drained}; "
+          f"{len(ok) / dt:.0f} req/s ({images / dt:.0f} img/s at "
+          f"group={args.group}); drained={drained}; "
           f"server stats: {stats}")
     if lat:
         print(f"latency p50={lat.get('p50')}s p90={lat.get('p90')}s "
