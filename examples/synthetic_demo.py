@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--words", type=int, default=2000)
     p.add_argument("--epochs", type=int, default=120)
     p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--augment", action="store_true",
+                   help="train with on-device augmentation (-augment)")
     args = p.parse_args(argv)
 
     from aocr.train import main as aocr_main
@@ -54,7 +56,7 @@ def main(argv=None):
     ]
 
     print("=== training ===")
-    aocr_main(common + [
+    aocr_main(common + (["-augment"] if args.augment else []) + [
         "-phase", "train",
         "-log_path", os.path.join(args.workdir, "train.log"),
         "-num_epochs", str(args.epochs),
