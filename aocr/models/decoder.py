@@ -377,13 +377,15 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
             from aocr.ops.pallas import tf_bwd as _tfb
 
             # the kernel consumes the residual (T, B, 4H) stacks as-is
+            # and the weights in their STORED orientation (it contracts on
+            # axis 1 in-kernel — no materialized transposes, tf_bwd.py)
             ifog_stacks = tuple(g.astype(cd) for g in ifog_seq)
             (dxp_cd, dgates_rest, dht_seq, dq_seq, dcvec_seq, dscore_seq,
              dc0_f, dh0_f) = _tfb.decoder_bwd_scan(
                 jnp.swapaxes(ctx_cd, 0, 1),
-                wfh0.T,
-                tuple(w.T for (w, _bi, _bh) in weights["rest"]),
-                wc.T, wa.T,
+                wfh0,
+                tuple(w for (w, _bi, _bh) in weights["rest"]),
+                wc, wa,
                 dys.astype(f32), htl.astype(f32), alpha.astype(f32),
                 ifog_stacks,
                 tuple(c.astype(cd) for c in cs_seq),

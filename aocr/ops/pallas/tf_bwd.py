@@ -41,8 +41,17 @@ from aocr.ops.pallas import tiling
 
 from aocr.ops.pallas.tiling import B_TILE, VMEM_BUDGET
 
+# When False (default), the kernel consumes the decoder weights in their
+# STORED orientation ((D, 4H) etc.) and contracts on axis 1 — Mosaic lowers
+# that to tpu.matmul with transpose_rhs, which the MXU streams natively.
+# When True, the weights are transposed at the XLA level before the call
+# (the r3 behavior): that materialized two (2048, 4096) layout transposes
+# per train step, ~0.86 ms/step at B=400 in the trace (tools/ab_tfbwd.py).
+PRETRANSPOSE = False
 
-def _make_kernel(num_layers: int, input_feed: bool, T: int, bt: int):
+
+def _make_kernel(num_layers: int, input_feed: bool, T: int, bt: int,
+                 pret: bool):
     def kernel(*refs):
         (ctx_ref, wfh0t_ref) = refs[:2]
         rest_t_refs = refs[2:2 + (num_layers - 1)]
@@ -70,6 +79,18 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, bt: int):
         prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
                 else jax.lax.Precision.DEFAULT)
 
+        def dotw(x, w_ref):
+            """x @ W^T against a weight ref.  pret=True: the ref already
+            holds W^T, plain dot.  pret=False: the ref holds the stored
+            orientation; contract both operands' axis 1 (tpu.matmul
+            transpose_rhs — no materialized transpose anywhere)."""
+            if pret:
+                return jnp.dot(x, w_ref[:], precision=prec,
+                               preferred_element_type=jnp.float32)
+            return jax.lax.dot_general(
+                x, w_ref[:], (((1,), (1,)), ((), ())), precision=prec,
+                preferred_element_type=jnp.float32)
+
         @pl.when(t == 0)
         def _():
             dattn_scr[:] = jnp.zeros((bt, H), jnp.float32)
@@ -80,8 +101,7 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, bt: int):
         htl = htl_ref[0].astype(jnp.float32)  # (bt, H)
         dy = dys_ref[0].astype(jnp.float32)
         dht = (dattn_scr[:] + dy) * (1.0 - htl * htl)  # d(pre-tanh)
-        dcat = jnp.dot(dht.astype(cd), wct_ref[:], precision=prec,
-                       preferred_element_type=jnp.float32)  # (bt, 2H)
+        dcat = dotw(dht.astype(cd), wct_ref)  # (bt, 2H)
         dcvec = dcat[:, :H]
         dtop = dcat[:, H:]
 
@@ -96,8 +116,7 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, bt: int):
         # dq[b,h] = sum_l dscore[b,l] * ctx[l,b,h]
         dq = jnp.sum(ctx.astype(jnp.float32)
                      * dscore.T[:, :, None], axis=0)  # (bt, H)
-        dtop = dtop + jnp.dot(dq.astype(cd), wat_ref[:], precision=prec,
-                              preferred_element_type=jnp.float32)
+        dtop = dtop + dotw(dq.astype(cd), wat_ref)
 
         dx_above = None
         dgates_by_layer = [None] * num_layers
@@ -125,15 +144,11 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, bt: int):
             ], axis=-1)  # (bt, 4H) f32
             dgates_by_layer[l] = dgates
             if l > 0:
-                dxh = jnp.dot(dgates.astype(cd), rest_t_refs[l - 1][:],
-                              precision=prec,
-                              preferred_element_type=jnp.float32)
+                dxh = dotw(dgates.astype(cd), rest_t_refs[l - 1])
                 dx_above = dxh[:, :H]
                 dh_scr[l] = dxh[:, H:]
             else:
-                dah = jnp.dot(dgates.astype(cd), wfh0t_ref[:],
-                              precision=prec,
-                              preferred_element_type=jnp.float32)
+                dah = dotw(dgates.astype(cd), wfh0t_ref)
                 if input_feed:
                     dattn_scr[:] = dah[:, :H]
                     dh_scr[0] = dah[:, H:]
@@ -181,10 +196,10 @@ def fits(L: int, H: int, num_layers: int, input_feed: bool,
 
 def decoder_bwd_scan(
     ctx_lbh: jax.Array,      # (L, B, H) compute dtype, scan-major
-    wfh0_t: jax.Array,       # (4H, D0) cd — transposed layer-0 weights
-    rest_t: Tuple[jax.Array, ...],  # per extra layer (4H, 2H) cd
-    wc_t: jax.Array,         # (H, 2H) cd
-    wa_t: jax.Array,         # (H, H) cd
+    wfh0: jax.Array,         # (D0, 4H) cd — layer-0 weights, stored layout
+    rest: Tuple[jax.Array, ...],    # per extra layer (2H, 4H) cd
+    wc: jax.Array,           # (2H, H) cd
+    wa: jax.Array,           # (H, H) cd
     dys: jax.Array,          # (T, B, H) f32 output cotangents
     htl: jax.Array,          # (T, B, H) f32 h_tilde sequence
     alpha: jax.Array,        # (T, B, L) f32
@@ -218,6 +233,12 @@ def decoder_bwd_scan(
     B = B0
     grid = (-(-B // bt), T)
 
+    pret = PRETRANSPOSE
+    if pret:
+        wfh0 = wfh0.T
+        rest = tuple(w.T for w in rest)
+        wc, wa = wc.T, wa.T
+
     const = lambda shape: pl.BlockSpec(shape, lambda i, t: (0, 0),
                                        memory_space=pltpu.VMEM)
     step_in = lambda w: pl.BlockSpec(
@@ -226,10 +247,10 @@ def decoder_bwd_scan(
     in_specs = [
         pl.BlockSpec((L, bt, H), lambda i, t: (0, i, 0),
                      memory_space=pltpu.VMEM),
-        const(wfh0_t.shape),
+        const(wfh0.shape),
     ]
-    in_specs += [const(w.shape) for w in rest_t]
-    in_specs += [const(wc_t.shape), const(wa_t.shape)]
+    in_specs += [const(w.shape) for w in rest]
+    in_specs += [const(wc.shape), const(wa.shape)]
     in_specs += [step_in(H), step_in(H), step_in(L)]
     in_specs += [step_in(4 * H)] * num_layers
     in_specs += [step_in(H)] * (2 * num_layers)
@@ -249,9 +270,9 @@ def decoder_bwd_scan(
     out_shape += [jax.ShapeDtypeStruct((T, B, L), jnp.float32)]
     out_shape += [jax.ShapeDtypeStruct((B, H), jnp.float32)] * 2
 
-    kernel = _make_kernel(num_layers, input_feed, T, bt)
-    gate_flops = 2 * B * 4 * H * (wfh0_t.shape[1]
-                                  + (num_layers - 1) * 2 * H)
+    kernel = _make_kernel(num_layers, input_feed, T, bt, pret)
+    d0 = wfh0.shape[1] if pret else wfh0.shape[0]
+    gate_flops = 2 * B * 4 * H * (d0 + (num_layers - 1) * 2 * H)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -275,7 +296,7 @@ def decoder_bwd_scan(
         ),
         interpret=interpret,
     )(
-        ctx_lbh, wfh0_t, *rest_t, wc_t, wa_t,
+        ctx_lbh, wfh0, *rest, wc, wa,
         dys, htl, alpha, *ifog, *cs, *cprev,
     )
     dg0 = outs[0]

@@ -51,8 +51,12 @@ def main():
     print(f"B={B} floor {floor:.1f} ms", flush=True)
 
     def make(name):
-        cfg = Config(input_feed=True, compute_dtype="bfloat16",
-                     batch_size=B, **VARIANTS[name]).validate()
+        # variant overrides must win over the flagship defaults (a plain
+        # **VARIANTS[name] after input_feed=True raised TypeError for the
+        # 'noinputfeed' variant: duplicate keyword)
+        kw = {"input_feed": True, "compute_dtype": "bfloat16",
+              "batch_size": B, **VARIANTS[name]}
+        cfg = Config(**kw).validate()
         from aocr.models import model
         ms = model.init(jax.random.PRNGKey(cfg.seed), cfg)
 
@@ -81,7 +85,9 @@ def main():
                 t0 = time.perf_counter()
                 np.asarray(rep(images))
                 dt = (time.perf_counter() - t0) * 1000
-                t = min(t, (dt - floor) / REP)
+                # the floor estimate can exceed a fast run; clamp so the
+                # img/s prints below never divide by <= 0
+                t = min(t, max((dt - floor) / REP, 1e-3))
             best[n] = min(best[n], t)
             print(f"round {round_i} {n}: {t:.2f} ms "
                   f"({B / t * 1000:.0f} img/s)", flush=True)
