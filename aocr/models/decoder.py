@@ -217,6 +217,9 @@ _TF_VJP_CACHE: dict = {}
 # (interpret mode); on TPU the kernel activates for bfloat16 compute.
 _PALLAS_TF_BWD_INTERPRET = False
 
+# Same for the whole-scan teacher-forced FORWARD kernel (ops/pallas/tf_fwd).
+_PALLAS_TF_FWD_INTERPRET = False
+
 
 def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
     """Custom-VJP teacher-forced decoder scan for a static
@@ -303,14 +306,50 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
 
         return lax.scan(body, state0, xp, unroll=lstm.SCAN_UNROLL)
 
+    def _fwd_kernel_ok(context, c0, T):
+        """Route the forward scan through the whole-scan Pallas kernel
+        (ops/pallas/tf_fwd) under the same conditions as the backward:
+        never under GSPMD TP (allow_kernel=False), interpret mode on CPU
+        for tests, else TPU + bf16 + a VMEM-estimate fit."""
+        from aocr.ops.pallas import tf_fwd as _tff
+
+        if not allow_kernel or not _tff.ENABLE:
+            return False
+        if _PALLAS_TF_FWD_INTERPRET:
+            return True
+        if cd != jnp.bfloat16 or jax.default_backend() != "tpu":
+            return False
+        return _tff.fits(context.shape[1], c0.shape[1], num_layers,
+                         input_feed, jnp.dtype(cd).itemsize, T)
+
+    def _fwd_kernel_call(weights, xp, context, c0, h0, collect):
+        from aocr.ops.pallas import tf_fwd as _tff
+
+        # scan-major context, shared (CSE) with the backward kernel's
+        ctx_lbh = jnp.swapaxes(context.astype(cd), 0, 1)
+        return _tff.decoder_fwd_scan(
+            ctx_lbh, weights["wfh0"], tuple(weights["rest"]),
+            weights["wa"], weights["wc"],
+            xp.astype(jnp.float32), c0, h0, input_feed, collect,
+            interpret=_PALLAS_TF_FWD_INTERPRET)
+
     @jax.custom_vjp
     def core(weights, xp, context, c0, h0):
+        if _fwd_kernel_ok(context, c0, xp.shape[0]):
+            return _fwd_kernel_call(weights, xp, context, c0, h0,
+                                    collect=False)
         _, h_tildes = fwd_scan(weights, xp, context, c0, h0, collect=False)
         return h_tildes  # (T, B, H) scan-major
 
     def fwd(weights, xp, context, c0, h0):
-        _, (h_tildes, hs_layers, ifog_seq, cs_cd, alpha_seq, cvec_cd) = \
-            fwd_scan(weights, xp, context, c0, h0, collect=True)
+        if _fwd_kernel_ok(context, c0, xp.shape[0]):
+            (h_tildes, hs_layers, ifog_seq, cs_cd, alpha_seq,
+             cvec_cd) = _fwd_kernel_call(weights, xp, context, c0, h0,
+                                         collect=True)
+        else:
+            _, (h_tildes, hs_layers, ifog_seq, cs_cd, alpha_seq,
+                cvec_cd) = fwd_scan(weights, xp, context, c0, h0,
+                                    collect=True)
         return h_tildes, (weights, xp, context, c0, h0, h_tildes, hs_layers,
                           ifog_seq, cs_cd, alpha_seq, cvec_cd)
 
