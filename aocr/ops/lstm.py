@@ -137,6 +137,40 @@ _SCAN_VJP_CACHE: dict = {}
 # (interpret mode); on TPU the kernel activates for bfloat16 compute.
 _PALLAS_LSTM_BWD_INTERPRET = False
 
+# Same for the whole-scan encoder FORWARD kernel (ops/pallas/lstm_fwd).
+_PALLAS_LSTM_FWD_INTERPRET = False
+
+
+def _fwd_kernel_ok(H: int, cd) -> bool:
+    """Route the forward recurrence through the whole-scan Pallas kernel:
+    interpret mode on CPU for tests, else TPU + bf16 + a VMEM fit.  Only
+    consulted from the custom-VJP paths (the plain-autodiff path must stay
+    differentiable XLA ops)."""
+    from aocr.ops.pallas import lstm_fwd as _lf
+
+    if not _lf.ENABLE:
+        return False
+    if _PALLAS_LSTM_FWD_INTERPRET:
+        return True
+    if cd != jnp.bfloat16 or jax.default_backend() != "tpu":
+        return False
+    return _lf.fits(H, jnp.dtype(cd).itemsize)
+
+
+def _kernel_from_proj(wh_cd, x_proj, c0, h0, reverse: bool, collect: bool):
+    """lstm_fwd kernel call returning _scan_from_proj/_collect_from_proj's
+    shapes ((B, L, H) hs + f32 finals [+ scan-major residual stacks])."""
+    from aocr.ops.pallas import lstm_fwd as _lf
+
+    out = _lf.lstm_fwd_scan(
+        wh_cd, x_proj.astype(jnp.float32), c0, h0, reverse, collect,
+        interpret=_PALLAS_LSTM_FWD_INTERPRET)
+    if collect:
+        hs, finals, (ifog, cs) = out
+        return jnp.swapaxes(hs, 0, 1), finals, (ifog, cs)
+    hs, finals = out
+    return jnp.swapaxes(hs, 0, 1), finals
+
 
 def _collect_from_proj(wh, x_proj, c0, h0, reverse: bool, cd):
     """_scan_from_proj plus residual stacks: returns (hs, (c_f, h_f),
@@ -264,11 +298,20 @@ def _scan_custom(reverse: bool, cd):
 
     @jax.custom_vjp
     def scan_fn(layer, xs, c0, h0):
+        if _fwd_kernel_ok(layer["wh"].shape[0], cd):
+            return _kernel_from_proj(
+                layer["wh"].astype(cd), _proj_input(layer, xs, cd),
+                c0, h0, reverse, collect=False)
         return _scan_ad(layer, xs, c0, h0, reverse, cd)
 
     def fwd(layer, xs, c0, h0):
-        hs, finals, (ifog, cs) = _scan_collect(layer, xs, c0, h0,
-                                               reverse, cd)
+        if _fwd_kernel_ok(layer["wh"].shape[0], cd):
+            hs, finals, (ifog, cs) = _kernel_from_proj(
+                layer["wh"].astype(cd), _proj_input(layer, xs, cd),
+                c0, h0, reverse, collect=True)
+        else:
+            hs, finals, (ifog, cs) = _scan_collect(layer, xs, c0, h0,
+                                                   reverse, cd)
         return (hs, finals), (layer, xs, c0, h0, hs, ifog, cs)
 
     def bwd(res, cotangents):
@@ -364,10 +407,25 @@ def _bidir_custom(cd):
 
     @jax.custom_vjp
     def scan_fn(layer_fw, layer_bw, xs, c0f, h0f, c0b, h0b):
+        if _fwd_kernel_ok(layer_fw["wh"].shape[0], cd):
+            xp_fw, xp_bw = _bidir_proj(layer_fw, layer_bw, xs, cd)
+            hs_f, fin_f = _kernel_from_proj(
+                layer_fw["wh"].astype(cd), xp_fw, c0f, h0f, False, False)
+            hs_b, fin_b = _kernel_from_proj(
+                layer_bw["wh"].astype(cd), xp_bw, c0b, h0b, True, False)
+            return hs_f, fin_f, hs_b, fin_b
         return _bidir_ad(layer_fw, layer_bw, xs, c0f, h0f, c0b, h0b, cd)
 
     def fwd(layer_fw, layer_bw, xs, c0f, h0f, c0b, h0b):
         xp_fw, xp_bw = _bidir_proj(layer_fw, layer_bw, xs, cd)
+        if _fwd_kernel_ok(layer_fw["wh"].shape[0], cd):
+            hs_f, fin_f, (ifog_f, cs_f) = _kernel_from_proj(
+                layer_fw["wh"].astype(cd), xp_fw, c0f, h0f, False, True)
+            hs_b, fin_b, (ifog_b, cs_b) = _kernel_from_proj(
+                layer_bw["wh"].astype(cd), xp_bw, c0b, h0b, True, True)
+            res = (layer_fw, layer_bw, xs, c0f, h0f, c0b, h0b,
+                   hs_f, ifog_f, cs_f, hs_b, ifog_b, cs_b)
+            return (hs_f, fin_f, hs_b, fin_b), res
         hs_f, fin_f, (ifog_f, cs_f) = _collect_from_proj(
             layer_fw["wh"].astype(cd), xp_fw, c0f, h0f, False, cd)
         hs_b, fin_b, (ifog_b, cs_b) = _collect_from_proj(
