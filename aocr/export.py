@@ -106,6 +106,15 @@ def export_recognizer(
     from aocr.config import GEOMETRY_FIELDS
 
     cfg = ocr.cfg.replace(use_pallas=use_pallas)
+    disabled_checks: tuple = ()
+    if use_pallas:
+        # Mosaic kernels lower to `tpu_custom_call`, which jax.export
+        # rejects by default (custom calls carry no stability guarantee —
+        # exactly the trade the caller opts into here), and they only
+        # lower for the tpu platform.
+        platforms = ("tpu",)
+        disabled_checks = (
+            jax_export.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
     K = min(beam_size or cfg.beam_size, cfg.target_vocab_size)
     T = max_len or cfg.max_decoder_l
     trie = ocr.dictionary_table
@@ -146,7 +155,8 @@ def export_recognizer(
         if use_trie:
             args.append(spec(np.asarray(trie)))
         programs[w] = jax_export.export(
-            jax.jit(fn), platforms=tuple(platforms))(*args)
+            jax.jit(fn), platforms=tuple(platforms),
+            disabled_checks=disabled_checks)(*args)
 
     arrays: dict = {}
     skeleton = {"params": _flatten(params, "params", arrays),

@@ -16,6 +16,7 @@ float32 batch-norm statistics.
 from __future__ import annotations
 
 import math
+from functools import partial as _partial
 from typing import Tuple
 
 import jax
@@ -83,12 +84,7 @@ def init_batch_stats() -> dict:
     return stats
 
 
-def _max_pool(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
-    # reduce_window, NOT reshape+max: the pools are non-overlapping so a
-    # reshape+max computes the same forward, but its VJP measured *slower*
-    # than reduce_window's SelectAndScatter on v5e (cnn+enc fwd+bwd 19.7 vs
-    # 15.3 ms at B=400, tools/profile_train.py) — XLA:TPU handles the
-    # scatter fine here and the 6-D equality-select does not fuse.
+def _reduce_window_max(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
     wh, ww = window
     return lax.reduce_window(
         x,
@@ -98,6 +94,79 @@ def _max_pool(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
         (1, wh, ww, 1),
         "VALID",
     )
+
+
+# A/B switch (tools/ab_pool.py): False reverts the pool backward to
+# reduce_window autodiff (XLA SelectAndScatter).
+_POOL_CUSTOM_VJP = True
+
+
+def _pool_bwd_impl(x: jax.Array, dy: jax.Array,
+                   window: Tuple[int, int]) -> jax.Array:
+    """Winner-take-all max-pool backward without SelectAndScatter.
+
+    Per non-overlapping window, route dy to the FIRST element equal to the
+    window max in row-major window order — bit-identical to what XLA's
+    select-and-scatter (GE select) computes for reduce_window's VJP, but
+    expressed as strided slices + boolean chains + an interleave reshape,
+    which fuse on TPU instead of lowering to the scatter emitter (the
+    ~1 ms/step pool1 backward chain in the r3 train trace).  The window
+    max is recomputed from the slices (an exact element pick, no
+    arithmetic), so only x is carried as residual.
+    """
+    wh, ww = window
+    B, H, W, C = x.shape
+    Ho, Wo = H // wh, W // ww
+    Ht, Wt = Ho * wh, Wo * ww
+    xt = x[:, :Ht, :Wt, :] if (Ht, Wt) != (H, W) else x
+    xs = [[lax.slice(xt, (0, di, dj, 0), (B, Ht, Wt, C), (1, wh, ww, 1))
+           for dj in range(ww)] for di in range(wh)]
+    y = None
+    for row in xs:
+        for xi in row:
+            y = xi if y is None else lax.max(y, xi)
+    parts, taken = [], None
+    for row in xs:
+        prow = []
+        for xi in row:
+            eq = xi == y
+            first = eq if taken is None else (eq & ~taken)
+            taken = eq if taken is None else (taken | eq)
+            prow.append(jnp.where(first, dy, 0).astype(x.dtype))
+        parts.append(prow)
+    rows = [r[0] if ww == 1 else
+            jnp.stack(r, axis=3).reshape(B, Ho, Wt, C) for r in parts]
+    dx = rows[0] if wh == 1 else \
+        jnp.stack(rows, axis=2).reshape(B, Ht, Wt, C)
+    if (Ht, Wt) != (H, W):  # VALID drops ragged edge rows/cols: zero grad
+        dx = jnp.pad(dx, ((0, 0), (0, H - Ht), (0, W - Wt), (0, 0)))
+    return dx
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_cvjp(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
+    return _reduce_window_max(x, window)
+
+
+def _max_pool_cvjp_fwd(x, window):
+    return _reduce_window_max(x, window), (x,)
+
+
+def _max_pool_cvjp_bwd(window, res, dy):
+    (x,) = res
+    return (_pool_bwd_impl(x, dy, window),)
+
+
+_max_pool_cvjp.defvjp(_max_pool_cvjp_fwd, _max_pool_cvjp_bwd)
+
+
+def _max_pool(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
+    # Forward: reduce_window either way (a reshape+max forward measured
+    # slower end-to-end on v5e — cnn+enc fwd+bwd 19.7 vs 15.3 ms at B=400,
+    # tools/profile_train.py).  Backward: custom VJP above (A/B gated).
+    if _POOL_CUSTOM_VJP:
+        return _max_pool_cvjp(x, window)
+    return _reduce_window_max(x, window)
 
 
 def _batch_norm(

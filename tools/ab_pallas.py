@@ -159,7 +159,56 @@ def main():
             words.add("".join(wrng.choice(chars, size=n)))
         table = jnp.asarray(trie_lib.build_transition_table(sorted(words)))
         print(f"dictionary: {len(words)} words, {table.shape[0]} trie nodes")
+
+        # Routing attestation: evaluate the greedy whole-loop VMEM gate
+        # exactly as decode._greedy_from_context does, so the log records
+        # whether the estimator routes this lexicon to the loop kernel or
+        # the HBM-validity fused tail on real hardware.
+        from aocr.ops.pallas import greedy_loop as _pgl
+
+        H, L, T50 = 1024, 24, 50
+        vp = ((cfg.target_vocab_size + _pgl.LANE - 1) // _pgl.LANE) * _pgl.LANE
+        est = _pgl.vmem_bytes(L, H, T50, cfg.decoder_num_layers,
+                              cfg.input_feed, vp, vp, 2,
+                              _pgl.trie_table_bytes(table.shape[0], vp))
+        gate = est <= _pgl.VMEM_BUDGET - 16 * 1024 * 1024
+        print(f"greedy whole-loop VMEM estimate {est / 2**20:.0f} MB "
+              f"(budget {_pgl.VMEM_BUDGET / 2**20:.0f} MB) -> "
+              f"{'LOOP' if gate else 'fused tail (HBM validity plane)'}")
+
+        cfg_pa = cfg.replace(use_pallas=True)  # auto routing
+        for B in batches:
+            images = jnp.asarray(
+                rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32))
+            for T, label in ((50, "worst50"), (10, "early10")):
+                r = {}
+                for name, c in (("xla", cfg), ("auto", cfg_pa)):
+                    fn = lambda im, c=c: decode.greedy_decode(
+                        ms.params, ms.batch_stats, im, c, T,
+                        trie_table=table, use_trie=True)
+                    r[name] = measure(fn, images, floor_ms,
+                                      tag=f"bigtrie-greedy B={B} T={T} "
+                                          f"{name}")
+                print(f"bigtrie-greedy B={B} {label}: "
+                      f"xla {r['xla']:.2f} ms ({B / r['xla'] * 1000:.0f})  "
+                      f"auto {r['auto']:.2f} ms "
+                      f"({B / r['auto'] * 1000:.0f} img/s)  "
+                      f"speedup {r['xla'] / r['auto']:.3f}x")
+            la, _ = decode.greedy_decode(ms.params, ms.batch_stats, images,
+                                         cfg, 50, trie_table=table,
+                                         use_trie=True)
+            lp, _ = decode.greedy_decode(ms.params, ms.batch_stats, images,
+                                         cfg_pa, 50, trie_table=table,
+                                         use_trie=True)
+            same = float((np.asarray(la) == np.asarray(lp)).mean())
+            print(f"bigtrie-greedy B={B} token agreement: {same * 100:.2f}%")
         K = 5
+        from aocr.ops.pallas import beam_loop as _pbl
+
+        beam_gate = _pbl.fits(L, H, T50, K, cfg.decoder_num_layers,
+                              cfg.input_feed, vp, vp, 2, table.shape[0])
+        print(f"beam{K} whole-loop VMEM gate at {table.shape[0]} trie "
+              f"nodes -> {'LOOP' if beam_gate else 'fused tail (HBM trie)'}")
         cfg_bt = cfg.replace(use_pallas=True, pallas_beam="tail")
         for B in batches:
             images = jnp.asarray(
