@@ -96,9 +96,15 @@ def _reduce_window_max(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
     )
 
 
-# A/B switch (tools/ab_pool.py): False reverts the pool backward to
-# reduce_window autodiff (XLA SelectAndScatter).
-_POOL_CUSTOM_VJP = True
+# A/B switch (tools/ab_pool.py): True replaces the pool backward's XLA
+# SelectAndScatter with the strided-slice custom VJP below.  Measured
+# WORSE on v5e (full train step 20.66 vs 17.64 ms at B=400, best-of-3
+# alternating) — the slice/boolean-chain expansion reads the pool input
+# wh*ww times and defeats the conv1-dgrad fusion, while the scatter
+# emitter the r3 trace blamed was already overlapped.  Default stays the
+# autodiff path; the kernel remains for re-measurement on other hardware
+# generations (grads bit-identical either way, tests/test_pool_vjp.py).
+_POOL_CUSTOM_VJP = False
 
 
 def _pool_bwd_impl(x: jax.Array, dy: jax.Array,
