@@ -18,6 +18,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is jit-compile-dominated
+# (~26 min cold), and XLA:CPU programs cache fine — repeat runs of a
+# compile-heavy file measured ~2x faster (31 -> 14 s for one full
+# train-step compile).  Keyed by HLO hash, so source changes miss
+# naturally; delete the directory to force cold compiles.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
