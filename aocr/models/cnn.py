@@ -175,6 +175,51 @@ def _max_pool(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
     return _reduce_window_max(x, window)
 
 
+# Tests set this to run the fused ReLU+pool backward Pallas kernel on CPU
+# (interpret mode); on TPU it activates whenever the spatial dims divide
+# the window (see ops/pallas/pool_bwd.py for the backward semantics).
+_PALLAS_POOL_BWD_INTERPRET = False
+
+
+def _pool_kernel_ok(shape, window) -> bool:
+    from aocr.ops.pallas import pool_bwd as _pb
+
+    if not (_pb.ENABLE and _pb.supported(shape, window)):
+        return False
+    if _PALLAS_POOL_BWD_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _relu_pool(z: jax.Array, window: Tuple[int, int]) -> jax.Array:
+    """max_pool(relu(z)) with a one-kernel backward.
+
+    The composite's VJP reads ONLY the ReLU output (= the pool input,
+    saved anyway): dz = dy routed to the first window max, zeroed where
+    the output is zero — bit-identical to XLA's select_and_scatter +
+    ReLU-VJP composition (argument in ops/pallas/pool_bwd.py), without
+    the scatter emitter or the packed ReLU-mask residual it needs.
+    """
+    return _reduce_window_max(jax.nn.relu(z), window)
+
+
+def _relu_pool_fwd(z, window):
+    y = jax.nn.relu(z)
+    return _reduce_window_max(y, window), (y,)
+
+
+def _relu_pool_bwd(window, res, dy):
+    (y,) = res
+    from aocr.ops.pallas import pool_bwd as _pb
+
+    return (_pb.relu_pool_bwd(y, dy, window,
+                              interpret=_PALLAS_POOL_BWD_INTERPRET),)
+
+
+_relu_pool.defvjp(_relu_pool_fwd, _relu_pool_bwd)
+
+
 def _batch_norm(
     x: jax.Array, p: dict, s: dict, train: bool, axis_name=None,
     row_mask=None,
@@ -282,9 +327,13 @@ def apply(
         # exactly.  (An output-masked custom-VJP variant that drops the
         # remaining packed-mask residual measured neutral — tools/ab_wgrad
         # — and was not kept.)
-        x = jax.nn.relu(x)
-        if idx in _POOL_AFTER:
-            x = _max_pool(x, _POOL_AFTER[idx])
+        if (idx in _POOL_AFTER and not _POOL_CUSTOM_VJP
+                and _pool_kernel_ok(x.shape, _POOL_AFTER[idx])):
+            x = _relu_pool(x, _POOL_AFTER[idx])
+        else:
+            x = jax.nn.relu(x)
+            if idx in _POOL_AFTER:
+                x = _max_pool(x, _POOL_AFTER[idx])
     # x: (B, 1, L, 512) -> (B, L, 512)
     features = jnp.squeeze(x, axis=1)
     return features, new_stats
