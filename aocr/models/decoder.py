@@ -327,10 +327,12 @@ def _tf_core(num_layers: int, input_feed: bool, cd, allow_kernel: bool = True):
 
         # scan-major context, shared (CSE) with the backward kernel's
         ctx_lbh = jnp.swapaxes(context.astype(cd), 0, 1)
+        # xp passes in its stored dtype (f32, or cd under
+        # lstm.XPROJ_COMPUTE_DTYPE); the kernel upcasts per-tile.
         return _tff.decoder_fwd_scan(
             ctx_lbh, weights["wfh0"], tuple(weights["rest"]),
             weights["wa"], weights["wc"],
-            xp.astype(jnp.float32), c0, h0, input_feed, collect,
+            xp, c0, h0, input_feed, collect,
             interpret=_PALLAS_TF_FWD_INTERPRET)
 
     @jax.custom_vjp
@@ -608,6 +610,12 @@ def teacher_forced(
         matmul(emb.astype(cd), wi_emb.astype(cd))
         + layer0["bi"] + layer0["bh"]
     )  # (T, B, 4H)
+    if lstm.XPROJ_COMPUTE_DTYPE and cd != jnp.float32:
+        # Store the hoisted projection in the compute dtype (see
+        # lstm.XPROJ_COMPUTE_DTYPE).  The astype boundary keeps the bias
+        # grads f32-accumulated: its VJP upcasts the (T, B, 4H) cotangent
+        # before the bias-add reduce.
+        emb_proj = emb_proj.astype(cd)
     wfh = (
         jnp.concatenate(
             [layer0["wi"][E:].astype(cd), layer0["wh"].astype(cd)], axis=0

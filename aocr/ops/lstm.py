@@ -89,6 +89,18 @@ def lstm_step(
     return gate_math(gates, c_prev)
 
 
+# A/B switch (tools/ab_xproj.py): store the hoisted input-projection
+# stacks in the COMPUTE dtype instead of the matmul's f32 accumulation.
+# On the bf16 path this halves the HBM traffic of the largest pure-IO
+# stacks in the train step — the encoder (L, B, 4H) x2 directions and
+# the decoder (T, B, 4H) write once and re-read per kernel — at the cost
+# of one bf16 rounding of the pre-activation before the f32 gate add
+# (the recurrent h @ Wh term still accumulates in f32; both the Pallas
+# kernels and the XLA scan fallbacks consume the SAME stack, so
+# kernel/XLA bit-identity is preserved).  float32 mode is unaffected.
+XPROJ_COMPUTE_DTYPE = True
+
+
 def _proj_input(layer: dict, xs: jax.Array, cd) -> jax.Array:
     """Hoisted input projection, computed scan-major: transposing the small
     (B, L, D) input first means the matmul emits (L, B, 4H) in its natural
@@ -96,10 +108,13 @@ def _proj_input(layer: dict, xs: jax.Array, cd) -> jax.Array:
     (B, L, 4H) and swapping axes instead left the stack in a transposed
     layout whose per-step slices ran ~25x off bandwidth (1.7 ms/step at
     B=400 in the train trace, T(1,128)-tiled slices)."""
-    return (
+    xp = (
         matmul(jnp.swapaxes(xs, 0, 1).astype(cd), layer["wi"].astype(cd))
         + layer["bi"] + layer["bh"]
     )  # (L, B, 4H) scan-major
+    if XPROJ_COMPUTE_DTYPE and cd != jnp.float32:
+        xp = xp.astype(cd)
+    return xp
 
 
 def _scan_from_proj(wh, x_proj, c0, h0, reverse: bool, cd):
@@ -162,8 +177,10 @@ def _kernel_from_proj(wh_cd, x_proj, c0, h0, reverse: bool, collect: bool):
     shapes ((B, L, H) hs + f32 finals [+ scan-major residual stacks])."""
     from aocr.ops.pallas import lstm_fwd as _lf
 
+    # x_proj passes in its stored dtype (f32, or cd under
+    # XPROJ_COMPUTE_DTYPE); the kernel upcasts per-tile in registers.
     out = _lf.lstm_fwd_scan(
-        wh_cd, x_proj.astype(jnp.float32), c0, h0, reverse, collect,
+        wh_cd, x_proj, c0, h0, reverse, collect,
         interpret=_PALLAS_LSTM_FWD_INTERPRET)
     if collect:
         hs, finals, (ifog, cs) = out

@@ -62,7 +62,10 @@ def _make_kernel(T: int, bt: int, collect: bool):
             c_scr[:] = c0_ref[:].astype(f32)
             h_scr[:] = h0_ref[:].astype(f32)
 
-        xp = xp_ref[0]  # (bt, 4H) f32 — hoisted input projection
+        # hoisted input projection (bt, 4H), f32 or compute dtype
+        # (lstm.XPROJ_COMPUTE_DTYPE); upcast is exact, mirroring the XLA
+        # scan body's add-promotion
+        xp = xp_ref[0].astype(f32)
         gates = xp + jnp.dot(h_scr[:].astype(cd), wh_ref[:], precision=prec,
                              preferred_element_type=f32)
         c, h, ifog4 = gate_math_parts(gates, c_scr[:])
@@ -99,7 +102,7 @@ def fits(H: int, itemsize: int) -> bool:
 
 def lstm_fwd_scan(
     wh: jax.Array,        # (H, 4H) cd — recurrent weights, stored layout
-    x_proj: jax.Array,    # (L, B, 4H) f32 hoisted input projections
+    x_proj: jax.Array,    # (L, B, 4H) hoisted input projections (f32 or cd)
     c0: jax.Array,        # (B, H)
     h0: jax.Array,        # (B, H)
     reverse: bool,

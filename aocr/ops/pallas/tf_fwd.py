@@ -93,7 +93,10 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, bt: int,
                 c_scr[l] = jnp.zeros((bt, H), f32)
                 h_scr[l] = jnp.zeros((bt, H), f32)
 
-        xp = xp_ref[0]  # (bt, 4H) f32 — hoisted input projection
+        # hoisted input projection (bt, 4H), f32 or compute dtype
+        # (lstm.XPROJ_COMPUTE_DTYPE); upcast is exact, mirroring the XLA
+        # scan body's add-promotion
+        xp = xp_ref[0].astype(f32)
         if input_feed:
             ah = jnp.concatenate([attn_scr[:], h_scr[0]], axis=-1).astype(cd)
         else:
@@ -176,7 +179,8 @@ def decoder_fwd_scan(
     #                          per extra layer ((2H, 4H) cd, bi f32, bh f32)
     wa: jax.Array,           # (H, H) cd
     wc: jax.Array,           # (2H, H) cd
-    xp: jax.Array,           # (T, B, 4H) f32 hoisted input projections
+    xp: jax.Array,           # (T, B, 4H) hoisted input projections
+    #                          (f32, or compute dtype — upcast in-kernel)
     c0: jax.Array,           # (B, H) layer-0 init from encoder finals
     h0: jax.Array,           # (B, H)
     input_feed: bool,
