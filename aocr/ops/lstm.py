@@ -100,6 +100,22 @@ def lstm_step(
 # kernel/XLA bit-identity is preserved).  float32 mode is unaffected.
 XPROJ_COMPUTE_DTYPE = True
 
+# A/B switch (tools/ab_hstack.py): stack the per-step hidden states in the
+# COMPUTE dtype instead of f32.  Every consumer of the h stacks casts to
+# the compute dtype anyway — the encoder context feeds attention/gate
+# matmuls as bf16, and the backward's h_prev weight-grad einsum casts to
+# cd — so the stored f32 stack was pure IO; the (dhs) cotangent arriving
+# at the stack gets the same bf16 rounding on both the custom-VJP and
+# plain-autodiff paths (the astype sits inside both), keeping them
+# bit-identical to each other.  Final states (dec_init) stay f32.
+HSTACK_COMPUTE_DTYPE = True
+
+
+def _stack_h(h: jax.Array, cd) -> jax.Array:
+    if HSTACK_COMPUTE_DTYPE and cd != jnp.float32:
+        return h.astype(cd)
+    return h
+
 
 def _proj_input(layer: dict, xs: jax.Array, cd) -> jax.Array:
     """Hoisted input projection, computed scan-major: transposing the small
@@ -125,7 +141,7 @@ def _scan_from_proj(wh, x_proj, c0, h0, reverse: bool, cd):
         c, h = carry
         gates = xp + matmul(h.astype(cd), wh)
         c, h = gate_math(gates, c)
-        return (c, h), h
+        return (c, h), _stack_h(h, cd)
 
     (c_f, h_f), hs = lax.scan(body, (c0, h0), x_proj, reverse=reverse,
                               unroll=SCAN_UNROLL)
@@ -198,7 +214,8 @@ def _collect_from_proj(wh, x_proj, c0, h0, reverse: bool, cd):
         c, h = carry
         gates = xp + matmul(h.astype(cd), wh)
         c, h, ifog4 = gate_math_parts(gates, c)
-        return (c, h), (h, jnp.concatenate(ifog4, axis=-1).astype(cd),
+        return (c, h), (_stack_h(h, cd),
+                        jnp.concatenate(ifog4, axis=-1).astype(cd),
                         c.astype(cd))
 
     (c_f, h_f), (hs, ifog, cs) = lax.scan(
@@ -230,11 +247,13 @@ def _bwd_recurrence(layer, hs, c0, h0, ifog, cs_t, dhs, dc_f, dh_f,
     hs_t = jnp.swapaxes(hs, 0, 1)  # (L, B, H) scan-major
     if reverse:
         # step t consumed state from t+1; the initial state feeds t=L-1
-        h_prev = jnp.concatenate([hs_t[1:], h0[None]], axis=0)
+        h_prev = jnp.concatenate(
+            [hs_t[1:], h0[None].astype(hs_t.dtype)], axis=0)
         c_prev_t = jnp.concatenate(
             [cs_t[1:], c0[None].astype(cs_t.dtype)], axis=0)
     else:
-        h_prev = jnp.concatenate([h0[None], hs_t[:-1]], axis=0)
+        h_prev = jnp.concatenate(
+            [h0[None].astype(hs_t.dtype), hs_t[:-1]], axis=0)
         c_prev_t = jnp.concatenate(
             [c0[None].astype(cs_t.dtype), cs_t[:-1]], axis=0)
     dhs_t = jnp.swapaxes(dhs, 0, 1).astype(jnp.float32)  # (L, B, H)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from aocr.ops import lstm as lstm_mod
 from aocr.ops.lstm import gate_math_parts
 from aocr.ops.pallas import tiling
 from aocr.ops.pallas.tiling import B_TILE, VMEM_BUDGET
@@ -71,7 +72,7 @@ def _make_kernel(T: int, bt: int, collect: bool):
         c, h, ifog4 = gate_math_parts(gates, c_scr[:])
         c_scr[:] = c
         h_scr[:] = h
-        hs_ref[0] = h
+        hs_ref[0] = h.astype(hs_ref.dtype)  # f32, or cd (HSTACK_COMPUTE_DTYPE)
         if collect:
             ifog_ref[0] = jnp.concatenate(ifog4, axis=-1).astype(cd)
             cs_ref[0] = c.astype(cd)
@@ -142,8 +143,10 @@ def lstm_fwd_scan(
                      memory_space=pltpu.VMEM),
         row(H), row(H), step(4 * H),
     ]
+    hs_dtype = (cd if (lstm_mod.HSTACK_COMPUTE_DTYPE
+                       and cd != jnp.float32) else jnp.float32)
     out_specs = [step(H), row(H), row(H)]
-    out_shape = [jax.ShapeDtypeStruct((L, B, H), jnp.float32),
+    out_shape = [jax.ShapeDtypeStruct((L, B, H), hs_dtype),
                  jax.ShapeDtypeStruct((B, H), jnp.float32),
                  jax.ShapeDtypeStruct((B, H), jnp.float32)]
     if collect:
