@@ -220,10 +220,136 @@ def _relu_pool_bwd(window, res, dy):
 _relu_pool.defvjp(_relu_pool_fwd, _relu_pool_bwd)
 
 
+# How the conv bias gradient (the cnn.py bias-add backward) is computed.
+# The r4 train trace showed XLA fusing each bias-grad reduce_sum into the
+# kLoop fusion that materializes the conv-output cotangent (the BN/ReLU
+# backward pointwise chain): a dual-output loop fusion with an in-loop
+# bf16 cross-sublane reduce, measured ~2.1 ms/step across the stack at
+# B=400 — ~15-20x its bandwidth roofline (the tensors are re-read anyway
+# by the conv wgrad/dgrad custom-calls).  Modes (tools/ab_biasgrad.py):
+#   "xla"  — plain `x + b`, autodiff reduce (status quo ante)
+#   "dot"  — custom VJP; db = ones-vector dot_general on the MXU, f32 accum
+#   "f32"  — custom VJP; db = f32 reduce behind an optimization_barrier
+#            (the barrier keeps the reduce OUT of the cotangent fusion)
+_BIAS_GRAD = "dot"
+
+
+def _channel_sum_f32(dy: jax.Array) -> jax.Array:
+    """Sum a (B, H, W, C) cotangent over (B, H, W) -> (C,) in float32."""
+    if _BIAS_GRAD == "dot":
+        from aocr.ops import mm
+
+        ones = jnp.ones(dy.shape[:3], dy.dtype)
+        return lax.dot_general(
+            ones, dy, (((0, 1, 2), (0, 1, 2)), ((), ())),
+            precision=mm._precision(ones, dy),
+            preferred_element_type=jnp.float32,
+        )
+    dy = lax.optimization_barrier(dy)
+    return jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 2))
+
+
+@jax.custom_vjp
+def _bias_add(x: jax.Array, b: jax.Array) -> jax.Array:
+    return x + b.astype(x.dtype)
+
+
+def _bias_add_fwd(x, b):
+    return x + b.astype(x.dtype), None
+
+
+def _bias_add_bwd(_, dy):
+    # f32 accumulation (the autodiff path reduced in bf16) — strictly more
+    # accurate, and the reduce stays out of the cotangent's loop fusion.
+    return dy, _channel_sum_f32(dy)
+
+
+_bias_add.defvjp(_bias_add_fwd, _bias_add_bwd)
+
+
+# Train-mode BN backward formulation.  "cvjp" (default) runs the classic
+# closed-form BN backward as a custom VJP: the two channel reductions
+# (d_beta = sum dy, d_gamma = sum dy*xhat) go through _channel_sum_f32
+# (MXU dots / unfused f32 reduces, per _BIAS_GRAD), and dx is a pure
+# per-channel FMA chain that fuses into the conv backward — instead of
+# XLA differentiating through the f32 moment converts, which emitted the
+# dual-output kLoop fusions the r4 trace blamed (tools/ab_bn.py).
+# "xla" restores plain autodiff.  The masked path (row_mask) always uses
+# autodiff: its weighted-moment backward is not worth hand-deriving.
+_BN_MODE = "cvjp"
+
+
+def _bn_train_math(axis_name, x, scale, bias):
+    """Shared train-mode forward: y in compute dtype, f32 (mean, var)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1, 2))
+    ex2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        ex2 = jax.lax.pmean(ex2, axis_name)
+    var = ex2 - jnp.square(mean)
+    inv = lax.rsqrt(var + BN_EPS) * scale
+    a = inv.astype(x.dtype)
+    b = (bias - mean * inv).astype(x.dtype)
+    return x * a + b, mean, var
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bn_train_cvjp(axis_name, x, scale, bias):
+    return _bn_train_math(axis_name, x, scale, bias)
+
+
+def _bn_train_cvjp_fwd(axis_name, x, scale, bias):
+    y, mean, var = _bn_train_math(axis_name, x, scale, bias)
+    return (y, mean, var), (x, scale, mean, var)
+
+
+def _bn_train_cvjp_bwd(axis_name, res, cots):
+    # The (mean, var) outputs only feed the running statistics, which the
+    # training loss never differentiates — their cotangents are zero and
+    # are ignored here.
+    dy, _dmean, _dvar = cots
+    x, scale, mean, var = res
+    inv0 = lax.rsqrt(var + BN_EPS)  # f32 (C,), biased variance
+    xhat = x * inv0.astype(x.dtype) + (-mean * inv0).astype(x.dtype)
+    sum_dy = _channel_sum_f32(dy)          # local shard sums: the outer
+    sum_dyxh = _channel_sum_f32(dy * xhat)  # DP psum aggregates param grads
+    n = jnp.float32(x.shape[0] * x.shape[1] * x.shape[2])
+    g_dy, g_dyxh = sum_dy, sum_dyxh
+    if axis_name is not None:
+        # Sync-BN: the moments were global, so dx's correction terms use
+        # the GLOBAL reductions and the global element count.
+        g_dy = jax.lax.psum(g_dy, axis_name)
+        g_dyxh = jax.lax.psum(g_dyxh, axis_name)
+        n = n * jax.lax.psum(jnp.float32(1.0), axis_name)
+    ginv = scale * inv0
+    ai = ginv.astype(x.dtype)
+    c1 = (ginv * (g_dy / n)).astype(x.dtype)
+    c2 = (ginv * (g_dyxh / n)).astype(x.dtype)
+    dx = dy * ai - c1 - xhat * c2
+    return dx, sum_dyxh, sum_dy
+
+
+_bn_train_cvjp.defvjp(_bn_train_cvjp_fwd, _bn_train_cvjp_bwd)
+
+
 def _batch_norm(
     x: jax.Array, p: dict, s: dict, train: bool, axis_name=None,
     row_mask=None,
 ) -> Tuple[jax.Array, dict]:
+    if train and row_mask is None and _BN_MODE == "cvjp":
+        y, mean, var = _bn_train_cvjp(axis_name, x, p["scale"], p["bias"])
+        count = jnp.float32(x.shape[0] * x.shape[1] * x.shape[2])
+        if axis_name is not None:
+            count = count * jax.lax.psum(jnp.float32(1.0), axis_name)
+        # Running stats: biased var normalizes, unbiased n/(n-1) is stored
+        # (Torch7 parity — see the comment in the autodiff branch below).
+        unbiased = var * (count / jnp.maximum(count - 1.0, 1.0))
+        new_s = {
+            "mean": BN_MOMENTUM * s["mean"] + (1.0 - BN_MOMENTUM) * mean,
+            "var": BN_MOMENTUM * s["var"] + (1.0 - BN_MOMENTUM) * unbiased,
+        }
+        return y, new_s
     if train:
         # Statistics over batch and spatial dims, in float32.  Under
         # data-parallel shard_map (axis_name set) the moments are averaged
@@ -311,7 +437,10 @@ def apply(
                 jnp.float32 if compute_dtype == jnp.float32 else None
             ),
         ).astype(compute_dtype)
-        x = x + params[name]["b"].astype(compute_dtype)
+        if _BIAS_GRAD == "xla":
+            x = x + params[name]["b"].astype(compute_dtype)
+        else:
+            x = _bias_add(x, params[name]["b"])
         if bn:
             x, new_stats[name + "_bn"] = _batch_norm(
                 x, params[name + "_bn"], batch_stats[name + "_bn"], train,
