@@ -1,10 +1,22 @@
 """Synthetic word-image dataset for tests and benchmarks.
 
-Renders a deterministic, learnable image per label: each character paints a
-distinctive striped band (intensity keyed to the character id and stripe
-phase keyed to position), so a CNN + attention decoder can overfit the
-mapping quickly.  Images are written as .npy (decoded by aocr.data) next to
-a reference-format `path label` manifest.
+Two renderers:
+
+- `render_word` (stripes): a deterministic, learnable image per label —
+  each character paints a distinctive striped band (intensity keyed to the
+  character id, stripe phase keyed to position) so a CNN + attention
+  decoder can overfit the mapping quickly.  Fast and dependency-free, but
+  an easier recognition task than real text (the glyph *is* a positional
+  code), so quality claims need the font renderer too (VERDICT r4 #2).
+- `render_word_font` (real glyphs): PIL `ImageFont` renders of the label in
+  the system DejaVu families (sans/serif/mono x regular/bold) at varied
+  sizes, anti-aliased, resized to 32xW exactly like the reference's data
+  path squashes crops to a fixed width (src/data/data_gen.lua:74-79) —
+  the same task domain as the reference's Synth90k word crops.  Robust to
+  blur (stripes are not — see docs/performance.md).
+
+Images are written as .npy (decoded by aocr.data) next to a
+reference-format `path label` manifest.
 """
 
 from __future__ import annotations
@@ -15,6 +27,87 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 from aocr import vocab
+
+_FONT_DIR = "/usr/share/fonts/truetype/dejavu"
+FONT_PATHS = tuple(
+    os.path.join(_FONT_DIR, name)
+    for name in (
+        "DejaVuSans.ttf", "DejaVuSans-Bold.ttf",
+        "DejaVuSerif.ttf", "DejaVuSerif-Bold.ttf",
+        "DejaVuSansMono.ttf", "DejaVuSansMono-Bold.ttf",
+    )
+    if os.path.exists(os.path.join(_FONT_DIR, name))
+)
+
+_FONT_CACHE = {}
+
+
+def _load_font(path: str, size: int):
+    key = (path, size)
+    if key not in _FONT_CACHE:
+        from PIL import ImageFont
+
+        _FONT_CACHE[key] = ImageFont.truetype(path, size)
+    return _FONT_CACHE[key]
+
+
+def render_word_font(
+    label: str,
+    height: int = 32,
+    width: int = 100,
+    rng: np.random.RandomState = None,
+    font_path: str = None,
+    font_size: int = None,
+) -> np.ndarray:
+    """(height, width) float32 grayscale image in [0, 255]: dark anti-aliased
+    text on a light background, rendered at the glyphs' natural aspect and
+    then bilinearly squashed to the target geometry (the reference resizes
+    every crop to 32xW with imgW hard-coded to 100,
+    src/data/data_gen.lua:74-79).
+
+    With `rng` given, the font family, size, fg/bg levels, and margins vary
+    per call (the per-copy diversity real datasets have); without it the
+    render is deterministic (DejaVuSans 28px, black on white).
+    """
+    from PIL import Image, ImageDraw
+
+    if not FONT_PATHS:  # pragma: no cover - fonts exist in this image
+        raise RuntimeError("no DejaVu fonts found under " + _FONT_DIR)
+    if rng is None:
+        path = font_path or FONT_PATHS[0]
+        size = font_size or 28
+        fg, bg = 0.0, 255.0
+        mx, my = 4, 3
+    else:
+        path = font_path or FONT_PATHS[rng.randint(len(FONT_PATHS))]
+        size = font_size or rng.randint(22, 34)
+        fg = float(rng.uniform(0, 60))
+        bg = float(rng.uniform(200, 255))
+        mx, my = rng.randint(2, 9), rng.randint(1, 6)
+    font = _load_font(path, size)
+    # natural-size canvas around the exact ink bbox, then one resize
+    l, t, r, b = font.getbbox(label or " ")
+    w = max(r - l, 1) + 2 * mx
+    h = max(b - t, 1) + 2 * my
+    canvas = Image.new("L", (w, h), int(round(bg)))
+    ImageDraw.Draw(canvas).text((mx - l, my - t), label, fill=int(round(fg)),
+                                font=font)
+    out = canvas.resize((width, height), Image.BILINEAR)
+    return np.asarray(out, np.float32)
+
+
+def natural_font_width(
+    label: str, height: int = 32, max_aspect: float = 10.0,
+    font_path: str = None, font_size: int = 28,
+) -> int:
+    """Width the glyph ink would occupy at `height` px tall — the
+    keep_aspect_ratio analog of the reference's aspect computation
+    (clamped to [0.5, max_aspect], src/data/data_gen.lua:74-76)."""
+    font = _load_font(font_path or FONT_PATHS[0], font_size)
+    l, t, r, b = font.getbbox(label or " ")
+    aspect = (r - l) / max(b - t, 1)
+    aspect = min(max(aspect, 0.5), max_aspect)
+    return max(int(round(aspect * height)), 1)
 
 
 def render_word(label: str, height: int = 32, width: int = 100) -> np.ndarray:
@@ -84,20 +177,28 @@ def make_dataset(
     distort_rng: np.random.RandomState = None,
     copies: int = 1,
     distort_kwargs: dict = None,
+    mode: str = "stripes",
+    render_rng: np.random.RandomState = None,
 ) -> Tuple[str, List[str]]:
     """Write .npy images + manifest into tmpdir.  Returns (manifest, paths).
 
     With distort_rng set, each of `copies` instances per label is an
     independently distorted render (affine jitter + noise + blur;
-    distort_kwargs overrides the distortion strengths)."""
+    distort_kwargs overrides the distortion strengths).  mode="font" uses
+    the PIL glyph renderer (per-copy font/size/level variation when
+    render_rng is given) instead of the stripe code."""
+    assert mode in ("stripes", "font"), mode
     os.makedirs(os.path.join(tmpdir, "images"), exist_ok=True)
     paths = []
     lines = []
     for i, label in enumerate(labels):
-        clean = render_word(label, height, width)
+        if mode == "stripes":
+            clean = render_word(label, height, width)
         for c in range(copies):
             rel = (f"images/{i:04d}_{label}.npy" if copies == 1
                    else f"images/{i:04d}_{c}_{label}.npy")
+            if mode == "font":
+                clean = render_word_font(label, height, width, rng=render_rng)
             img = (distort(clean, distort_rng, **(distort_kwargs or {}))
                    if distort_rng is not None else clean)
             np.save(os.path.join(tmpdir, rel), img)
