@@ -28,6 +28,12 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--augment", action="store_true",
                    help="train with on-device augmentation (-augment)")
+    p.add_argument("--mode", choices=["stripes", "font"], default="stripes",
+                   help="word renderer: stripe code or PIL DejaVu glyphs")
+    p.add_argument("--extra", default="",
+                   help="extra aocr.train flags, space-separated (e.g. "
+                        "'-prefetch 0 -decode_workers 0' for dev-tunnel "
+                        "runs, see CLAUDE.md)")
     args = p.parse_args(argv)
 
     from aocr.train import main as aocr_main
@@ -40,8 +46,13 @@ def main(argv=None):
         "".join(rng.choice(chars) for _ in range(rng.randint(3, 8)))
         for _ in range(args.words)
     })
-    synth.make_dataset(args.workdir, words, "train.txt")
-    synth.make_dataset(args.workdir, words[:256], "val.txt")
+    import numpy as np
+
+    kw = dict(mode=args.mode,
+              render_rng=(np.random.RandomState(0)
+                          if args.mode == "font" else None))
+    synth.make_dataset(args.workdir, words, "train.txt", **kw)
+    synth.make_dataset(args.workdir, words[:256], "val.txt", **kw)
     with open(os.path.join(args.workdir, "dict.txt"), "w") as f:
         f.write("\n".join(words))
     print(f"dataset: {len(words)} words in {args.workdir}")
@@ -53,7 +64,7 @@ def main(argv=None):
         "-model_dir", os.path.join(args.workdir, "model"),
         "-batch_size", str(args.batch_size),
         "-input_feed",
-    ]
+    ] + (args.extra.split() if args.extra else [])
 
     print("=== training ===")
     aocr_main(common + (["-augment"] if args.augment else []) + [

@@ -20,7 +20,10 @@ Usage: python tools/generalization_eval.py [workdir]
   env: AOCR_GEN_WORDS_A (default 2000), AOCR_GEN_WORDS_B (500),
        AOCR_GEN_EPOCHS (default 150), AOCR_GEN_COPIES (3),
        AOCR_GEN_PHASE (all | train | test — train resumes from the last
-       checkpoint, so long runs can be chunked)
+       checkpoint, so long runs can be chunked),
+       AOCR_GEN_MODE (stripes | font — font = PIL DejaVu glyph renders,
+       blur ON by default; VERDICT r4 #2),
+       AOCR_GEN_BLUR (override the per-mode blur default)
 """
 
 import os
@@ -74,6 +77,11 @@ def main():
     epochs = int(os.environ.get("AOCR_GEN_EPOCHS", 150))
     copies = int(os.environ.get("AOCR_GEN_COPIES", 3))
     phase = os.environ.get("AOCR_GEN_PHASE", "all")
+    # AOCR_GEN_MODE=font runs the whole experiment on PIL DejaVu glyph
+    # renders (VERDICT r4 #2) instead of the stripe code; blur then
+    # defaults ON (real glyphs survive it; the stripe code does not).
+    mode = os.environ.get("AOCR_GEN_MODE", "stripes")
+    assert mode in ("stripes", "font"), mode
     rng = np.random.RandomState(20260817)
 
     from tests import synth
@@ -89,15 +97,18 @@ def main():
     # striped-band glyph code at stripe period 2 — realistic degradation
     # for these synthetic renders is jitter+shear+noise (set
     # AOCR_GEN_BLUR=1 for the harsher variant)
-    dk = {"blur": bool(int(os.environ.get("AOCR_GEN_BLUR", "0")))}
+    blur_default = "1" if mode == "font" else "0"
+    dk = {"blur": bool(int(os.environ.get("AOCR_GEN_BLUR", blur_default)))}
+    kw = dict(distort_kwargs=dk, mode=mode,
+              render_rng=rng if mode == "font" else None)
     if not os.path.exists(os.path.join(work, "dict.txt")):
         synth.make_dataset(work, lex_a, "train.txt", distort_rng=rng,
-                           copies=copies, distort_kwargs=dk)
+                           copies=copies, **kw)
         # held-out distortions of A words drive LR decay
         synth.make_dataset(work, lex_a[:300], "val.txt", distort_rng=rng,
-                           distort_kwargs=dk)
+                           **kw)
         synth.make_dataset(work, lex_b, "test_b.txt", distort_rng=rng,
-                          distort_kwargs=dk)
+                           **kw)
         with open(os.path.join(work, "dict.txt"), "w") as f:
             f.write("\n".join(sorted(lex_a + lex_b)) + "\n")
 
