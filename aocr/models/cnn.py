@@ -180,6 +180,21 @@ def _max_pool(x: jax.Array, window: Tuple[int, int]) -> jax.Array:
 # the window (see ops/pallas/pool_bwd.py for the backward semantics).
 _PALLAS_POOL_BWD_INTERPRET = False
 
+# Tests set this to run the fused conv1+ReLU+pool kernels on CPU
+# (interpret mode); on TPU they activate for the reference conv1 geometry
+# (1 input channel, 3x3 SAME, 2x2 pool, even dims — ops/pallas/conv1_pool).
+_PALLAS_CONV1_INTERPRET = False
+
+
+def _conv1_kernel_ok(shape) -> bool:
+    from aocr.ops.pallas import conv1_pool as _c1
+
+    if not (_c1.ENABLE and _c1.supported(shape)):
+        return False
+    if _PALLAS_CONV1_INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
+
 
 def _pool_kernel_ok(shape, window) -> bool:
     from aocr.ops.pallas import pool_bwd as _pb
@@ -417,6 +432,19 @@ def apply(
     x = ((images - 128.0) / 128.0).astype(compute_dtype)
     new_stats = dict(batch_stats)
     for idx, (name, _in_c, _out_c, _kh, _kw, pad, bn) in enumerate(_CONV_DEFS):
+        if idx == 0 and _conv1_kernel_ok(x.shape):
+            # conv1 + bias + ReLU + pool1 as one fused Pallas pair (fwd +
+            # wgrad/bias-grad backward) — never materializes the 164 MB
+            # pre-pool activation or its scatter/mask chains.  The kernel
+            # owns the bias add and the pool, so the generic tail below is
+            # skipped for this layer.
+            from aocr.ops.pallas import conv1_pool as _c1
+
+            x = _c1.conv1_relu_pool(
+                x, params[name]["w"], params[name]["b"],
+                _PALLAS_CONV1_INTERPRET,
+            )
+            continue
         w = params[name]["w"].astype(compute_dtype)
         # preferred_element_type=f32 with bf16 operands breaks the conv VJP
         # on this JAX version (f32 cotangent vs bf16 weights); in bf16 the
