@@ -25,6 +25,15 @@ though the headline metric stays the greedy north star; beam-5 decode
 beam5_images_per_sec / beam_vs_r2.  Set AOCR_BENCH_MODE=train to make
 training the primary metric (or =greedy to skip the extra measurements).
 
+Regression guards (r5): the greedy headline is the median of 5 fetched
+samples with min/spread fields (separates tunnel drift from real
+regressions), plus greedy_kernel_vs_xla — the whole-loop kernel vs the
+pure-XLA route back-to-back in one process, a tunnel-independent ratio.
+Dictionary decoding reports BOTH regimes honestly: the random-weights
+rider (trie dead-end early exit, a few live steps) and a trained-model
+rider (on-chip font-render fixture decoding unseen in-lexicon words,
+rows live ~word-length steps) with the measured mean decode length.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
@@ -213,20 +222,26 @@ def flops_per_sample(cfg, width: int = 100, decode_steps: int = 50) -> float:
     return total
 
 
-def timed_per_rep_ms(rep_fn, args, floor_ms: float, iters: int = 3) -> float:
-    """Shared measurement protocol: compile+warm once, then average `iters`
-    fetched executions of the REP-times-repeated jitted program, subtract
-    the dispatch+fetch floor, return ms per repetition.  Every metric in
-    the bench line must go through this so a protocol change cannot skew
-    one vs_baseline ratio against another."""
+def timed_samples(rep_fn, args, floor_ms: float, n: int = 3) -> list:
+    """Shared measurement protocol: compile+warm once, then fetch `n`
+    independent executions of the REP-times-repeated jitted program,
+    subtract the dispatch+fetch floor from each, return the per-repetition
+    ms samples.  Every metric in the bench line must go through this so a
+    protocol change cannot skew one vs_baseline ratio against another."""
     np.asarray(rep_fn(*args))  # compile + warm
     _tick()
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    out = []
+    for _ in range(n):
+        t0 = time.perf_counter()
         np.asarray(rep_fn(*args))
         _tick()
-    dt_ms = (time.perf_counter() - t0) / iters * 1000
-    return (dt_ms - floor_ms) / REP
+        dt_ms = (time.perf_counter() - t0) * 1000
+        out.append((dt_ms - floor_ms) / REP)
+    return out
+
+
+def timed_per_rep_ms(rep_fn, args, floor_ms: float, iters: int = 3) -> float:
+    return float(np.mean(timed_samples(rep_fn, args, floor_ms, iters)))
 
 
 def measure_train(floor_ms: float, B: int = 400, T: int = 11):
@@ -276,6 +291,93 @@ def measure_train(floor_ms: float, B: int = 400, T: int = 11):
     return per_step_ms, ips, mfu
 
 
+def measure_trained_dict(floor_ms, lexicon, rep_dict_beam, table, cfg, ms,
+                         B, steps: int = 600):
+    """Sustained trained-model dictionary decoding (VERDICT r4 #3).
+
+    Trains the flagship on font renders (tests/synth.render_word_font) of
+    1,600 lexicon words for `steps` SGD steps in ONE jitted scan, then
+    times the SAME rep_dict_beam program on renders of 512 held-out
+    in-lexicon words with the trained params+stats.  Returns
+    (ms/batch, img/s, mean decoded length, in-lexicon fraction) — the
+    length/fraction state the regime instead of asserting it.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from aocr import decode, optim, train_step, vocab
+    from tests import synth
+
+    T = 11
+    short = [w for w in lexicon if len(w) <= T - 1]
+    wrng = np.random.RandomState(11)
+    train_words = list(wrng.choice(short, size=1600, replace=False))
+    eval_pool = sorted(set(short) - set(train_words))
+    eval_words = list(wrng.choice(eval_pool, size=B, replace=False))
+    rrng = np.random.RandomState(12)
+    imgs = np.stack([synth.render_word_font(w, rng=rrng)
+                     for w in train_words])[..., None].astype(np.float32)
+    targets, targets_eval, _ = vocab.encode_batch(train_words, pad_to=T)
+    _tick()
+    TB = 400
+    nb = len(train_words) // TB
+    im_s = jnp.asarray(imgs[:nb * TB].reshape(nb, TB, 32, 100, 1))
+    tg_s = jnp.asarray(targets[:nb * TB].reshape(nb, TB, -1))
+    te_s = jnp.asarray(targets_eval[:nb * TB].reshape(nb, TB, -1))
+    tcfg = cfg.replace(batch_size=TB, prealloc=False)
+    step = train_step.make_train_step(tcfg)
+    opt0 = optim.sgd_init(ms.params)
+
+    @jax.jit
+    def train_many(params, stats, opt):
+        def body(carry, i):
+            p, s, o = carry
+            b = i % nb
+            out = step(p, s, o, im_s[b], tg_s[b], te_s[b],
+                       jnp.float32(0.1),
+                       jax.random.fold_in(jax.random.PRNGKey(1), i))
+            return ((out.params, out.batch_stats, out.opt_state),
+                    out.loss_sum)
+
+        carry, losses = jax.lax.scan(
+            body, (params, stats, opt), jnp.arange(steps))
+        return carry, losses
+
+    (params_t, stats_t, _), losses = train_many(
+        ms.params, ms.batch_stats, opt0)
+    losses = np.asarray(losses)
+    _tick()
+    tok_per_row = float((targets_eval != vocab.PAD).sum(1).mean())
+    ppl0 = float(np.exp(losses[0] / (TB * tok_per_row)))
+    ppl1 = float(np.exp(losses[-1] / (TB * tok_per_row)))
+    print(f"# trained fixture: {steps} steps on {nb * TB} font-rendered "
+          f"lexicon words, ppl ~{ppl0:.1f} -> ~{ppl1:.3f}", file=sys.stderr)
+
+    eval_imgs = jnp.asarray(
+        np.stack([synth.render_word_font(w, rng=rrng)
+                  for w in eval_words])[..., None].astype(np.float32))
+    labels, _ = jax.jit(
+        lambda p, s, im: decode.beam_decode(
+            p, s, im, cfg, 5, cfg.max_decoder_l,
+            trie_table=table, use_trie=True)
+    )(params_t, stats_t, eval_imgs)
+    labels = np.asarray(labels)
+    texts = [vocab.decode(l) for l in labels]
+    lens = np.array([len(t) for t in texts])
+    lex = set(lexicon)
+    in_dict = float(np.mean([t in lex for t in texts]))
+    exact = float(np.mean([t == w for t, w in zip(texts, eval_words)]))
+    _tick()
+    t_ms = timed_per_rep_ms(
+        rep_dict_beam, (params_t, stats_t, eval_imgs), floor_ms)
+    t_ips = B / t_ms * 1000
+    print(f"# dict-beam5 B={B} TRAINED (88k DAWG, unseen in-lexicon words; "
+          f"mean decode len {lens.mean():.1f}, {in_dict * 100:.0f}% "
+          f"in-lexicon, {exact * 100:.0f}% exact): {t_ms:.2f} ms/batch -> "
+          f"{t_ips:.0f} img/s", file=sys.stderr)
+    return t_ms, t_ips, float(lens.mean()), in_dict
+
+
 def main():
     _supervise()
 
@@ -320,18 +422,13 @@ def main():
         }))
         _mark_done()
         return
-    best_ips = 0.0
-    for B in batches:
-        images = jnp.asarray(
-            rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32)
-        )
-
+    def make_rep_decode(dcfg):
         @jax.jit
-        def rep_decode(images):
+        def rep_decode(params, images):
             def body(carry, _):
                 im = carry
                 labels, scores = decode.greedy_decode(
-                    ms.params, ms.batch_stats, im, cfg, cfg.max_decoder_l
+                    params, ms.batch_stats, im, dcfg, dcfg.max_decoder_l
                 )
                 # trivial data dependency serializes the repetitions
                 return im + scores.sum() * 1e-9, labels.sum()
@@ -339,12 +436,28 @@ def main():
             _, sums = jax.lax.scan(body, images, None, length=REP)
             return sums.sum()
 
-        per_batch_ms = timed_per_rep_ms(rep_decode, (images,), floor_ms)
-        ips = B / per_batch_ms * 1000
-        print(f"# batch {B}: {per_batch_ms:.2f} ms/batch -> {ips:.0f} img/s",
+        return rep_decode
+
+    # Headline protocol (VERDICT r4 #4): 5 fetched samples per batch size;
+    # the headline is the MEDIAN (comparable to the old 3-sample mean), and
+    # min/spread ride along so run-to-run tunnel drift is separable from a
+    # real regression in the driver-visible JSON.
+    best_ips, best_stats = 0.0, None
+    for B in batches:
+        images = jnp.asarray(
+            rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32)
+        )
+        samples = timed_samples(make_rep_decode(cfg), (ms.params, images),
+                                floor_ms, n=5)
+        med = float(np.median(samples))
+        lo, hi = min(samples), max(samples)
+        ips = B / med * 1000
+        print(f"# batch {B}: median {med:.2f} ms/batch (min {lo:.2f}, "
+              f"spread {(hi - lo) / med * 100:.1f}%) -> {ips:.0f} img/s",
               file=sys.stderr)
         if ips > best_ips:
             best_ips = ips
+            best_stats = (B, med, lo, (hi - lo) / med * 100)
 
     gflop = flops_per_sample(cfg) / 1e9
     mfu = best_ips * gflop * 1e9 / V5E_PEAK_FLOPS
@@ -357,7 +470,30 @@ def main():
         "value": round(best_ips, 1),
         "unit": "word-images/sec/chip",
         "vs_baseline": round(best_ips / BASELINE_IPS, 3),
+        "greedy_ms_median": round(best_stats[1], 2),
+        "greedy_ms_min": round(best_stats[2], 2),
+        "greedy_spread_pct": round(best_stats[3], 1),
     }
+    if mode == "both":
+        # Tunnel-independent regression guard (VERDICT r4 #4): the Pallas
+        # whole-loop kernel vs the pure-XLA route measured back-to-back in
+        # THIS process — both see the same chip/tunnel conditions, so the
+        # ratio isolates kernel-route regressions from environment drift.
+        B = 512
+        images = jnp.asarray(
+            rng.uniform(0, 255, (B, 32, 100, 1)).astype(np.float32))
+        xla_samples = timed_samples(
+            make_rep_decode(cfg.replace(use_pallas=False)),
+            (ms.params, images), floor_ms, n=3)
+        xla_med = float(np.median(xla_samples))
+        ker_med = best_stats[1] if best_stats[0] == B else float(np.median(
+            timed_samples(make_rep_decode(cfg), (ms.params, images),
+                          floor_ms, n=3)))
+        ratio = xla_med / ker_med
+        print(f"# kernel-vs-XLA greedy B={B}: kernel {ker_med:.2f} ms vs "
+              f"XLA {xla_med:.2f} ms -> ratio {ratio:.3f} "
+              f"(tunnel-independent)", file=sys.stderr)
+        line["greedy_kernel_vs_xla"] = round(ratio, 3)
     if mode == "both":
         # training + beam throughput ride in the same line so a regression
         # in either is visible to the driver (VERDICT r2 weak #3)
@@ -408,35 +544,59 @@ def main():
         while len(words) < 88172:  # Synth90k lexicon.txt word count
             n = max(3, min(13, int(wrng.gamma(4.0, 1.6))))
             words.add("".join(wrng.choice(chars, size=n)))
+        words = sorted(words)
         _tick()
-        table = jnp.asarray(trie_lib.build_transition_table(sorted(words)))
+        table = jnp.asarray(trie_lib.build_transition_table(words))
         n_nodes = int(table.shape[0])
         print(f"# dictionary: {len(words)} words -> {n_nodes} DAWG nodes",
               file=sys.stderr)
         _tick()
 
         @jax.jit
-        def rep_dict_beam(images):
+        def rep_dict_beam(params, stats, images):
             def body(carry, _):
                 im = carry
                 labels, scores = decode.beam_decode(
-                    ms.params, ms.batch_stats, im, cfg, 5, cfg.max_decoder_l,
+                    params, stats, im, cfg, 5, cfg.max_decoder_l,
                     trie_table=table, use_trie=True)
                 return im + scores.sum() * 1e-9, labels.sum()
 
             _, sums = jax.lax.scan(body, images, None, length=REP)
             return sums.sum()
 
-        dict_ms = timed_per_rep_ms(rep_dict_beam, (images,), floor_ms)
+        # Random-weights regime (kept for cross-round comparison): the
+        # decoder dead-ends into the DAWG and the all-frozen early exit
+        # fires within a few steps — an EARLY-EXIT number, not 50 live
+        # steps (the r4 label overstated it; see docs/performance.md).
+        dict_ms = timed_per_rep_ms(
+            rep_dict_beam, (ms.params, ms.batch_stats, images), floor_ms)
         dict_ips = B / dict_ms * 1000
-        print(f"# dict-beam5 B={B} (88k-word DAWG, full 50 steps): "
+        print(f"# dict-beam5 B={B} (88k-word DAWG, random weights: trie "
+              f"dead-end early exit after a few steps): "
               f"{dict_ms:.2f} ms/batch -> {dict_ips:.0f} img/s",
               file=sys.stderr)
         line.update(
             dict_beam5_images_per_sec=round(dict_ips, 1),
             dict_beam5_batch_ms=round(dict_ms, 2),
+            dict_beam5_regime="random-weights-early-exit",
             dict_trie_nodes=n_nodes,
         )
+
+        # Sustained TRAINED-model regime (VERDICT r4 #3): train the
+        # flagship on font renders of lexicon words on-chip, decode font
+        # renders of OTHER in-lexicon words through the same 88k DAWG —
+        # rows now live ~word-length steps (the production regime), and
+        # the measured mean decode length is reported next to the number.
+        trained = measure_trained_dict(
+            floor_ms, words, rep_dict_beam, table, cfg, ms, B)
+        if trained is not None:
+            t_ms, t_ips, len_mean, in_dict = trained
+            line.update(
+                dict_beam5_trained_images_per_sec=round(t_ips, 1),
+                dict_beam5_trained_batch_ms=round(t_ms, 2),
+                dict_beam5_trained_len_mean=round(len_mean, 2),
+                dict_beam5_trained_in_lexicon_pct=round(in_dict * 100, 1),
+            )
     print(json.dumps(line))
     _mark_done()
 
