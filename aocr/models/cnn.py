@@ -248,10 +248,16 @@ _relu_pool.defvjp(_relu_pool_fwd, _relu_pool_bwd)
 #            (the barrier keeps the reduce OUT of the cotangent fusion)
 _BIAS_GRAD = "dot"
 
+# The BN custom-VJP's channel reductions get their OWN mode constant so
+# A/B-ing the bias-grad knob cannot silently change the BN backward's
+# formulation at the same time (the two experiments stay independent —
+# ADVICE r4).  Same values as _BIAS_GRAD ("dot" | anything-else = barrier).
+_BN_REDUCE = "dot"
 
-def _channel_sum_f32(dy: jax.Array) -> jax.Array:
+
+def _channel_sum_f32(dy: jax.Array, mode: str = None) -> jax.Array:
     """Sum a (B, H, W, C) cotangent over (B, H, W) -> (C,) in float32."""
-    if _BIAS_GRAD == "dot":
+    if (mode or _BIAS_GRAD) == "dot":
         from aocr.ops import mm
 
         ones = jnp.ones(dy.shape[:3], dy.dtype)
@@ -327,8 +333,8 @@ def _bn_train_cvjp_bwd(axis_name, res, cots):
     x, scale, mean, var = res
     inv0 = lax.rsqrt(var + BN_EPS)  # f32 (C,), biased variance
     xhat = x * inv0.astype(x.dtype) + (-mean * inv0).astype(x.dtype)
-    sum_dy = _channel_sum_f32(dy)          # local shard sums: the outer
-    sum_dyxh = _channel_sum_f32(dy * xhat)  # DP psum aggregates param grads
+    sum_dy = _channel_sum_f32(dy, _BN_REDUCE)   # local shard sums: the
+    sum_dyxh = _channel_sum_f32(dy * xhat, _BN_REDUCE)  # DP psum aggregates
     n = jnp.float32(x.shape[0] * x.shape[1] * x.shape[2])
     g_dy, g_dyxh = sum_dy, sum_dyxh
     if axis_name is not None:
@@ -352,6 +358,16 @@ def _batch_norm(
     x: jax.Array, p: dict, s: dict, train: bool, axis_name=None,
     row_mask=None,
 ) -> Tuple[jax.Array, dict]:
+    """Torch-parity BatchNorm (see branch comments for the biased/unbiased
+    variance split).
+
+    CONSTRAINT (train path): the returned batch moments feed ONLY the
+    non-differentiated running statistics.  The fast `_bn_train_cvjp`
+    backward discards the (mean, var) cotangents outright — a future loss
+    term that differentiates through the batch moments (e.g. a moment
+    regularizer) would get silently wrong gradients on the cvjp path; use
+    `_BN_MODE = "xla"` (full autodiff) for any such experiment.
+    """
     if train and row_mask is None and _BN_MODE == "cvjp":
         y, mean, var = _bn_train_cvjp(axis_name, x, p["scale"], p["bias"])
         count = jnp.float32(x.shape[0] * x.shape[1] * x.shape[2])

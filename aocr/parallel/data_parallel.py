@@ -35,13 +35,16 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
     n_data = mesh.shape[DATA_AXIS]
 
     def local_step(params, batch_stats, opt_state, images, targets,
-                   targets_eval, lr, rng, row_mask):
+                   targets_eval, lr, rng, row_mask=None):
         # row_mask (local rows,) marks real samples.  Partial final buckets
         # are padded with zero-loss PAD rows to stay shardable; loss/grad
         # normalization must still use the true sample count (the reference
         # divides by the real batch size, model.lua:645-647) — all-reduced
         # from the mask so multi-host epoch tails with uneven local counts
-        # stay correct, and BN moments exclude the padding.
+        # stay correct, and BN moments exclude the padding.  Full buckets
+        # compile the row_mask=None variant so the BN train backward takes
+        # its hand-derived sync-BN custom VJP (cnn._bn_train_cvjp) in
+        # production DP, not just in tests (ADVICE r4).
         my = jax.lax.axis_index(DATA_AXIS)
         if cfg.augment:
             from aocr import augment as augment_lib
@@ -55,10 +58,14 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
                 strength=cfg.augment_strength,
                 row_offset=my * images.shape[0])
         rng = jax.random.fold_in(rng, my)
-        real_bs = jnp.maximum(
-            jax.lax.psum(jnp.sum(row_mask.astype(jnp.float32)), DATA_AXIS),
-            1.0,
-        )
+        if row_mask is None:
+            real_bs = jnp.float32(images.shape[0] * n_data)
+        else:
+            real_bs = jnp.maximum(
+                jax.lax.psum(jnp.sum(row_mask.astype(jnp.float32)),
+                             DATA_AXIS),
+                1.0,
+            )
 
         def loss_fn(p):
             # the single shared forward pipeline with sync-BN (axis_name):
@@ -96,25 +103,39 @@ def make_dp_train_step(cfg: Config, mesh: Mesh):
 
     rep = P()
     sharded = P(DATA_AXIS)
-    shmapped = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(rep, rep, rep, sharded, sharded, sharded, rep, rep,
-                  sharded),
-        out_specs=TrainOutput(
-            params=rep, batch_stats=rep, opt_state=rep,
-            loss_sum=rep, grad_norms=rep,
-        ),
-        check_vma=False,
+    out_specs = TrainOutput(
+        params=rep, batch_stats=rep, opt_state=rep,
+        loss_sum=rep, grad_norms=rep,
     )
     donate = (0, 2) if cfg.prealloc else ()
+    # Two compiled variants: full buckets run the unmasked step (the BN
+    # backward's fast custom-VJP path); padded tails run the masked one.
+    # jit compiles lazily, so an epoch with no partial bucket never
+    # compiles the masked variant.
+    _jit_full = jax.jit(
+        jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(rep, rep, rep, sharded, sharded, sharded, rep, rep),
+            out_specs=out_specs, check_vma=False,
+        ),
+        donate_argnums=donate,
+    )
+    _jit_masked = jax.jit(
+        jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(rep, rep, rep, sharded, sharded, sharded, rep, rep,
+                      sharded),
+            out_specs=out_specs, check_vma=False,
+        ),
+        donate_argnums=donate,
+    )
 
     def step(params, batch_stats, opt_state, images, targets, targets_eval,
              lr, rng, row_mask=None):
         if row_mask is None:
-            row_mask = jnp.ones((images.shape[0],), jnp.float32)
-        return _jitted(params, batch_stats, opt_state, images, targets,
-                       targets_eval, lr, rng, row_mask)
+            return _jit_full(params, batch_stats, opt_state, images,
+                             targets, targets_eval, lr, rng)
+        return _jit_masked(params, batch_stats, opt_state, images, targets,
+                           targets_eval, lr, rng, row_mask)
 
-    _jitted = jax.jit(shmapped, donate_argnums=donate)
     return step

@@ -294,8 +294,16 @@ class Trainer:
                 ztg = np.full((pad, tg.shape[1]), vocab.PAD, tg.dtype)
                 tg = np.concatenate([tg, ztg], 0)
                 te = np.concatenate([te, ztg], 0)
-            im, tg, te, mk = mesh_lib.shard_batch(self.mesh, im, tg, te,
-                                                  mask)
+            if valid_rows < want:
+                im, tg, te, mk = mesh_lib.shard_batch(self.mesh, im, tg, te,
+                                                      mask)
+            else:
+                # full bucket: no mask, so the DP step runs its unmasked
+                # variant (BN backward takes the sync-BN custom VJP —
+                # ADVICE r4; an all-ones mask would force the autodiff
+                # path every step)
+                im, tg, te = mesh_lib.shard_batch(self.mesh, im, tg, te)
+                mk = None
             out = self._train_step(
                 self.params, self.batch_stats, self.opt_state,
                 im, tg, te, jnp.asarray(lr, jnp.float32), sub,
