@@ -128,12 +128,23 @@ def _kernel_body(h_ref, ctx_ref, prev_ref, wa_ref, wc_ref, pw_ref, pb_ref,
     delta_ref[:, 0] = jnp.max(logp, axis=-1)
 
 
+# Lane width the projector/vocab axis pads to.  Default LANE=128 (one full
+# vector register); 64 is the "vp=64 packing" A/B from the beam roofline
+# accounting (docs/performance.md): vocab=39 fits in half a register, so
+# the per-step (bt, K*vp) top-K buffer, its K argmax/mask passes, and the
+# trie validity planes all halve their lane footprint.  Every consumer is
+# vp-parametric, so flipping this constant re-specializes all four decode
+# kernels (tools/ab_vp.py measures it; transcripts must be identical —
+# the extra pad columns carry -1e30 and can never win).
+PACK_VP = LANE
+
+
 def pad_projector(pw: jax.Array, pb: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Pad (H, V) projector weight + (V,) bias to 128 lanes; padding gets a
-    -1e30 bias so it is invisible to log-softmax and argmax.  Call once
-    outside the decode loop."""
+    """Pad (H, V) projector weight + (V,) bias to PACK_VP lanes; padding
+    gets a -1e30 bias so it is invisible to log-softmax and argmax.  Call
+    once outside the decode loop."""
     H, V = pw.shape
-    vp = ((V + LANE - 1) // LANE) * LANE
+    vp = ((V + PACK_VP - 1) // PACK_VP) * PACK_VP
     pw_p = jnp.pad(pw, ((0, 0), (0, vp - V)))
     pb_p = jnp.pad(pb.astype(jnp.float32), (0, vp - V),
                    constant_values=-1e30).reshape(1, vp)

@@ -104,6 +104,11 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int,
 
         lane_t = jax.lax.broadcasted_iota(jnp.int32, (bt, T), 1)
         col_v = jax.lax.broadcasted_iota(jnp.int32, (bt, vp), 1)
+        # the emb-gates table pads to vp_in (always 128-lane) independently
+        # of the projector's PACK_VP padding — distinct iotas (beam_loop
+        # already kept them separate)
+        col_vin = jax.lax.broadcasted_iota(
+            jnp.int32, (bt, eg_ref.shape[0]), 1)
 
         def step(t, _):
             prev = prev_scr[:]  # (bt, 1) int32
@@ -112,7 +117,7 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int,
             @pl.when(jnp.logical_not(jnp.all(frozen)))
             def _():
                 # ---- layer 0: one-hot gate lookup + recurrent matmul ----
-                onehot = (col_v == prev).astype(cd)  # (bt, Vp)
+                onehot = (col_vin == prev).astype(cd)  # (bt, Vp_in)
                 gates = jnp.dot(onehot, eg_ref[:], precision=prec,
                                 preferred_element_type=jnp.float32)
                 if input_feed:
