@@ -13,22 +13,36 @@ block left in training (docs/performance.md "train-step roofline"):
 All of that traffic exists only because the 164 MB intermediate is
 materialized.  These kernels never materialize it.  conv1 has ONE input
 channel, so a 2x2 output cell (4 pre-pool pixels x 64 channels) depends on
-just a 4x4 patch of the padded input — 16 taps.  With patches laid out as
-(16, N = B*Ho*Wo) and the kernel weights scattered per pool position into
-W16 (16, 4*64):
+just a 4x4 patch of the padded input — 16 taps.  With the kernel weights
+scattered per pool position into W16 (16, 4*64):
 
-  forward:  y = W16^T @ X16           (256, N), f32 accumulation
-            out[c, n] = relu(max_p y[p*64+c, n] + b[c])    -> (64, N)
+  forward:  y_j = W16^T @ X16[:, j, :]     per cell row, f32 accumulation
+            out[j, c, b] = relu(max_p y[p*64+c, b] + b[c])
   backward: recompute y, route dy to the FIRST pool position attaining the
             max (row-major window order — XLA's GE-select semantics), zero
             unless the winner's ReLU output is positive; then
-            dW16 = dy_routed @ X16^T  (256, 16) and db = sum(dy_masked),
-            both accumulated across grid steps in f32.
+            dW16 += dy_routed @ X16^T and db += sum(dy_masked), both
+            accumulated across the grid in f32.
 
-The backward reads 10 MB of patches + 41 MB of cotangent and writes ~20 KB
-— replacing ~1.3 ms of scatter/mask/reduce chains with ~0.3 ms.  dx (the
-input-image cotangent) is a SEPARATE pallas_call (`_dx_call`) so XLA
-dead-code-eliminates it in training, where images are not differentiated.
+LAYOUT is the whole game (the first cut of these kernels was itself fast —
+fwd 0.15 ms, bwd 0.38 ms — but lost its win to ~3 ms of XLA boundary glue:
+a channel-major output forced a real transpose to conv2's layout, and
+(…, 50)-minor patch arrays forced lane-padded retiling copies).  This
+version keeps the BATCH on lanes end to end, matching how XLA already lays
+these activations out (bf16[B,H,W,C]{0,3,2,1} — see pool_bwd.py):
+
+  - patches are built as (16, Ho*Wo, B): the input transpose to (H, W, B)
+    is a bitcast under x's {0,3,2,1} layout, the 16 tap slices are
+    leading-axis stride-2 slices, and the final reshape merges adjacent
+    leading dims — no lane-dim padding anywhere
+  - the forward output block is (m, 64, B), whose full array reshapes to
+    (Ho, Wo, 64, B) — exactly the PHYSICAL layout of the logical
+    (B, Ho, Wo, 64) activation conv2 consumes — so the boundary transpose
+    is a bitcast, and the backward receives dy in the same free layout
+
+dx (the input-image cotangent) is a SEPARATE pallas_call (`_dx_call`) so
+XLA dead-code-eliminates it in training, where images are never
+differentiated.
 
 Numerics: the dot accumulates in f32 and is rounded to the compute dtype
 before the bias add, mirroring the XLA path (conv custom-call emits bf16,
@@ -59,10 +73,11 @@ from aocr.ops.pallas.tiling import LANE, VMEM_BUDGET
 # relu + reduce_window/select_and_scatter path in cnn.apply.
 ENABLE = True
 
-# Lanes per grid step.  N = B*Ho*Wo is padded to a multiple of this (the
-# zero padding contributes nothing to the accumulated dW16/db and the
-# padded forward columns are sliced off).
-NT = 2048
+# Cell rows per block (the in-kernel unrolled loop length) and the lane
+# cap per block.  m = Ho*Wo is always a multiple of MT for even widths
+# (Ho = 16 fixed by the 32-px input height).
+MT = 40
+BT_MAX = 512
 
 # Pool positions in row-major window order — the order select_and_scatter
 # resolves ties in, which the backward's first-match routing must copy.
@@ -78,14 +93,27 @@ def supported(shape, window=(2, 2), kh=3, kw=3, padding="SAME") -> bool:
             and window == (2, 2) and H % 2 == 0 and W % 2 == 0)
 
 
-def _patches(x: jax.Array) -> jax.Array:
-    """x (B, H, W) -> X16 (16, B*Ho*Wo): tap (a, b) of output cell (h, w)
-    is pad1(x)[2h+a, 2w+b], a,b in 0..3 (the 4x4 input patch feeding the
-    cell's four pre-pool pixels)."""
+def _pick_mt(m: int) -> int:
+    """Largest divisor of m up to MT (the in-kernel unrolled loop length);
+    m = 16*Wo at the reference height, so this is >= 8 for every even
+    width and exactly MT=40 at the W=100 default."""
+    for mt in range(min(MT, m), 0, -1):
+        if m % mt == 0:
+            return mt
+    return 1
+
+
+def _patches(x: jax.Array, bp: int) -> jax.Array:
+    """x (B, H, W) -> X16 (16, Ho*Wo, bp): tap (a, b) of output cell
+    (h, w) is pad1(x)[2h+a, 2w+b], a,b in 0..3 (the 4x4 input patch
+    feeding the cell's four pre-pool pixels).  Batch rides the lane axis
+    throughout (zero-padded to bp); every step is a bitcast, a pad, or a
+    leading-axis slice under the {0,3,2,1} activation layout."""
     B, H, W = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
-    taps = [xp[:, a:a + H:2, b:b + W:2] for a in range(4) for b in range(4)]
-    return jnp.stack(taps).reshape(16, -1)
+    xt = jnp.transpose(x, (1, 2, 0))  # (H, W, B): bitcast under {0,2,1}
+    xp = jnp.pad(xt, ((1, 1), (1, 1), (0, bp - B)))
+    taps = [xp[a:a + H:2, b:b + W:2] for a in range(4) for b in range(4)]
+    return jnp.stack(taps).reshape(16, (H // 2) * (W // 2), bp)
 
 
 def _w16(w: jax.Array, dtype) -> jax.Array:
@@ -105,15 +133,16 @@ def _prec(dtype):
             else lax.Precision.DEFAULT)
 
 
-def _scores(xb, w16_ref, b2_ref, cd):
-    """Shared fwd/bwd math: the four pre-pool (64, nt) score planes, in
-    f32 images of the compute-dtype values the XLA path compares."""
+def _scores(xj, w16_ref, b2_ref, cd):
+    """Shared fwd/bwd math for one cell row: the four pre-pool (64, bt)
+    score planes, in f32 images of the compute-dtype values the XLA path
+    compares."""
     f32 = jnp.float32
     y = lax.dot_general(
-        w16_ref[:], xb, (((0,), (0,)), ((), ())),
-        precision=_prec(xb.dtype),
+        w16_ref[:], xj, (((0,), (0,)), ((), ())),
+        precision=_prec(xj.dtype),
         preferred_element_type=f32,
-    )  # (256, nt) f32 accum
+    )  # (256, bt) f32 accum
     C = b2_ref.shape[0]
     b = b2_ref[:].astype(cd).astype(f32)
     # conv output rounds to the compute dtype before the bias add (exactly
@@ -127,21 +156,20 @@ def _scores(xb, w16_ref, b2_ref, cd):
 
 def _fwd_kernel(xb_ref, w16_ref, b2_ref, out_ref):
     cd = out_ref.dtype
-    z = _scores(xb_ref[:], w16_ref, b2_ref, cd)
-    m = jnp.maximum(jnp.maximum(z[0], z[1]), jnp.maximum(z[2], z[3]))
-    out_ref[:] = jnp.maximum(m, 0.0).astype(cd)
+    for j in range(xb_ref.shape[1]):
+        z = _scores(xb_ref[:, j, :], w16_ref, b2_ref, cd)
+        m = jnp.maximum(jnp.maximum(z[0], z[1]), jnp.maximum(z[2], z[3]))
+        out_ref[j] = jnp.maximum(m, 0.0).astype(cd)
 
 
-def _routed(xb, w16_ref, b2_ref, dy_ref):
-    """Recompute scores and route the pooled cotangent: returns
-    (dcat (256, nt) cd, dmask (64, nt) f32)."""
+def _routed(xj, w16_ref, b2_ref, dyj, cd):
+    """Recompute one cell row's scores and route the pooled cotangent:
+    returns (dcat (256, bt) cd, dmask (64, bt) f32)."""
     f32 = jnp.float32
-    cd = dy_ref.dtype
-    z = _scores(xb, w16_ref, b2_ref, cd)
+    z = _scores(xj, w16_ref, b2_ref, cd)
     m = jnp.maximum(jnp.maximum(z[0], z[1]), jnp.maximum(z[2], z[3]))
-    g = dy_ref[:].astype(f32)
-    pos = m > 0.0
-    dmask = jnp.where(pos, g, 0.0)
+    g = dyj.astype(f32)
+    dmask = jnp.where(m > 0.0, g, 0.0)
     parts = []
     taken = None
     for p in range(4):
@@ -153,124 +181,127 @@ def _routed(xb, w16_ref, b2_ref, dy_ref):
 
 
 def _bwd_kernel(xb_ref, w16_ref, b2_ref, dy_ref, dw_ref, db_ref):
-    i = pl.program_id(0)
-    xb = xb_ref[:]
-    dcat, dmask = _routed(xb, w16_ref, b2_ref, dy_ref)
+    first_step = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    cd = dy_ref.dtype
+    f32 = jnp.float32
+    dw = jnp.zeros((256, 16), f32)
+    db = jnp.zeros((64, 1), f32)
+    for j in range(xb_ref.shape[1]):
+        xj = xb_ref[:, j, :]
+        dcat, dmask = _routed(xj, w16_ref, b2_ref, dy_ref[j], cd)
+        dw = dw + lax.dot_general(
+            dcat, xj, (((1,), (1,)), ((), ())),
+            precision=_prec(xj.dtype),
+            preferred_element_type=f32,
+        )
+        db = db + jnp.sum(dmask, axis=1, keepdims=True)
 
-    @pl.when(i == 0)
+    @pl.when(first_step)
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
 
-    dw_ref[:] += lax.dot_general(
-        dcat, xb, (((1,), (1,)), ((), ())),
-        precision=_prec(xb.dtype),
-        preferred_element_type=jnp.float32,
-    )  # (256, 16) f32
-    db_ref[:] += jnp.sum(dmask, axis=1, keepdims=True)
+    dw_ref[:] += dw
+    db_ref[:] += db
 
 
 def _dx_kernel(xb_ref, w16_ref, b2_ref, dy_ref, dxp_ref):
-    dcat, _ = _routed(xb_ref[:], w16_ref, b2_ref, dy_ref)
-    dxp_ref[:] = lax.dot_general(
-        w16_ref[:], dcat.astype(w16_ref.dtype), (((1,), (0,)), ((), ())),
-        precision=_prec(w16_ref.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(dxp_ref.dtype)  # (16, nt)
+    cd = dy_ref.dtype
+    for j in range(xb_ref.shape[1]):
+        dcat, _ = _routed(xb_ref[:, j, :], w16_ref, b2_ref, dy_ref[j], cd)
+        dxp_ref[:, j, :] = lax.dot_general(
+            w16_ref[:], dcat.astype(w16_ref.dtype), (((1,), (0,)), ((), ())),
+            precision=_prec(w16_ref.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(dxp_ref.dtype)  # (16, bt)
 
 
-def _pad_n(a: jax.Array, np_: int) -> jax.Array:
-    n = a.shape[-1]
-    return a if n == np_ else jnp.pad(a, ((0, 0), (0, np_ - n)))
-
-
-def _specs(nt, with_dy):
-    stream = lambda r: pl.BlockSpec((r, nt), lambda i: (0, i),
-                                    memory_space=pltpu.VMEM)
-    const = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+def _grid_specs(m, bp):
+    bt = min(bp, BT_MAX)
+    mt = _pick_mt(m)
+    grid = (m // mt, bp // bt)
+    x_spec = pl.BlockSpec((16, mt, bt), lambda i, j: (0, i, j),
+                          memory_space=pltpu.VMEM)
+    dy_spec = pl.BlockSpec((mt, 64, bt), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda i, j: (0,) * len(s),
                                    memory_space=pltpu.VMEM)
-    specs = [stream(16), const((16, 256)), const((64, 1))]
-    if with_dy:
-        specs.append(stream(64))
-    return specs
+    return grid, bt, x_spec, dy_spec, const
 
 
 def _fwd_call(x16, w16, b2, cd, interpret):
-    npad = x16.shape[1]
-    grid = (npad // NT,)
+    _, m, bp = x16.shape
+    grid, bt, x_spec, dy_spec, const = _grid_specs(m, bp)
     return pl.pallas_call(
         _fwd_kernel,
         grid=grid,
-        in_specs=_specs(NT, with_dy=False),
-        out_specs=pl.BlockSpec((64, NT), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((64, npad), cd),
+        in_specs=[x_spec, const((16, 256)), const((64, 1))],
+        out_specs=dy_spec,
+        out_shape=jax.ShapeDtypeStruct((m, 64, bp), cd),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 256 * 16 * npad,
-            bytes_accessed=(16 + 64) * npad * 2 + 16 * 256 * 2,
+            flops=2 * 256 * 16 * m * bp,
+            bytes_accessed=(16 + 64) * m * bp * 2 + 16 * 256 * 2,
             transcendentals=0,
         ),
         interpret=interpret,
     )(x16, w16, b2)
 
 
-def _bwd_call(x16, w16, b2, dy2, interpret):
-    npad = x16.shape[1]
-    grid = (npad // NT,)
-    acc = lambda s: pl.BlockSpec(s, lambda i: (0, 0),
+def _bwd_call(x16, w16, b2, dy3, interpret):
+    _, m, bp = x16.shape
+    grid, bt, x_spec, dy_spec, const = _grid_specs(m, bp)
+    acc = lambda s: pl.BlockSpec(s, lambda i, j: (0, 0),
                                  memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _bwd_kernel,
         grid=grid,
-        in_specs=_specs(NT, with_dy=True),
+        in_specs=[x_spec, const((16, 256)), const((64, 1)), dy_spec],
         out_specs=[acc((256, 16)), acc((64, 1))],
         out_shape=[jax.ShapeDtypeStruct((256, 16), jnp.float32),
                    jax.ShapeDtypeStruct((64, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 256 * 16 * npad,
-            bytes_accessed=(16 + 64) * npad * 2,
+            flops=2 * 2 * 256 * 16 * m * bp,
+            bytes_accessed=(16 + 64) * m * bp * 2,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x16, w16, b2, dy2)
+    )(x16, w16, b2, dy3)
 
 
-def _dx_call(x16, w16, b2, dy2, interpret):
-    npad = x16.shape[1]
-    grid = (npad // NT,)
+def _dx_call(x16, w16, b2, dy3, interpret):
+    _, m, bp = x16.shape
+    grid, bt, x_spec, dy_spec, const = _grid_specs(m, bp)
     return pl.pallas_call(
         _dx_kernel,
         grid=grid,
-        in_specs=_specs(NT, with_dy=True),
-        out_specs=pl.BlockSpec((16, NT), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((16, npad), x16.dtype),
+        in_specs=[x_spec, const((16, 256)), const((64, 1)), dy_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((16, m, bp), x16.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=VMEM_BUDGET),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * 256 * 16 * npad,
-            bytes_accessed=2 * (16 + 64) * npad * 2,
+            flops=2 * 2 * 256 * 16 * m * bp,
+            bytes_accessed=2 * (16 + 64) * m * bp * 2,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x16, w16, b2, dy2)
+    )(x16, w16, b2, dy3)
 
 
 def _unpatch(dx16: jax.Array, B: int, H: int, W: int) -> jax.Array:
     """Adjoint of _patches: scatter-add the 16 tap planes back onto the
-    padded image and crop (test-only path; DCE'd in training)."""
-    taps = dx16.reshape(16, B, H // 2, W // 2)
-    dxp = jnp.zeros((B, H + 2, W + 2), dx16.dtype)
-    k = 0
+    padded (H+2, W+2, B) image and crop (test-only path; DCE'd in
+    training)."""
+    taps = dx16.reshape(4, 4, H // 2, W // 2, dx16.shape[-1])
+    dxp = jnp.zeros((H + 2, W + 2, dx16.shape[-1]), dx16.dtype)
     for a in range(4):
         for b in range(4):
-            dxp = dxp.at[:, a:a + H:2, b:b + W:2].add(taps[k])
-            k += 1
-    return dxp[:, 1:H + 1, 1:W + 1]
+            dxp = dxp.at[a:a + H:2, b:b + W:2].add(taps[a, b])
+    return jnp.transpose(dxp[1:H + 1, 1:W + 1, :B], (2, 0, 1))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -287,15 +318,15 @@ def conv1_relu_pool(x, w, b, interpret=False):
 def _fwd_res(x, w, b, interpret):
     B, H, W, _ = x.shape
     cd = x.dtype
-    x16 = _patches(x[..., 0])
-    n = x16.shape[1]
-    npad = -(-n // NT) * NT
-    x16 = _pad_n(x16, npad)
+    bp = -(-B // LANE) * LANE
+    x16 = _patches(x[..., 0], bp)
     w16 = _w16(w, cd)
     b2 = b.reshape(-1, 1).astype(jnp.float32)
     out = _fwd_call(x16, w16, b2, cd, interpret)
-    out = out[:, :n].reshape(64, B, H // 2, W // 2)
-    return jnp.transpose(out, (1, 2, 3, 0)), (x16, w16, b2)
+    # (m, 64, bp) -> logical (B, Ho, Wo, 64): the physical order already
+    # matches the {0,3,2,1} layout conv2 consumes, so this is a bitcast
+    out = out.reshape(H // 2, W // 2, 64, bp)
+    return jnp.transpose(out, (3, 0, 1, 2))[:B], (x16, w16, b2)
 
 
 def _vjp_fwd(x, w, b, interpret):
@@ -317,14 +348,17 @@ def _vjp_bwd(interpret, carry, dy):
     (x16, w16, b2), x_shape = carry
     B, H, W, _ = x_shape
     cd = dy.dtype
-    n = B * (H // 2) * (W // 2)
-    dy2 = _pad_n(dy.transpose(3, 0, 1, 2).reshape(64, n), x16.shape[1])
-    dw16, db2 = _bwd_call(x16, w16, b2, dy2, interpret)
+    bp = x16.shape[-1]
+    # (B, Ho, Wo, 64) -> (m, 64, bp): bitcast transpose + zero lane pad
+    dy3 = jnp.pad(jnp.transpose(dy, (1, 2, 3, 0)),
+                  ((0, 0), (0, 0), (0, 0), (0, bp - B))
+                  ).reshape((H // 2) * (W // 2), 64, bp)
+    dw16, db2 = _bwd_call(x16, w16, b2, dy3, interpret)
     dw = _fold_dw16(dw16)
     # dx is a separate pallas_call: dead-code-eliminated when the caller
     # does not differentiate the images (training differentiates params
     # only), computed for real under jax.grad-wrt-x (tests).
-    dx16 = _dx_call(x16, w16, b2, dy2, interpret)[:, :n]
+    dx16 = _dx_call(x16, w16, b2, dy3, interpret)
     dx = _unpatch(dx16, B, H, W).astype(cd)[..., None]
     return dx, dw, db2[:, 0]
 

@@ -292,7 +292,8 @@ def measure_train(floor_ms: float, B: int = 400, T: int = 11):
 
 
 def measure_trained_dict(floor_ms, lexicon, rep_dict_beam, table, cfg, ms,
-                         B, steps: int = 600):
+                         B, steps: int = 600, TB: int = 400,
+                         n_train: int = 1600):
     """Sustained trained-model dictionary decoding (VERDICT r4 #3).
 
     Trains the flagship on font renders (tests/synth.render_word_font) of
@@ -311,7 +312,7 @@ def measure_trained_dict(floor_ms, lexicon, rep_dict_beam, table, cfg, ms,
     T = 11
     short = [w for w in lexicon if len(w) <= T - 1]
     wrng = np.random.RandomState(11)
-    train_words = list(wrng.choice(short, size=1600, replace=False))
+    train_words = list(wrng.choice(short, size=n_train, replace=False))
     eval_pool = sorted(set(short) - set(train_words))
     eval_words = list(wrng.choice(eval_pool, size=B, replace=False))
     rrng = np.random.RandomState(12)
@@ -319,7 +320,6 @@ def measure_trained_dict(floor_ms, lexicon, rep_dict_beam, table, cfg, ms,
                      for w in train_words])[..., None].astype(np.float32)
     targets, targets_eval, _ = vocab.encode_batch(train_words, pad_to=T)
     _tick()
-    TB = 400
     nb = len(train_words) // TB
     im_s = jnp.asarray(imgs[:nb * TB].reshape(nb, TB, 32, 100, 1))
     tg_s = jnp.asarray(targets[:nb * TB].reshape(nb, TB, -1))
