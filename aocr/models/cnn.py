@@ -443,12 +443,16 @@ def apply(
     compute_dtype=jnp.float32,
     axis_name=None,
     row_mask=None,
+    use_pallas: bool = True,
 ) -> Tuple[jax.Array, dict]:
-    """images (B, H=32, W, 1) float32 in [0, 255] -> ((B, L, 512), new_stats)."""
+    """images (B, H=32, W, 1) float32 in [0, 255] -> ((B, L, 512), new_stats).
+
+    use_pallas=False forces the pure-XLA path (portable .aocrx exports
+    and `-no_use_pallas` A/Bs must not trace Mosaic custom-calls)."""
     x = ((images - 128.0) / 128.0).astype(compute_dtype)
     new_stats = dict(batch_stats)
     for idx, (name, _in_c, _out_c, _kh, _kw, pad, bn) in enumerate(_CONV_DEFS):
-        if idx == 0 and _conv1_kernel_ok(x.shape):
+        if idx == 0 and use_pallas and _conv1_kernel_ok(x.shape):
             # conv1 + bias + ReLU + pool1 as one fused Pallas pair (fwd +
             # wgrad/bias-grad backward) — never materializes the 164 MB
             # pre-pool activation or its scatter/mask chains.  The kernel

@@ -74,7 +74,7 @@ def encode(
     cd = _compute_dtype(cfg)
     features, new_stats = cnn.apply(
         params["cnn"], batch_stats, images, train=train, compute_dtype=cd,
-        row_mask=row_mask, axis_name=axis_name,
+        row_mask=row_mask, axis_name=axis_name, use_pallas=cfg.use_pallas,
     )
     context, dec_init = encoder.apply(
         params["encoder_fw"], params["encoder_bw"], features,
