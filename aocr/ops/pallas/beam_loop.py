@@ -330,10 +330,18 @@ def _make_kernel(num_layers: int, input_feed: bool, T: int, K: int,
 def vmem_bytes(L: int, H: int, T: int, K: int, num_layers: int,
                input_feed: bool, vp_in: int, vp: int, itemsize: int,
                bt: int, trie_bytes: int = 0) -> int:
-    # the per-beam trie lookups materialize (bt, num_nodes) f32 one-hots
-    # (same accounting as greedy_loop.vmem_bytes)
+    # The per-beam trie lookups materialize (bt, num_nodes) f32 one-hots
+    # at TWO sites (validity lookup + post-top-K node update), and the K
+    # beams are a python-unrolled loop, so Mosaic's scheduler can keep up
+    # to 2*K such temps (+ their matmul operands) alive concurrently —
+    # charge all of them.  Calibrated on hardware: at the demo shape
+    # (L=24 H=1024 T=50 K=5, N=3,835, bt=128) charging only 2 one-hots
+    # estimated 87.8 MB but the compiled kernel's scoped-VMEM stack hit
+    # the limit (109.12M vs 109.00M); the 21.3 MB estimate-vs-actual gap
+    # matches 2*K one-hots (19.6 MB) + ordinary slack within headroom.
     ctx = (2 * L * bt * H * itemsize + trie_bytes
-           + (2 * bt * (trie_bytes // (vp * 4)) * 4 if trie_bytes else 0))
+           + (2 * K * bt * (trie_bytes // (vp * 4)) * 4 if trie_bytes
+              else 0))
     weights = (
         vp_in * 4 * H * itemsize
         + ((2 * H) if input_feed else H) * 4 * H * itemsize
@@ -356,17 +364,23 @@ def vmem_bytes(L: int, H: int, T: int, K: int, num_layers: int,
 
 def pick_bt(B0: int, est) -> Optional[int]:
     """Largest tile (<= B_TILE, multiple of 8 or the whole batch) whose
-    estimate fits; None if even 8 rows do not fit.
+    estimate fits; None if no tile >= 16 rows fits (tiles that small are
+    perf-pointless for a 50-step loop kernel — let the caller fall back).
 
-    Headroom: 8 MB under the 100 MB budget.  The estimate above accounts
-    for double-buffering of every i-dependent block (inputs, init state,
-    outputs), so the residual Mosaic slack is spill/layout only — the
-    flagship shape (L=24 H=1024 T=50 K=5, 2 layers, input_feed) estimates
-    ~86 MB and is measured to compile and run at bt=128 within the 100 MB
-    limit, bounding the real residual at well under 8 MB."""
-    cands = [b for b in (B_TILE, 96, 64, 48, 32, 16, 8) if b < B0]
+    Headroom: 14 MB under the 100 MB budget, calibrated on hardware.
+    Mosaic's scoped-VMEM stack allocator enforces ~109 MiB on v5e (the
+    xla_tpu_scoped_vmem_limit_kib default — our vmem_limit_bytes request
+    does not lower that stack limit), and the compiled kernel's measured
+    stack runs ~19 MiB ABOVE this estimate roughly independent of bt
+    (f32+trie demo shape, bt=16: estimate 89.7 MiB, compiled stack
+    109.12 MiB -> 120 KB over the cliff).  The proven flagship bf16 shape
+    (L=24 H=1024 T=50 K=5, 2 layers, input_feed, bt=128) estimates
+    ~84 MiB and runs: 84 + 19 = 103 <= 109.  Gating at
+    estimate <= 100 - 14 = 86 MiB keeps that proven tile while rejecting
+    the measured-overflow configurations."""
+    cands = [b for b in (B_TILE, 96, 64, 48, 32, 16) if b < B0]
     for bt in [min(B0, B_TILE)] + cands:
-        if est(bt) <= VMEM_BUDGET - 8 * 1024 * 1024:
+        if est(bt) <= VMEM_BUDGET - 14 * 1024 * 1024:
             return bt
     return None
 

@@ -174,6 +174,34 @@ def test_beam_loop_fits_gate():
                               num_trie_nodes=500_000)  # table > VMEM
 
 
+def test_beam_loop_trie_vmem_charges_per_beam_onehots():
+    """Regression: at the synthetic-demo shape (flagship geometry + a
+    3,835-node trie) the compiled kernel's scoped-VMEM stack measured
+    109.12M at bt=128 — over the hardware limit — while the old
+    accounting (2 one-hots, not 2*K) estimated 87.8 MB and let the gate
+    pick bt=128.  The estimate must charge the 2*K python-unrolled
+    per-beam one-hot temps so this shape routes to a smaller tile."""
+    from aocr.ops.pallas.greedy_loop import trie_table_bytes
+
+    tb = trie_table_bytes(3835, 128)
+    est = lambda b: beam_loop.vmem_bytes(24, 1024, 50, 5, 2, True, 136,
+                                         128, 2, b, tb)
+    # bt=128 estimated >= the measured 109.12M minus ordinary slack:
+    assert est(128) > 100 * 1024 * 1024  # would NOT fit under the budget
+    bt = beam_loop.pick_bt(256, est)
+    assert bt is not None and bt <= 96  # still runs, smaller tiles
+    # and the no-trie flagship shape keeps its full (hardware-proven)
+    # tile under the calibrated 14 MB margin:
+    est0 = lambda b: beam_loop.vmem_bytes(24, 1024, 50, 5, 2, True, 136,
+                                          128, 2, b, 0)
+    assert beam_loop.pick_bt(512, est0) == 128
+    # f32 compute (the CLI default) + trie: the measured configuration
+    # (demo shape, bt=16 compiled to a 109.12M stack vs the 109.00M
+    # hardware limit) must now be rejected entirely -> tail fallback.
+    assert not beam_loop.fits(24, 1024, 50, 5, 2, True, 136, 128, 4,
+                              num_trie_nodes=3835)
+
+
 def test_beam_loop_row_finality_multitile(monkeypatch):
     """A fully-frozen ROW is final — in the kernel this must hold across
     tile boundaries (a frozen row's tile may exit while other tiles run;
