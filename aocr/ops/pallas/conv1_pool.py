@@ -87,20 +87,29 @@ _POSITIONS = ((0, 0), (0, 1), (1, 0), (1, 1))
 def supported(shape, window=(2, 2), kh=3, kw=3, padding="SAME") -> bool:
     """This kernel handles exactly the reference conv1 geometry: 3x3 SAME
     conv on a single input channel followed by a 2x2/2 max pool on even
-    spatial dims (odd widths keep the XLA path, like pool_bwd)."""
+    spatial dims (odd widths keep the XLA path, like pool_bwd), and only
+    when a Mosaic-legal cell-row block exists (`_pick_mt` > 0)."""
     _B, H, W, C = shape
     return (C == 1 and kh == 3 and kw == 3 and padding == "SAME"
-            and window == (2, 2) and H % 2 == 0 and W % 2 == 0)
+            and window == (2, 2) and H % 2 == 0 and W % 2 == 0
+            and _pick_mt((H // 2) * (W // 2)) > 0)
 
 
 def _pick_mt(m: int) -> int:
-    """Largest divisor of m up to MT (the in-kernel unrolled loop length);
-    m = 16*Wo at the reference height, so this is >= 8 for every even
-    width and exactly MT=40 at the W=100 default."""
+    """Largest divisor of m up to MT (the in-kernel unrolled loop length)
+    that Mosaic accepts as the x-block's sublane axis: divisible by 8, or
+    the whole axis (mt == m).  m = Ho*Wo = 16*Wo at the reference height,
+    so a multiple-of-8 divisor always exists (16); exactly MT=40 at the
+    W=100 default.  Returns 0 if no legal block exists (caller gates).
+
+    Regression note: the plain largest-divisor rule picked mt=36 at the
+    ladder width W=36 (m=288) — Mosaic rejects a (16, 36, bt) block
+    ("last two dimensions ... divisible by 8 and 128") at compile time
+    on hardware; interpret-mode tests don't enforce that constraint."""
     for mt in range(min(MT, m), 0, -1):
-        if m % mt == 0:
+        if m % mt == 0 and (mt % 8 == 0 or mt == m):
             return mt
-    return 1
+    return 0
 
 
 def _patches(x: jax.Array, bp: int) -> jax.Array:

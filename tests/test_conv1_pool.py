@@ -133,6 +133,37 @@ def test_supported_gate():
     assert not conv1_pool.supported((4, 32, 100, 3))  # multi-channel
 
 
+def test_pick_mt_mosaic_legal():
+    """Regression: at W=36 (m=288) the old largest-divisor rule picked
+    mt=36, which Mosaic rejects at hardware compile time (a (16, 36, bt)
+    x-block's sublane axis must be divisible by 8) — it broke the 9-width
+    multi-width export (tools/ab_artifact_widths.py).  Every block the
+    picker returns must be divisible by 8 or span the whole axis."""
+    assert conv1_pool._pick_mt(288) == 32          # W=36: not 36
+    assert conv1_pool._pick_mt(800) == 40          # W=100: unchanged
+    for W in range(16, 321, 2):                    # every even width
+        m = 16 * (W // 2)
+        mt = conv1_pool._pick_mt(m)
+        assert mt > 0 and m % mt == 0
+        assert mt % 8 == 0 or mt == m
+        assert conv1_pool.supported((4, 32, W, 1))
+
+
+def test_forward_matches_xla_ladder_width_36():
+    """The width that produced the Mosaic block error, through the
+    public entry (interpret mode checks the math; the block-legality
+    part is pinned by test_pick_mt_mosaic_legal)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (3, 32, 36, 1)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-0.3, 0.3, (3, 3, 1, 64)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-0.3, 0.3, (64,)).astype(np.float32))
+    out = conv1_pool.conv1_relu_pool(x, w, b, True)
+    ref = _xla_ref(x, w, b, jnp.float32)
+    assert out.shape == ref.shape == (3, 16, 18, 64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_ragged_n_padding():
     # B*Ho*Wo far from a multiple of NT: zero-padding must not perturb
     # values or grads.
