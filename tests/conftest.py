@@ -41,6 +41,7 @@ import pytest  # noqa: E402
 _SMOKE_MODULES = {
     "test_vocab", "test_trie", "test_loss", "test_tiling", "test_optim",
     "test_eval", "test_data", "test_tf_fwd", "test_cli", "test_synth_font",
+    "test_train_roofline",
 }
 # Known-slow outliers excluded from smoke even inside smoke modules.
 _SMOKE_EXCLUDE = {"test_synth90k_scale_dictionary"}
