@@ -243,10 +243,12 @@ class Trainer:
                 f"global rows {self.local_bs * pc} not divisible by the "
                 f"{n_eval}-device eval mesh (num_shards x num_model_shards)"
             )
+            self._global_rows = self.local_bs * pc
             log.info(f"Multi-host lockstep: process {jax.process_index()}/"
                      f"{pc}, {self.local_bs} rows/host/step")
         else:
             self.local_bs = self.cfg.batch_size
+            self._global_rows = self.local_bs
         self.visualize_file = None
 
     # ------------------------------------------------------------ steps
@@ -263,12 +265,19 @@ class Trainer:
             )
         return jnp.asarray(batch.images)
 
-    def step_train(self, batch: data.Batch, lr: float, valid_rows=None):
+    def step_train(self, batch: data.Batch, lr: float, valid_rows=None,
+                   all_full=None):
         """One SGD step.  Returns the token-sum NLL as a *device scalar* —
         the caller decides when to sync (the train loop pipelines one step:
         it fetches step t-1's loss while step t runs, so the device never
         idles waiting on the host).  valid_rows marks how many leading rows
-        are real (lockstep dummy batches pass 0)."""
+        are real (lockstep dummy batches pass 0).  all_full says whether
+        EVERY process's batch is full this step (None = single-process,
+        decide locally): under -multihost the masked/unmasked program
+        choice must be identical on every host — the two variants issue
+        different collective sequences, and a host-local choice deadlocks
+        or size-mismatches the pod when manifest shards are uneven
+        (observed as a Gloo "received data size doesn't match" abort)."""
         self._rng, sub = jax.random.split(self._rng)
         im, tg, te = self._images(batch), batch.targets, batch.targets_eval
         if valid_rows is None:
@@ -294,14 +303,17 @@ class Trainer:
                 ztg = np.full((pad, tg.shape[1]), vocab.PAD, tg.dtype)
                 tg = np.concatenate([tg, ztg], 0)
                 te = np.concatenate([te, ztg], 0)
-            if valid_rows < want:
+            if valid_rows < want or all_full is False:
                 im, tg, te, mk = mesh_lib.shard_batch(self.mesh, im, tg, te,
                                                       mask)
             else:
-                # full bucket: no mask, so the DP step runs its unmasked
-                # variant (BN backward takes the sync-BN custom VJP —
-                # ADVICE r4; an all-ones mask would force the autodiff
-                # path every step)
+                # full bucket ON EVERY HOST: no mask, so the DP step runs
+                # its unmasked variant (BN backward takes the sync-BN
+                # custom VJP — ADVICE r4; an all-ones mask would force the
+                # autodiff path every step).  all_full is False whenever
+                # ANY host has a padded tail this step (lockstep callers
+                # compute it from the all-gathered global row count), so
+                # every host picks the same program.
                 im, tg, te = mesh_lib.shard_batch(self.mesh, im, tg, te)
                 mk = None
             out = self._train_step(
@@ -623,7 +635,10 @@ class Trainer:
                     profiling = True
                     profile_started_at = self.global_step
                     log.info(f"Profiler trace started -> {trace_dir}")
-                step_loss = self.step_train(batch, sched.lr, valid)
+                step_loss = self.step_train(
+                    batch, sched.lr, valid,
+                    all_full=(g_rows == self._global_rows
+                              if self._lockstep else None))
                 inflight.append((step_loss, g_nnz))
                 steps_in_window += 1
                 window_images += g_rows
