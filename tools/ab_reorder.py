@@ -132,6 +132,8 @@ def build(variant, B, interpret=False):
             out_shape=jax.ShapeDtypeStruct((B, KH), jnp.float32),
             scratch_shapes=[pltpu.VMEM((bt, KH), jnp.float32)
                             for _ in range(2 * N_STATE)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(seed)
 
