@@ -127,3 +127,35 @@ def test_dp_padded_partial_batch_matches_unpadded(setup):
                     jax.tree.leaves(out_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-4)
+
+
+def test_dp_masked_and_unmasked_variants_agree_on_full_batch(setup):
+    """The two compiled DP step variants — row_mask=None (BN custom-VJP
+    fast path, full buckets) and an all-ones row_mask (autodiff path,
+    padded tails) — must produce the same update on the same full batch.
+    Under -multihost, hosts pick between these programs by the GLOBAL row
+    count (train.step_train all_full); this pins that either choice is
+    numerically interchangeable, so the lockstep rule is purely about
+    collective-sequence agreement, not results."""
+    m = mesh_lib.make_mesh(num_data=4)
+    opt = optim.sgd_init(setup["params"])
+    lr, rng = jnp.float32(0.1), jax.random.PRNGKey(7)
+    step = data_parallel.make_dp_train_step(CFG, m)
+
+    im, tg, te, mk = mesh_lib.shard_batch(
+        m, setup["images"], setup["targets"], setup["targets_eval"],
+        jnp.ones((setup["images"].shape[0],), jnp.float32))
+    out_masked = step(setup["params"], setup["stats"], opt, im, tg, te,
+                      lr, rng, row_mask=mk)
+    out_plain = step(setup["params"], setup["stats"], opt, im, tg, te,
+                     lr, rng)
+    np.testing.assert_allclose(float(out_masked.loss_sum),
+                               float(out_plain.loss_sum), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out_masked.batch_stats),
+                    jax.tree.leaves(out_plain.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(out_masked.params),
+                    jax.tree.leaves(out_plain.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
