@@ -22,6 +22,39 @@ def parse_trace(path):
     return rows
 
 
+def parse_trace_shapes(path):
+    """trace_step rows with the output shape token the listing carries."""
+    rows = []
+    pat = re.compile(r"^\s{2}(\S+)\s+(\S*?)\s*(\d+\.\d+) ms\s+x(\d+)")
+    for line in open(path):
+        m = pat.match(line)
+        if m:
+            shape = m.group(2).lstrip("(").rstrip(",")
+            rows.append((m.group(1), shape, float(m.group(3)),
+                         int(m.group(4))))
+    return rows
+
+
+def lookup(ops, name, shape):
+    """Shape-verified join: the traced program and the dump_hlo program
+    can assign DIFFERENT fusion numbers (any graph difference shifts
+    them), so an exact name hit can be the WRONG op — require the dump
+    line to carry the trace row's output shape+layout, trying name
+    offsets around the trace number."""
+    base = name.split("(")[0]
+    cands = [base]
+    m = re.match(r"(.*?)(\d+)$", base)
+    if m:
+        stem, num = m.group(1), int(m.group(2))
+        cands += ["%s%d" % (stem, num + d)
+                  for d in (-1, 1, -2, 2, -3, 3) if num + d >= 0]
+    for c in cands:
+        line = ops.get(c)
+        if line and (not shape or shape in line):
+            return line
+    return ""
+
+
 def parse_hlo(path):
     ops = {}
     pat = re.compile(r"^\s*(?:ROOT )?%([\w.\-]+) = ")
@@ -63,15 +96,12 @@ def main():
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     top_n = int(sys.argv[4]) if len(sys.argv) > 4 else 60
     ops = parse_hlo(hlo_txt)
-    rows = parse_trace(trace_log)[:top_n]
+    rows = parse_trace_shapes(trace_log)[:top_n]
     total = 0.0
-    for name, ms, _x in rows:
+    for name, tshape, ms, _x in rows:
         per = ms / steps
         total += per
-        line = ops.get(name)
-        if line is None:
-            base = name.split("(")[0]
-            line = ops.get(base, "")
+        line = lookup(ops, name, tshape)
         kind, opname, src, emitter, shape = describe(line) if line else (
             "?", "", "", "", "")
         print("%7.3f  %-38s %-8s %-44s %-24s %s" % (

@@ -25,42 +25,11 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from trace_attrib import describe, parse_hlo  # noqa: E402
+from trace_attrib import (  # noqa: E402
+    describe, lookup, parse_hlo, parse_trace_shapes)
 
 PEAK_TF = 197.0  # v5e bf16 dense peak, TFLOP/s
 HBM_GBS = 819.0  # v5e HBM bandwidth, GB/s
-
-
-def parse_trace_shapes(path):
-    """trace_step rows with the output shape token the listing carries."""
-    rows = []
-    pat = re.compile(r"^\s{2}(\S+)\s+(\S*?)\s*(\d+\.\d+) ms\s+x(\d+)")
-    for line in open(path):
-        m = pat.match(line)
-        if m:
-            shape = m.group(2).lstrip("(").rstrip(",")
-            rows.append((m.group(1), shape, float(m.group(3)),
-                         int(m.group(4))))
-    return rows
-
-
-def lookup(ops, name, shape):
-    """Shape-verified join: the traced program (probe carry) and the
-    dump_hlo program assign DIFFERENT fusion numbers, so an exact name hit
-    can be the wrong op — require the dump line to carry the trace's
-    output shape+layout, trying name offsets around the trace number."""
-    base = name.split("(")[0]
-    cands = [base]
-    m = re.match(r"(.*?)(\d+)$", base)
-    if m:
-        stem, num = m.group(1), int(m.group(2))
-        cands += ["%s%d" % (stem, num + d)
-                  for d in (-1, 1, -2, 2, -3, 3) if num + d >= 0]
-    for c in cands:
-        line = ops.get(c)
-        if line and (not shape or shape in line):
-            return line
-    return ""
 
 
 def stage_of(name, opname, src, line=""):
