@@ -9,12 +9,13 @@ Usage:
   XLA_FLAGS=--xla_dump_to=/tmp/hlo python tools/dump_hlo.py 400
   python tools/train_roofline.py /tmp/trace.log /tmp/hlo/train_step_0.opt.txt
 
-Fusion numbering can shift by a few between the traced program (which
-threads a carry probe) and the dump_hlo program (bench's exact step), so
-unmatched trace names are retried at +/-1..2 — verified sound for the
-scalar-norm fusions this rescues: XLA fuses each gradient's squared-norm
-reduce (clip@5/group, optim.clip_grads_by_group) INTO the producing
-wgrad emitter, so "clip cost" rides in the producer rows.
+Fusion numbering shifts between the traced program (which threads a
+carry probe) and the dump_hlo program (bench's exact step), so the join
+is shape-verified (trace_attrib.lookup: candidate names at +/-1..3 must
+carry the trace row's output shape+layout).  That join is what proved
+clip@5/group effectively free: XLA fuses each gradient's squared-norm
+reduce (optim.clip_grads_by_group) INTO the producing wgrad emitter, so
+"clip cost" rides in the producer rows.
 
 Reference hot loop this accounts for: src/train.lua:160-208 +
 src/model/model.lua:284-700 (step -> forward -> backward -> clip -> sgd).
