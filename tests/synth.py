@@ -179,6 +179,7 @@ def make_dataset(
     distort_kwargs: dict = None,
     mode: str = "stripes",
     render_rng: np.random.RandomState = None,
+    natural_width: bool = False,
 ) -> Tuple[str, List[str]]:
     """Write .npy images + manifest into tmpdir.  Returns (manifest, paths).
 
@@ -186,8 +187,12 @@ def make_dataset(
     independently distorted render (affine jitter + noise + blur;
     distort_kwargs overrides the distortion strengths).  mode="font" uses
     the PIL glyph renderer (per-copy font/size/level variation when
-    render_rng is given) instead of the stripe code."""
+    render_rng is given) instead of the stripe code.  natural_width=True
+    (font mode) renders each word at its aspect-preserving width
+    (natural_font_width) instead of the fixed `width` — the variable-width
+    regime `-keep_aspect_ratio` consumes (src/data/data_gen.lua:74-79)."""
     assert mode in ("stripes", "font"), mode
+    assert not (natural_width and mode != "font"), "natural_width: font only"
     os.makedirs(os.path.join(tmpdir, "images"), exist_ok=True)
     paths = []
     lines = []
@@ -198,7 +203,9 @@ def make_dataset(
             rel = (f"images/{i:04d}_{label}.npy" if copies == 1
                    else f"images/{i:04d}_{c}_{label}.npy")
             if mode == "font":
-                clean = render_word_font(label, height, width, rng=render_rng)
+                w = (natural_font_width(label, height) if natural_width
+                     else width)
+                clean = render_word_font(label, height, w, rng=render_rng)
             img = (distort(clean, distort_rng, **(distort_kwargs or {}))
                    if distort_rng is not None else clean)
             np.save(os.path.join(tmpdir, rel), img)

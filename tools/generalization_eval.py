@@ -23,7 +23,11 @@ Usage: python tools/generalization_eval.py [workdir]
        checkpoint, so long runs can be chunked),
        AOCR_GEN_MODE (stripes | font — font = PIL DejaVu glyph renders,
        blur ON by default; VERDICT r4 #2),
-       AOCR_GEN_BLUR (override the per-mode blur default)
+       AOCR_GEN_BLUR (override the per-mode blur default),
+       AOCR_GEN_VARWIDTH=1 (font mode only: render every word at its
+       natural aspect-preserving width and train/eval with
+       -keep_aspect_ratio — the reference's variable-width regime,
+       exercising the width-ladder bucketing end to end)
 """
 
 import os
@@ -82,6 +86,8 @@ def main():
     # defaults ON (real glyphs survive it; the stripe code does not).
     mode = os.environ.get("AOCR_GEN_MODE", "stripes")
     assert mode in ("stripes", "font"), mode
+    varwidth = bool(int(os.environ.get("AOCR_GEN_VARWIDTH", "0")))
+    assert not (varwidth and mode != "font"), "VARWIDTH needs MODE=font"
     rng = np.random.RandomState(20260817)
 
     from tests import synth
@@ -100,7 +106,8 @@ def main():
     blur_default = "1" if mode == "font" else "0"
     dk = {"blur": bool(int(os.environ.get("AOCR_GEN_BLUR", blur_default)))}
     kw = dict(distort_kwargs=dk, mode=mode,
-              render_rng=rng if mode == "font" else None)
+              render_rng=rng if mode == "font" else None,
+              natural_width=varwidth)
     if not os.path.exists(os.path.join(work, "dict.txt")):
         synth.make_dataset(work, lex_a, "train.txt", distort_rng=rng,
                            copies=copies, **kw)
@@ -121,7 +128,8 @@ def main():
         # max_decoder_l (words are <= 8 chars) — without this, every
         # distinct batch-max word length compiles its own program
         "-pad_targets", "-max_decoder_l", "9",
-    ] + (os.environ.get("AOCR_GEN_EXTRA", "").split() or [])
+    ] + (["-keep_aspect_ratio"] if varwidth else []) + (
+        os.environ.get("AOCR_GEN_EXTRA", "").split() or [])
     if phase in ("all", "train"):
         print(f"training {epochs} epochs ...", flush=True)
         run_phase(common + [
