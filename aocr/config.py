@@ -194,6 +194,15 @@ class Config:
     keep_aspect_ratio: bool = False
     max_aspect_ratio: float = 10.0
     min_aspect_ratio: float = 0.5
+    # Under -keep_aspect_ratio, round each preprocessed width UP to the
+    # shared geometric width ladder (data.width_ladder — the same steps
+    # serving and multi-width .aocrx export use).  Natural word widths are
+    # near-unique (a 3k-word corpus spans ~180 distinct widths), and each
+    # distinct width is a separately compiled program for train AND eval;
+    # snapping bounds that to the <=9 ladder steps for <=1.5x horizontal
+    # padding.  Off by default: exact widths reproduce the un-snapped
+    # aspect behavior and serve single-width corpora with zero padding.
+    snap_width_ladder: bool = False
 
     # Geometry fields (GEOMETRY_FIELDS) the caller EXPLICITLY set — even to
     # their default values.  Checkpoint loading keeps the checkpoint's
@@ -254,6 +263,10 @@ class Config:
                                      and effective_damp == 0.0), (
             "Nesterov momentum requires a momentum and zero dampening"
         )
+        assert not (self.snap_width_ladder and self.device_preprocess), (
+            "-snap_width_ladder pads on the host after the aspect resize; "
+            "-device_preprocess resizes on-device and does not snap yet"
+        )
         return self
 
     def replace(self, **kw) -> "Config":
@@ -276,6 +289,7 @@ STRUCT_FIELDS = (
 GEOMETRY_FIELDS = (
     "max_decoder_l", "max_encoder_l", "image_height", "image_width",
     "keep_aspect_ratio", "max_aspect_ratio", "min_aspect_ratio",
+    "snap_width_ladder",
 )
 
 def build_arg_parser() -> argparse.ArgumentParser:

@@ -98,6 +98,26 @@ def _target_width(w: int, h: int, cfg: Config) -> int:
     return cfg.image_width  # reference hard-codes 100 (data_gen.lua:78)
 
 
+def _snap_pad(img: np.ndarray, cfg: Config) -> np.ndarray:
+    """-snap_width_ladder: background-pad an aspect-resized (H, W) image's
+    width UP to the next shared-ladder step — the identical treatment the
+    serving batcher gives ingest (serve._Batcher.pad_width), so training,
+    eval, and serving all see the same pixel geometry.  Bounds the
+    per-width compiled-program count: natural word widths are near-unique
+    (one program per distinct width otherwise — a 3k-word corpus spans
+    ~180), the ladder has <=9 steps."""
+    if not (cfg.keep_aspect_ratio and cfg.snap_width_ladder):
+        return img
+    w = img.shape[1]
+    for step in width_ladder(cfg):
+        if w <= step:
+            if w == step:
+                return img
+            return np.pad(img, ((0, 0), (0, step - w)),
+                          constant_values=255.0)
+    return img  # wider than the ladder top (clamped upstream)
+
+
 def width_ladder(cfg: Config) -> List[int]:
     """Fixed width steps covering every clamped-aspect width the
     preprocessing can produce (x1.5 geometric steps, endpoint-clamped).
@@ -184,7 +204,7 @@ def load_and_preprocess(
                     rgb.tobytes(), h, w, 3, cfg.image_height, img_w
                 )
                 if out is not None:
-                    return out
+                    return _snap_pad(out, cfg)
                 arr = np.asarray(rgb, np.float32) / 255.0
             img = _rgb_to_luminance(arr) * 255.0
     except Exception:
@@ -194,9 +214,9 @@ def load_and_preprocess(
         return None
     img_w = _target_width(w, h, cfg)
     out = native.luminance_resize(img, cfg.image_height, img_w)
-    if out is not None:
-        return out
-    return _bilinear_resize(img, cfg.image_height, img_w)
+    if out is None:
+        out = _bilinear_resize(img, cfg.image_height, img_w)
+    return _snap_pad(out, cfg)
 
 
 def load_raw(path: str, cfg: Config):

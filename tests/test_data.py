@@ -46,6 +46,36 @@ def test_keep_aspect_ratio(tmp_path):
     assert out2.shape == (32, 320)
 
 
+def test_snap_width_ladder(tmp_path):
+    """-snap_width_ladder: aspect-resized widths background-pad UP to the
+    shared serving/export ladder (same treatment as serve.pad_width), so
+    natural-width corpora compile one program per ladder step, not one
+    per distinct word width."""
+    cfg = Config(keep_aspect_ratio=True, snap_width_ladder=True).validate()
+    ladder = data.width_ladder(cfg)
+    img = np.full((32, 70), 13.0, np.float32)  # aspect width 70
+    p = tmp_path / "x.npy"
+    np.save(p, img)
+    out = data.load_and_preprocess(str(p), cfg)
+    step = min(s for s in ladder if s >= 70)
+    assert out.shape == (32, step)
+    np.testing.assert_allclose(out[:, :70], img, rtol=1e-5)
+    assert (out[:, 70:] == 255.0).all()  # background padding, not stretch
+    # exact ladder width: untouched
+    img2 = np.full((32, ladder[2]), 9.0, np.float32)
+    p2 = tmp_path / "y.npy"
+    np.save(p2, img2)
+    assert data.load_and_preprocess(str(p2), cfg).shape == (32, ladder[2])
+    # geometry produces ONLY ladder widths across a spread of aspects
+    for w in (17, 33, 100, 201, 319):
+        np.save(p, np.zeros((32, w), np.float32))
+        assert data.load_and_preprocess(str(p), cfg).shape[1] in ladder
+    # composition guard: host-side padding can't ride device preprocess
+    with pytest.raises(AssertionError):
+        Config(keep_aspect_ratio=True, snap_width_ladder=True,
+               device_preprocess=True).validate()
+
+
 def test_decode_error_returns_none(tmp_path, cfg):
     p = tmp_path / "bad.png"
     p.write_bytes(b"not an image")

@@ -128,7 +128,7 @@ def main():
         # max_decoder_l (words are <= 8 chars) — without this, every
         # distinct batch-max word length compiles its own program
         "-pad_targets", "-max_decoder_l", "9",
-    ] + (["-keep_aspect_ratio"] if varwidth else []) + (
+    ] + (["-keep_aspect_ratio", "-snap_width_ladder"] if varwidth else []) + (
         os.environ.get("AOCR_GEN_EXTRA", "").split() or [])
     if phase in ("all", "train"):
         print(f"training {epochs} epochs ...", flush=True)
